@@ -1,0 +1,111 @@
+"""Balanced deterministic partitioner — SURVEY.md §2.6 (X4–X6).
+
+The reference partitions an appointment report into N near-equal workbooks:
+per unit, it collects the distinct patients, shuffles them with a seeded RNG
+and splits into N quota groups, remainder to the first parts
+(``particion_equitativa``, app.py:49-89; constrained variant app.py:91-145).
+
+Deliberate divergence (documented per SURVEY.md §4 item 2): RNG-shuffle
+order depends on Python's Mersenne state and is not reproducible across
+engines/partitions. The rebuild orders each unit's distinct keys by a seeded
+``xxhash64`` and assigns ``ntile(N)`` — deterministic for a fixed seed,
+distributed (no collect), and satisfying the same invariants: disjoint
+cover, per-unit sizes differing by ≤1, remainder biased to the lowest part
+ids exactly like the reference's quota math (app.py:77-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def balanced_partition(
+    df: DataFrame,
+    unit_col: str,
+    key_col: str,
+    num_parts: int,
+    seed: int = 42,
+    out_col: str = "particion",
+) -> DataFrame:
+    """X4 — assign each distinct ``key_col`` within each ``unit_col`` to one
+    of ``num_parts`` balanced partitions; returns (unit, key, particion).
+
+    ntile over a seeded-hash ordering = the reference's shuffle+quota split:
+    sizes per unit differ by at most 1, larger parts first.
+    """
+    keys = df.select(unit_col, key_col).distinct()
+    w = Window.partitionBy(unit_col).orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.col(key_col)
+    )
+    return keys.withColumn(out_col, F.ntile(num_parts).over(w))
+
+
+def constrained_partition(
+    df: DataFrame,
+    unit_col: str,
+    key_col: str,
+    allowed: DataFrame,
+    seed: int = 42,
+    out_col: str = "particion",
+) -> DataFrame:
+    """X5 — constrained variant: each unit may only use a configured subset
+    of partitions (app.py:91-145). ``allowed`` is a dim
+    (unit_col, particion) listing permitted part ids per unit; keys are
+    round-robined across the unit's allowed parts by seeded-hash rank.
+    """
+    n_allowed = allowed.groupBy(unit_col).agg(
+        F.count("*").alias("_n_parts"),
+        F.sort_array(F.collect_list(out_col)).alias("_parts"),
+    )
+    keys = df.select(unit_col, key_col).distinct()
+    w = Window.partitionBy(unit_col).orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.col(key_col)
+    )
+    ranked = keys.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(n_allowed), on=unit_col, how="inner")
+        .withColumn(
+            out_col,
+            F.element_at(
+                F.col("_parts"), ((F.col("_rk") - 1) % F.col("_n_parts") + 1).cast("int")
+            ),
+        )
+        .drop("_rk", "_n_parts", "_parts")
+    )
+
+
+def attach_partition(
+    df: DataFrame, assignment: DataFrame, unit_col: str, key_col: str
+) -> DataFrame:
+    """X4 application step — semi-join-style attach of the partition id back
+    onto the full fact rows (reference membership filter, app.py:160-166).
+
+    The assignment frame has one row per distinct (unit, key) — usually far
+    smaller than the fact; broadcast when bounded.
+    """
+    return df.join(assignment, on=[unit_col, key_col], how="inner")
+
+
+def check_partition(
+    assignment: DataFrame, unit_col: str, key_col: str, part_col: str = "particion"
+) -> dict:
+    """X6 — partition invariant checker (replaces ``comparar_particiones``,
+    app.py:183-209): disjoint (each key in exactly one part per unit),
+    balanced (per-unit max-min ≤ 1). Returns a small dict of violation
+    counts — an action, test/driver use only.
+    """
+    dup = (
+        assignment.groupBy(unit_col, key_col)
+        .agg(F.countDistinct(part_col).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    sizes = assignment.groupBy(unit_col, part_col).agg(F.count("*").alias("sz"))
+    imbalance = (
+        sizes.groupBy(unit_col)
+        .agg((F.max("sz") - F.min("sz")).alias("spread"))
+        .filter(F.col("spread") > 1)
+        .count()
+    )
+    return {"duplicated_keys": dup, "imbalanced_units": imbalance}

@@ -1,0 +1,121 @@
+"""Window / order-dependent operator kit — SURVEY.md §2.5 (W1–W6).
+
+The reference implements these with sorted iterrows loops and mutable state
+(e.g. the 72-line wait-time loop at
+app_indicadores_modelo_atencion.py:1110-1182); here they are window
+functions — one shuffle on the partition keys, then a linear in-partition
+pass, which parallelizes across every distinct key at cluster scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+) -> DataFrame:
+    """W1 — keep the first row per key after ordering (ROW_NUMBER = 1).
+
+    Rebuild of the confirmaciones dedup-to-first-service
+    (app_confirmaciones.py:259-297): sort by order_cols within each
+    partition key, keep the first. Null-date exemption (reference keeps all
+    null-key rows) is the caller's concern — pass a coalesced synthetic key
+    as the reference does with 'SIN_FECHA_<idx>'.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lag_wait_minutes(
+    df: DataFrame,
+    partition_col: str,
+    arrival_ts: str,
+    finish_ts: str | None = None,
+    same_day_only: bool = True,
+    out_col: str = "espera_min",
+) -> DataFrame:
+    """W3 — sessionized wait time: arrival minus the previous row's
+    finish-or-arrival timestamp within each partition key.
+
+    Rebuild of the iterrows state machine at
+    app_indicadores_modelo_atencion.py:1110-1182:
+    - carry-forward of the last non-null finish time → ``last(finish,
+      ignorenulls=True)`` over the preceding frame (excluded rows still
+      update the carry-forward state, matching the reference);
+    - same-day guard → null the wait when the previous event is another day.
+
+    Exclusion predicates (Fri/weekend/≥15h/≥50min) are downstream filters on
+    the measurement, applied by the caller, so the state semantics stay
+    independent of the business rules — the subtlety flagged in SURVEY.md §7.
+    """
+    w = Window.partitionBy(partition_col).orderBy(F.col(arrival_ts))
+    prev_frame = w.rowsBetween(Window.unboundedPreceding, -1)
+    basis = (
+        F.coalesce(F.col(finish_ts), F.col(arrival_ts))
+        if finish_ts
+        else F.col(arrival_ts)
+    )
+    prev_basis = F.last(basis, ignorenulls=True).over(prev_frame)
+    wait = (
+        F.unix_timestamp(F.col(arrival_ts)) - F.unix_timestamp(prev_basis)
+    ) / 60.0
+    if same_day_only:
+        wait = F.when(
+            F.to_date(F.col(arrival_ts)) == F.to_date(prev_basis), wait
+        )
+    return df.withColumn(out_col, wait)
+
+
+def top_n(df: DataFrame, order_cols: Sequence[Column], n: int) -> DataFrame:
+    """W4 — global top-N (reference .nlargest / head(top_n)).
+
+    Spark compiles orderBy+limit to TakeOrderedAndProject — each partition
+    keeps only its local top-N, the driver merges N×partitions rows; no full
+    sort at any scale.
+    """
+    return df.orderBy(*order_cols).limit(n)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+) -> DataFrame:
+    """W4 (grouped variant) — top-N within each group via row_number."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def cumulative_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "acumulado",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """W5 — running sum (Pareto cumsum,
+    indicador-modelo-vs-facturacion.py:1026).
+
+    An unpartitioned running sum funnels through one task — fine on the
+    small aggregated frames it's meant for; pass partition_cols for
+    large inputs.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

@@ -1,0 +1,897 @@
+"""Relational query surface — SURVEY.md §2.1–2.8 operators, one
+oracle-checked query each, over the harness star schema.
+
+Each query cites the reference behavior it rebuilds (file:line into
+/root/reference) and the SURVEY.md §2 operator ids it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.datetime_fns import (
+    excel_serial_to_date,
+    parse_spanish_long_date,
+    period_bucket,
+    spanish_long_date,
+    ts_parse_multi,
+    weekday_monday0,
+)
+from .functions.text_fns import phone_normalize
+from .operators.aggregates import (
+    avg_of_daily_counts,
+    pareto,
+    percent_of_total,
+    pivot_count,
+    with_total_row,
+)
+from .operators.joins import broadcast_dim_join, spine_left_join_fill
+from .operators.partitioner import balanced_partition
+from .operators.windows import dedup_first, top_n_per_group
+from .registry import davg, dsum, load_table, o_davg, o_dsum, register
+
+
+def _utc(spark: SparkSession) -> None:
+    """Pin session TZ so timestamp semantics match the (TZ-naive) oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / filters over lineitem & orders
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A6/A8 multi-aggregate group (TPC-H Q1 shape); P6 date filter. "
+    "Reference analog: grouped measure tables, e.g. "
+    "app_indicadores_modelo_atencion.py:216-247.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND value > 50.0
+      AND value IS NOT NULL
+      AND NOT (upper(props) LIKE '%"K": 1%')
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+    """,
+    doc="P1 projection, P2/P3 equality+IN filters (app.py:281-305), "
+    "P4 negated contains (app.py:287-292), P6 date range "
+    "(app_indicadores_modelo_atencion.py:130-133), P7 null guard.",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "view")
+        & (F.col("value") > 50.0)
+        & F.col("value").isNotNull()
+        & ~F.upper(F.col("props")).contains('"K": 1')
+        & (F.col("ts") >= "2024-01-05")
+        & (F.col("ts") < "2024-01-25")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q03_dim_join_agg",
+    f"""
+    SELECT r_name, COUNT(*) AS n_customers, {o_davg('c_acctbal')} AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="J1/J2 broadcast dim lookup joins (app_confirmaciones.py:150-177; "
+    "app_calculador_recursos_modelo_atencion.py:196-201) + grouped avg A5. "
+    "Both dims are bounded → explicit broadcast, fact side never shuffles "
+    "for the join.",
+)
+def q03_dim_join_agg(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = broadcast_dim_join(
+        broadcast_dim_join(
+            cust, nation, on=cust.c_nationkey == nation.n_nationkey, how="inner"
+        ),
+        region,
+        on=F.col("n_regionkey") == region.r_regionkey,
+        how="inner",
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"), davg("c_acctbal", "avg_acctbal")
+    )
+
+
+@register(
+    "q04_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_active
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    doc="J5 semi-join membership (app.py:160,166) as left_semi — no "
+    "duplication, no shuffle of payload columns.",
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(orders, on="c_custkey", how="left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="X3 set-difference validation (unassigned = selected − assigned, "
+    "app.py:262-269) as left_anti join.",
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(orders, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q06_date_spine_fill",
+    """
+    WITH rng AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS fecha
+      FROM rng
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS fecha, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT s.fecha, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d USING (fecha)
+    """,
+    doc="G3 calendar spine (pd.date_range, "
+    "app_indicadores_modelo_atencion.py:963-968) + J4 spine left join with "
+    "0-fill (ibid.:963-976). Spine derived lazily from the data's min/max — "
+    "no collect; the join side is a post-aggregate, so it broadcasts.",
+)
+def q06_date_spine_fill(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("fecha")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("fecha")).agg(
+        F.count("*").alias("n")
+    )
+    return spine_left_join_fill(spine, daily, on="fecha", fill=0)
+
+
+@register(
+    "q07_avg_daily_by_dow",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, isodow(ts) - 1 AS dia, hour(ts) AS hora,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT dia, hora, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_eventos
+    FROM daily GROUP BY dia, hora
+    """,
+    doc="A2 two-level avg-of-daily-counts "
+    "(app_calculo_necesidad_recepción_call_center.py:250-255) — averages "
+    "over days *with data* only, matching the reference. F21 weekday "
+    "Monday=0 convention.",
+)
+def q07_avg_daily_by_dow(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("dia", weekday_monday0("ts"))
+        .withColumn("hora", F.hour("ts").cast("long"))
+    )
+    return avg_of_daily_counts(
+        ev, F.to_date("ts"), ["dia", "hora"], out_col="avg_eventos"
+    )
+
+
+@register(
+    "q08_distinct_days",
+    """
+    SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_dias, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="A3 exact distinct count (days-per-key, "
+    "app_calculo_necesidad_recepción_call_center.py:245-246). At 100 TB "
+    "prefer approx_count_distinct; exact kept here for the oracle gate.",
+)
+def q08_distinct_days(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_dias"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q09_conditional_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE value > 100) AS DOUBLE)
+             / COUNT(value) FILTER (WHERE value > 100) AS avg_value_high,
+           MIN(value) FILTER (WHERE value > 0) AS min_pos,
+           MAX(value) FILTER (WHERE value <> 60) AS max_not60,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="A8 conditional aggregates — avg over positives only, min excluding "
+    "0, max excluding a sentinel (app_indicadores_modelo_atencion.py:232-241, "
+    "296-318).",
+)
+def q09_conditional_agg(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    high = F.when(v > 100, v)
+    return ev.groupBy("event_type").agg(
+        (
+            F.sum(high.cast("decimal(25,6)")).cast("double") / F.count(high)
+        ).alias("avg_value_high"),
+        F.min(F.when(v > 0, v)).alias("min_pos"),
+        F.max(F.when(v != 60, v)).alias("max_not60"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q10_percent_of_total",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct
+    FROM events GROUP BY event_type
+    """,
+    doc="A9 percent-of-total via empty-frame window, no driver collect "
+    "(app_indicadores_modelo_atencion.py:469-472).",
+)
+def q10_percent_of_total(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return percent_of_total(ev, ["event_type"], count_col="n", pct_col="pct")
+
+
+@register(
+    "q11_pivot_counts",
+    """
+    SELECT isodow(ts) - 1 AS dia,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS "click",
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view",
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
+           COUNT(*) AS "TOTAL"
+    FROM events GROUP BY 1
+    """,
+    doc="A12 pivot/crosstab with explicit value list + A10/A11 TOTAL column "
+    "(app_indicadores_modelo_atencion.py:523-543; "
+    "indicador-modelo-vs-facturacion.py:693-733). Explicit pivot values — "
+    "no distinct pre-scan, bounded row width at any scale.",
+)
+def q11_pivot_counts(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dia", weekday_monday0("ts")
+    )
+    return pivot_count(ev, "dia", "event_type", EVENT_TYPES, total_col="TOTAL")
+
+
+@register(
+    "q12_pareto_brands",
+    """
+    WITH g AS (
+      SELECT p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS dec
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY dec DESC, p_brand) AS rk FROM g),
+    b AS (
+      SELECT CASE WHEN rk <= 5 THEN p_brand ELSE 'OTROS' END AS p_brand,
+             SUM(dec) AS dec, MIN(rk) AS rk
+      FROM r GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(dec AS DOUBLE) AS valor,
+           CAST(dec AS DOUBLE) * 100.0 / CAST(SUM(dec) OVER () AS DOUBLE) AS pct,
+           CAST(SUM(dec) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             * 100.0 / CAST(SUM(dec) OVER () AS DOUBLE) AS pct_acumulado
+    FROM b
+    """,
+    doc="A13 Pareto: top-5 + OTROS + cumulative % "
+    "(indicador-modelo-vs-facturacion.py:1012-1026); W5 running sum. "
+    "Raw-data grouping happens once; rank/cumulative windows run on the "
+    "aggregated (≤ #brands) rows in exact decimal arithmetic.",
+)
+def q12_pareto_brands(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = broadcast_dim_join(
+        li, part, on=li.l_partkey == part.p_partkey, how="inner"
+    )
+    measure = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    )
+    return pareto(joined, "p_brand", measure, top_n=5)
+
+
+@register(
+    "q13_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    ORDER BY SUM(CAST(o_totalprice AS DECIMAL(25,6))) DESC, c_custkey
+    LIMIT 10
+    """,
+    doc="W4 global top-N by aggregate (.nlargest(10), "
+    "indicador-modelo-vs-facturacion.py:749-754). orderBy+limit compiles to "
+    "TakeOrderedAndProject — per-partition top-N, no full sort. "
+    "Deterministic tie-break on c_custkey.",
+)
+def q13_top_customers(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_dec"))
+    )
+    return (
+        g.orderBy(F.desc("_dec"), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.col("_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_dedup_first",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS fecha, event_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                               ORDER BY ts, event_id) = 1
+    """,
+    doc="W1 dedup keep-first per key after sort — first service per "
+    "(paciente, sede, fecha) ordered by hora (app_confirmaciones.py:259-297) "
+    "as ROW_NUMBER()=1. One shuffle on the key, linear in-partition pass.",
+)
+def q14_dedup_first(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fecha", F.to_date("ts")
+    )
+    return dedup_first(
+        ev, ["user_id", "fecha"], [F.col("ts"), F.col("event_id")]
+    ).select("user_id", "fecha", "event_id", "event_type")
+
+
+@register(
+    "q15_lag_wait",
+    """
+    WITH t AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS wait_us,
+             CAST(ts AS DATE) = lag(CAST(ts AS DATE)) OVER w AS same_day
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_esperas,
+           CAST(SUM(wait_us) AS DOUBLE) / COUNT(*) / CAST(60000000 AS DOUBLE)
+             AS avg_espera_min
+    FROM t
+    WHERE same_day AND wait_us > 0 AND wait_us < 3000000000
+    GROUP BY user_id
+    """,
+    doc="W3 LAG-based sessionized wait time with same-day guard and "
+    "0<espera<50min exclusion rules — the 72-line iterrows state machine at "
+    "app_indicadores_modelo_atencion.py:1110-1182 as one window + filter. "
+    "Exact integer microseconds until the final two divisions (P12 "
+    "threshold guards).",
+)
+def q15_lag_wait(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    t = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("wait_us"),
+        (F.to_date("ts") == F.lag(F.to_date("ts")).over(w)).alias("same_day"),
+    )
+    return (
+        t.filter(
+            F.col("same_day")
+            & (F.col("wait_us") > 0)
+            & (F.col("wait_us") < 3_000_000_000)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_esperas"),
+            (
+                F.sum("wait_us").cast("double") / F.count("*") / F.lit(60000000.0)
+            ).alias("avg_espera_min"),
+        )
+    )
+
+
+@register(
+    "q16_running_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS fecha,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS dec
+      FROM orders GROUP BY 1
+    )
+    SELECT fecha, CAST(dec AS DOUBLE) AS revenue,
+           CAST(SUM(dec) OVER (ORDER BY fecha ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS acumulado
+    FROM d
+    """,
+    doc="W5 cumulative running sum (indicador-modelo-vs-facturacion.py:1026) "
+    "over the daily aggregate — window runs on post-agg rows, kept in exact "
+    "decimal so the running total is order-safe.",
+)
+def q16_running_revenue(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("fecha")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_dec")
+    )
+    w = Window.orderBy("fecha").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "fecha",
+        F.col("_dec").cast("double").alias("revenue"),
+        F.sum("_dec").over(w).cast("double").alias("acumulado"),
+    )
+
+
+@register(
+    "q17_rollup_total",
+    """
+    SELECT COALESCE(o_orderstatus, 'TOTAL') AS o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ROLLUP(o_orderstatus)
+    """,
+    doc="A11 grand-TOTAL row append (app.py:383-392; "
+    "app_indicadores_modelo_atencion.py:250-257) as ROLLUP — one pass, "
+    "partial aggs reused, instead of the reference's concat of a second "
+    "full aggregation.",
+)
+def q17_rollup_total(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return with_total_row(
+        orders,
+        "o_orderstatus",
+        {
+            "n": F.count("*"),
+            "revenue": F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+                "double"
+            ),
+        },
+    )
+
+
+@register(
+    "q18_set_ops",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                             UNION SELECT s_nationkey FROM supplier)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                             INTERSECT SELECT s_nationkey FROM supplier)) AS n_both,
+      (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                             EXCEPT SELECT s_nationkey FROM supplier)) AS n_cust_only
+    """,
+    doc="X2 set union of distinct key sets "
+    "(app_calculador_recursos_modelo_atencion.py:629-631) + X3 set "
+    "difference (app.py:262-269) via union/intersect/subtract.",
+)
+def q18_set_ops(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    n_union = c.union(s).distinct().agg(F.count("*").alias("n_union"))
+    n_both = c.distinct().intersect(s.distinct()).agg(F.count("*").alias("n_both"))
+    n_cust_only = c.distinct().subtract(s.distinct()).agg(
+        F.count("*").alias("n_cust_only")
+    )
+    return n_union.crossJoin(n_both).crossJoin(n_cust_only)
+
+
+@register(
+    "q19_balanced_partition",
+    """
+    WITH a AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS particion
+      FROM (SELECT DISTINCT c_mktsegment, c_custkey FROM customer)
+    )
+    SELECT c_mktsegment, CAST(particion AS BIGINT) AS particion,
+           COUNT(*) AS n_keys
+    FROM a GROUP BY 1, 2
+    """,
+    doc="X4 balanced deterministic partitioner (particion_equitativa, "
+    "app.py:49-89) as ntile over a seeded-hash ordering. Membership is "
+    "hash-order dependent (documented divergence from the RNG shuffle), but "
+    "per-(unit, particion) sizes are ntile-determined — the oracle checks "
+    "the balance invariant exactly: sizes differ ≤1, remainder to lowest "
+    "part ids (app.py:77-87).",
+)
+def q19_balanced_partition(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    assign = balanced_partition(cust, "c_mktsegment", "c_custkey", 4, seed=42)
+    return assign.groupBy(
+        "c_mktsegment", F.col("particion").cast("long").alias("particion")
+    ).agg(F.count("*").alias("n_keys"))
+
+
+@register(
+    "q20_weekday_filter",
+    """
+    SELECT isodow(ts) - 1 AS dia, COUNT(*) AS n
+    FROM events WHERE isodow(ts) - 1 < 5 GROUP BY 1
+    """,
+    doc="P11 weekday L-V filter (app_indicadores_modelo_atencion.py:185-192) "
+    "with the Monday=0 convention wrapped once (F21, SURVEY.md §7 "
+    "weekday-numbering watch-out).",
+)
+def q20_weekday_filter(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dia", weekday_monday0("ts")
+    )
+    return ev.filter(F.col("dia") < 5).groupBy("dia").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q21_weekly_revenue",
+    """
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semana,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    doc="F22 weekly period bucketing, Monday-start "
+    "(indicador-modelo-vs-facturacion.py:605-635) — Spark date_trunc('week') "
+    "matches the reference's date−dayofweek arithmetic.",
+)
+def q21_weekly_revenue(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        period_bucket("o_orderdate", "weekly").alias("semana")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "q22_excel_serial",
+    """
+    WITH t AS (
+      SELECT DATE '1899-12-30' + CAST(38000 + o_orderkey % 3000 AS INTEGER) AS fecha
+      FROM orders
+    )
+    SELECT CAST(year(fecha) AS BIGINT) AS anio, COUNT(*) AS n
+    FROM t GROUP BY 1
+    """,
+    doc="F6 Excel-serial→date, epoch 1899-12-30 "
+    "(indicador-modelo-vs-facturacion.py:92-109; serials synthesized from "
+    "orderkey since the star schema has no serial column). The ≥61 Lotus "
+    "correction variant is property-tested in tests/test_functions.py.",
+)
+def q22_excel_serial(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    serial = (F.lit(38000) + F.col("o_orderkey") % 3000).cast("double")
+    return (
+        orders.select(excel_serial_to_date(serial).alias("fecha"))
+        .groupBy(F.year("fecha").cast("long").alias("anio"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q23_time_grid_5min",
+    """
+    WITH t AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(ceil(epoch(ts) / 300) * 300 AS BIGINT)) AS slot_ts
+      FROM events
+    )
+    SELECT strftime(slot_ts, '%H:%M') AS slot, COUNT(*) AS n
+    FROM t GROUP BY 1
+    """,
+    doc="F8 round-up to 5-min grid (app_calculador_recursos_modelo_atencion"
+    ".py:105-122) + G1 slot labels + A4-style slot loads. Fractional epoch "
+    "(cast ts as double) — Spark unix_timestamp would truncate seconds and "
+    "mis-bucket boundary rows.",
+)
+def q23_time_grid_5min(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    slot_ts = F.timestamp_seconds(
+        (F.ceil(epoch / 300) * 300).cast("long")
+    )
+    return (
+        ev.select(F.date_format(slot_ts, "HH:mm").alias("slot"))
+        .groupBy("slot")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q24_phone_rules",
+    r"""
+    WITH s AS (
+      SELECT c_custkey,
+             CASE CAST(c_custkey % 5 AS INTEGER)
+               WHEN 0 THEN '3' || CAST(c_custkey * 7 % 100000000 AS VARCHAR)
+               WHEN 1 THEN ''
+               WHEN 2 THEN '60' || CAST(c_custkey * 7 % 100000000 AS VARCHAR)
+               WHEN 3 THEN ' 3' || CAST(c_custkey * 7 % 100000000 AS VARCHAR) || '.0'
+               ELSE NULL
+             END AS movil,
+             CASE CAST(c_custkey % 3 AS INTEGER)
+               WHEN 0 THEN '6015551234'
+               WHEN 1 THEN '3005554321'
+               ELSE ''
+             END AS fijo
+      FROM customer
+    ),
+    c AS (
+      SELECT c_custkey,
+             regexp_replace(trim(COALESCE(movil, '')), '\.0$', '') AS m,
+             regexp_replace(trim(fijo), '\.0$', '') AS f
+      FROM s
+    )
+    SELECT c_custkey,
+           CASE
+             WHEN (m = '' OR m = 'nan') AND NOT (f = '' OR f = 'nan')
+                  AND NOT starts_with(f, '60') THEN f
+             WHEN NOT (m = '' OR m = 'nan') AND starts_with(m, '3')
+                  AND NOT starts_with(m, '60') THEN '+57' || m
+             WHEN NOT (m = '' OR m = 'nan') THEN m
+             ELSE 'SIN TELÉFONO'
+           END AS telefono
+    FROM c
+    """,
+    doc="F18 phone-normalization ruleset (app_confirmaciones.py:203-224): "
+    "trailing-'.0' strip, móvil→+57 prefix, fijo fallback unless landline "
+    "'60', sentinel default. Inputs synthesized deterministically from "
+    "c_custkey (the star schema has no phone column).",
+)
+def q24_phone_rules(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    digits = (F.col("c_custkey") * 7 % 100000000).cast("string")
+    movil = (
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.lit("3"), digits))
+        .when(F.col("c_custkey") % 5 == 1, F.lit(""))
+        .when(F.col("c_custkey") % 5 == 2, F.concat(F.lit("60"), digits))
+        .when(
+            F.col("c_custkey") % 5 == 3,
+            F.concat(F.lit(" 3"), digits, F.lit(".0")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    fijo = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("6015551234"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("3005554321"))
+        .otherwise(F.lit(""))
+    )
+    return cust.select(
+        "c_custkey",
+        phone_normalize(movil, fijo).alias("telefono"),
+    )
+
+
+@register(
+    "q25_multiformat_dates",
+    """
+    WITH s AS (
+      SELECT CASE CAST(o_orderkey % 3 AS INTEGER)
+               WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+               WHEN 1 THEN strftime(o_orderdate, '%d-%m-%Y')
+               ELSE strftime(o_orderdate, '%m/%d/%Y')
+             END AS raw
+      FROM orders
+    ),
+    p AS (
+      SELECT COALESCE(try_strptime(raw, '%Y/%m/%d'),
+                      try_strptime(raw, '%d-%m-%Y'),
+                      try_strptime(raw, '%m/%d/%Y')) AS parsed
+      FROM s
+    )
+    SELECT CAST(year(parsed) AS BIGINT) AS anio, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE parsed IS NULL) AS n_unparsed
+    FROM p GROUP BY 1
+    """,
+    doc="F1 multi-format datetime parse — try formats in order, null if "
+    "none match (app_confirmaciones.py:42-59) as a coalesce of "
+    "try_to_timestamp; strings synthesized in 3 formats from o_orderdate.",
+)
+def q25_multiformat_dates(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy/MM/dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "dd-MM-yyyy"),
+        )
+        .otherwise(F.date_format("o_orderdate", "MM/dd/yyyy"))
+    )
+    parsed = ts_parse_multi(raw, ["yyyy/MM/dd", "dd-MM-yyyy", "MM/dd/yyyy"])
+    return (
+        orders.select(parsed.alias("parsed"))
+        .groupBy(F.year("parsed").cast("long").alias("anio"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("parsed").isNull(), 1)).alias("n_unparsed"),
+        )
+    )
+
+
+@register(
+    "q26_spanish_dates",
+    """
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders)
+    SELECT fecha,
+           ['Lunes','Martes','Miércoles','Jueves','Viernes','Sábado','Domingo'][isodow(fecha)]
+             || ', ' || CAST(day(fecha) AS VARCHAR) || ' de '
+             || ['Enero','Febrero','Marzo','Abril','Mayo','Junio','Julio','Agosto',
+                 'Septiembre','Octubre','Noviembre','Diciembre'][month(fecha)]
+             || ' de ' || CAST(year(fecha) AS VARCHAR) AS etiqueta,
+           fecha AS fecha_rt
+    FROM d
+    """,
+    doc="F3 Spanish long-date format + F2 parse "
+    "(app_confirmaciones.py:62-119) via lookup arrays — never JVM locale "
+    "(SURVEY.md §7). The Spark side actually round-trips its formatted "
+    "label through the parser; the oracle asserts the round-trip is the "
+    "identity.",
+)
+def q26_spanish_dates(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.to_date("o_orderdate").alias("fecha")).distinct()
+    e = d.withColumn("etiqueta", spanish_long_date(F.col("fecha")))
+    return e.withColumn("fecha_rt", parse_spanish_long_date(F.col("etiqueta")))
+
+
+@register(
+    "q27_wide_status_counts",
+    """
+    SELECT l_orderkey,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+           COUNT(*) AS total
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="A10 horizontal sum over a column family "
+    "(app_calculador_recursos_modelo_atencion.py:279-291) — stays long "
+    "until the final width-2 conditional-count projection; total is the "
+    "row-wise sum of the family.",
+)
+def q27_wide_status_counts(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    n_open = F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_open")
+    n_fin = F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished")
+    out = li.groupBy("l_orderkey").agg(n_open, n_fin)
+    return out.withColumn(
+        "total", (F.col("n_open") + F.col("n_finished")).cast("long")
+    )
+
+
+@register(
+    "q28_peak_hour",
+    """
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hora, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hora AS hora_pico, n AS n_pico
+    FROM h
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hora) = 1
+    """,
+    doc="A7 extrema-with-argmax (idxmax→hour-of-peak, "
+    "app_calculo_necesidad_recepción_call_center.py:299-326) — top-1 per "
+    "group window with deterministic tie-break on the lowest hour.",
+)
+def q28_peak_hour(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hora")
+    ).agg(F.count("*").alias("n"))
+    peak = top_n_per_group(h, ["event_type"], [F.desc("n"), F.col("hora")], 1)
+    return peak.select(
+        "event_type", F.col("hora").alias("hora_pico"), F.col("n").alias("n_pico")
+    )

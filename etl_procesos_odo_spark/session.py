@@ -1,0 +1,93 @@
+"""SparkSession factory (layer 0).
+
+Local-mode settings follow the harness contract (local[$SPARK_GRAFT_CPUS],
+32 shuffle partitions ~ cores); at cluster scale the same builder is reused
+with master/shuffle-partitions supplied by the deployment, and AQE re-plans
+shuffle sizing and skew joins at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-procesos-odo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    UTC session timezone keeps timestamp semantics identical to the DuckDB
+    oracle; Arrow is on for the Pandas-UDF slow paths; AQE handles runtime
+    partition coalescing and skew-join splitting at scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Parquet scan for one harness table (predicate/column pushdown apply).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
+    map to a native type: read it as long nanos (legacy conf, settable at
+    runtime) and convert to a micros timestamp — truncating exactly like
+    DuckDB's nanos→micros read, so oracle comparisons stay bit-identical.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict:
+    """All harness tables as a dict of DataFrames (lazy — no reads yet)."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
