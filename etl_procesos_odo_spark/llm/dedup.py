@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+word-shingle n-gram Jaccard, MinHash + banded LSH, SimHash.
+
+Scale design
+------------
+- **Exact**: md5 of normalized text, groupBy hash — one shuffle keyed by
+  the digest, keep-lowest-id representative. At 100 TB the digest groupBy
+  is the only wide dependency and AQE sizes it.
+- **MinHash+LSH**: signatures are per-row expressions (no shuffle); the
+  candidate join shuffles only (band_idx, band_hash) keys — each bucket is
+  tiny by construction, so the self-join is skew-safe; exact Jaccard runs
+  only on candidate pairs (the classic shingle→minhash→band→bucket-join
+  pipeline).
+- **SimHash**: 60-bit signature per doc via one explode+groupBy; near-dup
+  pairs by Hamming distance on the signatures.
+
+All hashes derive from md5 (identical in Spark and DuckDB), so every stage
+is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import tokens
+
+HASH_HEX_CHARS = 15  # 60-bit positive ints in both engines
+
+
+def hash60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a positive 60-bit bigint — the shared
+    Spark/DuckDB hash primitive (`conv` here, `CAST('0x'… AS BIGINT)` there)."""
+    return F.conv(F.substring(F.md5(c), 1, HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (array<string>).
+
+    Guarded for short texts: Spark's ``sequence(0, stop)`` generates a
+    *descending* array when stop < 0, so size < k must short-circuit to an
+    empty array rather than rely on an empty sequence.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    return F.when(F.size(w) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, norm: bool = True
+) -> DataFrame:
+    """Exact dedup: one representative (lowest id) per distinct text digest.
+    Returns (digest, keep_id, n_copies)."""
+    c = F.col(text_col)
+    if norm:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return (
+        df.select(F.md5(c).alias("digest"), F.col(id_col).alias("_id"))
+        .groupBy("digest")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 12
+) -> list[Column]:
+    """MinHash signature: for each seed i, min over shingles of
+    hash60(i || ':' || shingle). Null when the shingle set is empty."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col, lambda s, i=i: hash60(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def lsh_bands(
+    df: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Explode a MinHash-signed frame into (id, band_idx, band_hash) rows.
+    ``df`` must carry mh0..mh{n-1} columns. rows_per_band = n // bands."""
+    rows_per = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per + r}").cast("string")
+                            for r in range(rows_per)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays — a single
+    deterministic division over integer set sizes."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    self-join → exact-Jaccard verify ≥ threshold.
+    Returns (id_a, id_b, jaccard_sim), id_a < id_b, one row per pair."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    signed = sh.select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+    banded = lsh_bands(signed, "_id", num_hashes, bands)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x.band_idx") == F.col("y.band_idx"),
+                F.col("x.band_hash") == F.col("y.band_hash"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per document: explode tokens, hash to 60 bits, sum
+    ±1 per bit position, set bit where the sum is positive.
+    Returns (id, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", hash60(F.col("t")))
+    bit_sums = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{b}")
+            for b in range(60)
+        ]
+    )
+    sim = bit_sums.select(
+        "_id",
+        sum(
+            (F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(0)).cast("long")
+            for b in range(60)
+        ).alias("simhash"),
+    )
+    return sim.withColumnRenamed("_id", id_col)

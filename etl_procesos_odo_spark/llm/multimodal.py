@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``decode_image`` raises NotImplementedError unless PIL is importable, and
+``fake_decode_meta`` supplies a deterministic stand-in) — but the Spark-side
+plumbing is real and tested: schema contracts, binary payload handling,
+Arrow batch iteration, and partition-parallel UDF execution are exactly
+what a codec-enabled cluster would run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, n_bytes long"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, n_frames long"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Wrap a text column as a binary media payload + typed metadata —
+    the ingestion shape for opaque media blobs (here UTF-8 bytes stand in
+    for image bytes; at scale this is the parquet BINARY column as-is)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: derives (width, height,
+    n_frames) from the payload bytes. Replace with PIL/ffmpeg on a
+    codec-enabled cluster."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    return 16 + first % 64, 16 + n % 64, 1 + n % 8
+
+
+def decode_image(payload: bytes):
+    """Real decode path — gated on an optional codec dependency."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image decode requires pillow; use fake_decode_meta for plumbing"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: Arrow
+    batches in, per-row byte access, Arrow batches out. The decode call is
+    the stub; the batch shape, schema, and partition parallelism are the
+    production path."""
+    import pandas as pd
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": feats.map(lambda t: t[0]).astype("int64"),
+                    "height": feats.map(lambda t: t[1]).astype("int64"),
+                    "n_frames": feats.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)

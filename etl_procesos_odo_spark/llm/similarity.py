@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: the baseline. The dot product
+  is a sequential left fold in double precision, matching DuckDB's
+  ``list_reduce`` element order bit-for-bit for the oracle.
+- ``lsh_bucket_topk`` — the scale path: deterministic random-hyperplane
+  LSH buckets; candidates only within the query's bucket. At 100 TB the
+  corpus is bucketed once (8-bit signature → 256-way partition key) and a
+  query touches 1/256 of the data; the bucket join shuffles signature keys
+  only.
+
+Hyperplanes are generated from a seeded RNG at plan-build time and embedded
+as literals — deterministic across runs and engines (the oracle SQL embeds
+the same constants).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Sequential left-fold sum of squares (double)."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos = dot / (sqrt(|a|²) * sqrt(|b|²)) — one formula, mirrored
+    verbatim in the oracle SQL."""
+    return dot_double(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for each query vector.
+    Excludes self-matches; ties broken by lowest corpus id.
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, ±1 components —
+    exact in float/double, so sign computations are engine-identical)."""
+    rng = random.Random(seed)
+    return [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id: bit b set iff dot(vec, plane_b) > 0."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(dot_double(vec, arr) > 0, F.lit(2**b)).otherwise(
+            0
+        ).cast("long")
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: exact cosine top-k *within the query's LSH bucket* — the
+    recall/latency trade the brute-force path can't make at scale.
+    Returns (query_id, neighbor_id, bucket, cos_sim, rank)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

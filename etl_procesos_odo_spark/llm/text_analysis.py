@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+token counting, quality scoring, language-ID, document fingerprinting.
+
+All native Column expressions (JVM-side, codegen'd) — no Python in the hot
+path, so these run at full scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic
+# language id. Deliberately small: language id at scale is a scan-speed
+# heuristic, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "con"],
+    "de": ["der", "die", "und", "das", "nicht", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "avec"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+# BPE-ish word-piece pattern: letter runs, digit runs, single punctuation.
+TOKEN_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>); empty-string safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish word-piece count via regexp_extract_all (letter runs, digit
+    runs, single punct) — an upper-bound proxy for tokenizer cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PIECE_RE), 0)).cast("long")
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring column family: length, token count, mean token
+    length, punctuation ratio, stopword ratio. Ratios are single divisions
+    over exact integer counts (deterministic doubles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c).cast("long")
+    n_toks = F.size(toks).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)
+    ).cast("long")
+    en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t)))
+    ).cast("long")
+    sum_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "avg_token_len": sum_tok_len.cast("double") / n_toks,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_toks,
+    }
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit scores (distinct-token intersection size)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.transform(tokens(c), F.lower))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[f"score_{lang}"] = F.size(F.array_intersect(toks, arr)).cast("long")
+    return out
+
+
+def lang_predict(scores: dict[str, Column]) -> Column:
+    """Argmax with fixed priority order (en, es, de, fr, zh) on ties —
+    greatest() + first-match CASE, identical semantics to the SQL oracle."""
+    cols = [scores[f"score_{lang}"] for lang in LANG_MARKERS]
+    m = F.greatest(*cols)
+    expr = F.lit(None).cast("string")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[f"score_{lang}"] == m, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str, mod: int = 2**31) -> Column:
+    """Rolling polynomial hash over tokens (document fingerprint):
+    ``acc = (acc*31 + h(token) % mod) % mod`` — a left fold, matching
+    DuckDB ``list_reduce`` element order exactly. Token hash = first 15 hex
+    chars of md5 as a 60-bit int (identical in both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(  # noqa: E731
+        "long"
+    ) % F.lit(mod)
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + tok_hash(t)) % F.lit(mod),
+    )

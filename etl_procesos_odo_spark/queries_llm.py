@@ -1,8 +1,422 @@
 """LLM-training-data query surface: dedup, similarity search, text
-analysis over ``documents`` / ``embeddings`` (BASELINE.json north-star).
+analysis, multimodal plumbing over ``documents`` / ``embeddings``
+(BASELINE.json north-star operators).
 
-Filled in incrementally; see queries_relational.py for the oracle-parity
-conventions.
+Oracle-parity notes: all hashing is md5-derived (identical in Spark and
+DuckDB — ``conv(substr(md5(x),1,15),16,10)`` == ``CAST('0x'||… AS
+BIGINT)``, 60-bit positive ints); array folds are left folds with an
+exact-identity first step so Spark's ``aggregate(…, 0, +)`` matches
+DuckDB's ``list_reduce``; repetitive oracle SQL (minhash seeds, simhash
+bits, LSH planes) is generated from the same Python constants the Spark
+plan uses.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .llm.dedup import exact_dedup, jaccard, minhash_lsh_pairs, shingles, simhash60
+from .llm.multimodal import attach_payload, extract_features
+from .llm.similarity import cosine_topk, hyperplanes, lsh_bucket_topk
+from .llm.text_analysis import (
+    LANG_MARKERS,
+    TOKEN_PIECE_RE,
+    fingerprint,
+    lang_predict,
+    lang_scores,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from .registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle fragments (mirror the Spark expressions verbatim)
+# ---------------------------------------------------------------------------
+
+O_TOKENS = r"list_filter(str_split_regex(trim(text), '\s+'), x -> x <> '')"
+O_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+def o_h60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def o_dot(a: str, b: str, n: str = "len(qv)") -> str:
+    """Left-fold double dot product — matches Spark F.aggregate order."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "q30_dedup_exact",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: whitespace/case-normalized md5 digest, hash groupBy, "
+    "keep-lowest-id representative. One shuffle keyed by digest — the only "
+    "wide dependency at 100 TB.",
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "q31_ngram_jaccard",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {O_TOKENS} AS w FROM documents WHERE doc_id < 100
+    ),
+    sh AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    f AS (SELECT * FROM sh WHERE len(sh) > 0),
+    j AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard_sim
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.3
+    """,
+    doc="n-gram (3-word shingle) Jaccard near-dup detection, exact "
+    "all-pairs over a bounded id range — the verification primitive the "
+    "LSH pipeline (q32) prefilters for; quadratic, so the scale path is "
+    "q32's band join.",
+)
+def q31_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim")
+        )
+        .filter(F.col("jaccard_sim") >= 0.3)
+    )
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> {o_h60(repr(str(i) + ':') + ' || s')})) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    shin AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    f AS (SELECT * FROM shin WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh,
+             {sig_cols}
+            FROM f),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard_sim
+      FROM cand JOIN f a ON a.doc_id = id_a JOIN f b ON b.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= {threshold}
+    """
+
+
+@register(
+    "q32_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash + banded LSH near-dup pipeline: shingle → 12-hash MinHash "
+    "signature → 4 bands × 3 rows → bucket self-join → exact-Jaccard verify "
+    "≥ 0.5. Signatures are per-row expressions (no shuffle); only "
+    "(band_idx, band_hash) keys shuffle, buckets are tiny by construction — "
+    "the linear-cost near-dedup path for 100 TB corpora.",
+)
+def q32_minhash_lsh(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O_TOKENS}) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, {o_h60('t')} AS h FROM tok),
+    bits AS (SELECT doc_id,
+             {bit_sums}
+            FROM h GROUP BY doc_id)
+    SELECT doc_id, {sim_expr} AS simhash FROM bits
+    """
+
+
+@register(
+    "q33_simhash",
+    _simhash_oracle(),
+    doc="SimHash: 60-bit near-dup signature per document (explode tokens → "
+    "60-bit hash → ±1 bit-position sums → sign bits). One explode + one "
+    "groupBy; signature comparison downstream is Hamming distance via "
+    "bit_count(xor) on bigints.",
+)
+def q33_simhash(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash60(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "q34_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    dots AS (
+      SELECT query_id, neighbor_id,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM dots)
+    WHERE rk <= 5
+    """,
+    doc="Brute-force exact cosine top-k over the embedding column — the "
+    "ANN baseline. Dot product is a left-fold in double precision "
+    "(bit-identical to the oracle's list_reduce). Scale path: q39 LSH "
+    "buckets.",
+)
+def q34_cosine_topk(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _ann_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    plane_lits = [
+        "CAST([" + ", ".join(f"{x:.1f}" for x in p) + "] AS DOUBLE[])"
+        for p in planes
+    ]
+    sig = " + ".join(
+        f"CASE WHEN {o_dot('v', plane_lits[b], 'len(v)')} > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+    dots AS (
+      SELECT query_id, neighbor_id, q.bucket AS bucket,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM dots)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q39_ann_lsh",
+    _ann_oracle(),
+    doc="ANN scale path: deterministic random-hyperplane LSH (8 seeded ±1 "
+    "planes → 256 buckets), exact cosine only within the query's bucket. "
+    "The corpus is signed once (per-row expressions); the candidate join "
+    "shuffles bucket keys only — ~1/256 of brute-force work per query at "
+    "equal bucket sizes.",
+)
+def q39_ann_lsh(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_intersect(toks, {arr})) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = m THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {O_TOKENS} AS w FROM documents),
+    t AS (SELECT doc_id, lang,
+                 list_distinct(list_transform(w, x -> lower(x))) AS toks
+          FROM w),
+    s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t),
+    p AS (SELECT lang, {m} AS m, {case} AS pred_lang FROM s)
+    SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
+    """
+
+
+@register(
+    "q35_langid",
+    _langid_oracle(),
+    doc="Language-ID heuristic: per-language stopword-marker hit counts "
+    "over distinct lowered tokens, argmax with fixed priority on ties; "
+    "confusion-matrix output against the labeled lang column. Pure scan "
+    "expressions — full scan speed at 100 TB.",
+)
+def q35_langid(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    scored = docs.select(F.col("lang"), *[v.alias(k) for k, v in scores.items()])
+    pred = scored.withColumn(
+        "pred_lang",
+        lang_predict({k: F.col(k) for k in scores}),
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q36_quality_metrics",
+    rf"""
+    WITH w AS (SELECT doc_id, text, {O_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(w) = 0 THEN 0
+                ELSE list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+                END AS DOUBLE) / len(w) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(w, t -> list_contains({LANG_MARKERS['en']!r}, lower(t)))) AS DOUBLE)
+             / len(w) AS stopword_ratio
+    FROM w
+    """,
+    doc="Quality scoring: length / token count / mean token length / "
+    "punctuation ratio / stopword ratio, all exact integer counts with "
+    "single deterministic divisions — codegen'd scan expressions.",
+)
+def q36_quality_metrics(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    qm = quality_metrics(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in qm.items()])
+
+
+@register(
+    "q37_token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len({O_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PIECE_RE}')) AS BIGINT)
+             AS n_bpe_pieces
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish word-piece count "
+    "(letter runs / digit runs / single punct via regexp_extract_all).",
+)
+def q37_token_counts(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_pieces"),
+    )
+
+
+@register(
+    "q38_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN 0
+                ELSE list_reduce(
+                       list_transform(w, t -> {o_h60('t')} % 2147483648),
+                       (a, b) -> (a * 31 + b) % 2147483648)
+                END AS fp
+    FROM w
+    """,
+    doc="Document fingerprint: rolling polynomial hash over tokens "
+    "(left fold, mod 2^31) — order-sensitive content signature for "
+    "fast change detection; identical fold semantics to list_reduce.",
+)
+def q38_fingerprint(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "q42_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height,
+           CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal column plumbing: text bytes stand in for opaque media "
+    "payloads (binary column + typed metadata), features extracted by an "
+    "Arrow-batched mapInPandas over the payload bytes. The decode is a "
+    "deterministic stub (no codecs in this container); the oracle computes "
+    "the same features closed-form from the text, so schema, batch shape "
+    "and byte plumbing are verified end-to-end.",
+)
+def q42_multimodal_features(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "text", "doc_id")
+    return extract_features(media)
