@@ -16,8 +16,29 @@ ids exactly like the reference's quota math (app.py:77-87).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def seeded_order_hash(key: Column, seed: int, method: str = "xxhash64") -> Column:
+    """The deterministic stand-in for the reference's RNG shuffle order.
+
+    ``xxhash64`` is the production default (fastest, JVM-native);
+    ``md5`` produces the identical 60-bit value in DuckDB
+    (``CAST('0x'||substr(md5(k||':seed'),1,15) AS BIGINT)``), making full
+    partition *membership* oracle-checkable, not just the balance invariant.
+    """
+    if method == "xxhash64":
+        return F.xxhash64(key.cast("string"), F.lit(seed))
+    if method == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash method: {method!r}")
 
 
 def balanced_partition(
@@ -27,6 +48,7 @@ def balanced_partition(
     num_parts: int,
     seed: int = 42,
     out_col: str = "particion",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """X4 — assign each distinct ``key_col`` within each ``unit_col`` to one
     of ``num_parts`` balanced partitions; returns (unit, key, particion).
@@ -36,7 +58,7 @@ def balanced_partition(
     """
     keys = df.select(unit_col, key_col).distinct()
     w = Window.partitionBy(unit_col).orderBy(
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.col(key_col)
+        seeded_order_hash(F.col(key_col), seed, hash_method), F.col(key_col)
     )
     return keys.withColumn(out_col, F.ntile(num_parts).over(w))
 
@@ -48,6 +70,7 @@ def constrained_partition(
     allowed: DataFrame,
     seed: int = 42,
     out_col: str = "particion",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """X5 — constrained variant: each unit may only use a configured subset
     of partitions (app.py:91-145). ``allowed`` is a dim
@@ -60,7 +83,7 @@ def constrained_partition(
     )
     keys = df.select(unit_col, key_col).distinct()
     w = Window.partitionBy(unit_col).orderBy(
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.col(key_col)
+        seeded_order_hash(F.col(key_col), seed, hash_method), F.col(key_col)
     )
     ranked = keys.withColumn("_rk", F.row_number().over(w))
     return (
