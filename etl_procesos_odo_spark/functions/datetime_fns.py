@@ -124,7 +124,7 @@ def day_fraction_to_ampm(col: Column | str) -> Column:
     math). Strings already containing ':' / 'AM' / 'PM' pass through.
     """
     c = F.col(col) if isinstance(col, str) else col
-    as_num = F.try_cast(c, "double")
+    as_num = c.try_cast("double")
     total_min = F.round(as_num * 24 * 60).cast("long")
     h24 = (total_min / 60).cast("long") % 24
     mm = total_min % 60
@@ -181,9 +181,9 @@ def hhmmss_to_minutes(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
-    h = F.try_cast(F.element_at(parts, 1), "double")
-    m = F.coalesce(F.try_cast(F.element_at(parts, 2), "double"), F.lit(0.0))
-    s = F.when(F.size(parts) >= 3, F.try_cast(F.element_at(parts, 3), "double")).otherwise(F.lit(0.0))
+    h = F.element_at(parts, 1).try_cast("double")
+    m = F.coalesce(F.element_at(parts, 2).try_cast("double"), F.lit(0.0))
+    s = F.when(F.size(parts) >= 3, F.element_at(parts, 3).try_cast("double")).otherwise(F.lit(0.0))
     return h * 60 + m + F.coalesce(s, F.lit(0.0)) / 60
 
 

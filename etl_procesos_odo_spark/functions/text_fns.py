@@ -125,4 +125,4 @@ def numeric_or_default(col: Column | str, default: float = 1.0) -> Column:
     """F24 — ``pd.to_numeric(errors='coerce').fillna(default)``
     (app_indicadores_modelo_atencion.py:756)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.try_cast(c, "double"), F.lit(float(default)))
+    return F.coalesce(c.try_cast("double"), F.lit(float(default)))

@@ -1,0 +1,95 @@
+"""Demand forecasting via pyspark.ml — rebuild of the reference's sklearn
+pipeline (app_calculo_necesidad_recepción_call_center.py:553-713,
+1213-1231, 1305-1389):
+
+- features per (date, hour): weekday, hour, month, day-of-month,
+  week-of-month; label = hourly demand count;
+- 70/30 split, seed 42 (reference :620);
+- candidate models: LinearRegression + GBTRegressor (the reference's
+  LinearRegression / MLPRegressor / GradientBoostingRegressor trio — MLP
+  regression has no pyspark.ml equivalent; GBT covers the boosted slot);
+- best-by-R² on the held-out split (reference :697-713);
+- batch inference over a (weekday × hour) grid, predictions clamped ≥ 0
+  (reference :1370 ``max(pred, 0)``), averaged across days per slot (U4).
+
+Training data never leaves the cluster: feature build, split, fit, score
+and the inference grid are all DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import week_of_month, weekday_monday0
+
+
+def demand_features(events: DataFrame) -> DataFrame:
+    """Hourly demand counts with calendar features (U3 feature build)."""
+    keyed = events.select(
+        F.to_date("ts").alias("fecha"),
+        F.hour("ts").cast("long").alias("hora"),
+    )
+    daily = keyed.groupBy("fecha", "hora").agg(F.count("*").alias("demanda"))
+    return daily.select(
+        "fecha",
+        "hora",
+        weekday_monday0("fecha").alias("dia_semana"),
+        F.month("fecha").cast("long").alias("mes"),
+        F.dayofmonth("fecha").cast("long").alias("dia_mes"),
+        week_of_month("fecha").alias("semana_mes"),
+        F.col("demanda").cast("double").alias("demanda"),
+    )
+
+
+FEATURES = ["dia_semana", "hora", "mes", "dia_mes", "semana_mes"]
+
+
+def train_best_forecaster(features: DataFrame, seed: int = 42):
+    """Fit LinearRegression + GBTRegressor on a 70/30 split and return
+    (best_model, metrics) by held-out R² (reference picks best-by-R²)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    data = assembler.transform(features).select("features", "demanda")
+    train, test = data.randomSplit([0.7, 0.3], seed=seed)
+    evaluator = RegressionEvaluator(
+        labelCol="demanda", predictionCol="prediction", metricName="r2"
+    )
+    candidates = {
+        "linear_regression": LinearRegression(labelCol="demanda"),
+        "gbt": GBTRegressor(labelCol="demanda", seed=seed, maxIter=20),
+    }
+    best_name, best_model, best_r2 = None, None, float("-inf")
+    metrics = {}
+    for name, est in candidates.items():
+        model = est.fit(train)
+        r2 = evaluator.evaluate(model.transform(test))
+        metrics[name] = r2
+        if r2 > best_r2:
+            best_name, best_model, best_r2 = name, model, r2
+    return best_model, {"best": best_name, "r2": metrics}
+
+
+def forecast_grid(spark: SparkSession, model) -> DataFrame:
+    """U4 — score a full (weekday × hour) grid with mid-range calendar
+    features, clamping predictions at 0."""
+    from pyspark.ml.feature import VectorAssembler
+
+    grid = (
+        spark.range(7)
+        .select(F.col("id").alias("dia_semana"))
+        .crossJoin(spark.range(24).select(F.col("id").alias("hora")))
+        .withColumn("mes", F.lit(6).cast("long"))
+        .withColumn("dia_mes", F.lit(15).cast("long"))
+        .withColumn("semana_mes", F.lit(3).cast("long"))
+    )
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    scored = model.transform(assembler.transform(grid))
+    return scored.select(
+        "dia_semana",
+        "hora",
+        F.greatest(F.col("prediction"), F.lit(0.0)).alias("demanda_prevista"),
+    )

@@ -1,0 +1,96 @@
+"""Unit tests for the LLM-data operators: shingle edge cases, exact dedup
+on crafted duplicates, MinHash recall on known near-dups, multimodal
+plumbing schema/batch shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_procesos_odo_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingles,
+    simhash60,
+)
+from etl_procesos_odo_spark.llm.multimodal import attach_payload, extract_features
+from etl_procesos_odo_spark.llm.similarity import cosine_topk, hyperplanes
+
+
+def test_shingles_short_text_guard(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("solo",)], "text string"
+    )
+    got = [r[0] for r in df.select(shingles("text", 3).alias("s")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == [] and got[2] == [] and got[3] == []
+
+
+def test_exact_dedup_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),       # same after normalization
+            (3, "different doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"   # ~0.95 jaccard
+    far = " ".join(f"x{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_sim"] > 0.9
+
+
+def test_simhash_similar_docs_close(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    far = " ".join(f"x{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash60(df, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[1], sims[2]) < ham(sims[1], sims[3])
+    assert ham(sims[1], sims[2]) <= 10
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [3, 1]  # closest first
+    assert out[0]["rank"] == 1 and out[0]["cos_sim"] > 0.999
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(8, 4, seed=42) == hyperplanes(8, 4, seed=42)
+    assert hyperplanes(8, 4, seed=42) != hyperplanes(8, 4, seed=43)
+    assert all(x in (-1.0, 1.0) for p in hyperplanes(8, 4) for x in p)
+
+
+def test_multimodal_plumbing_schema(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defgh")], ["doc_id", "text"])
+    media = attach_payload(df, "text", "doc_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 3 and by_id[2]["n_bytes"] == 5
+    # deterministic fake decode: width from first byte, height from length
+    assert by_id[1]["width"] == 16 + ord("a") % 64
+    assert by_id[1]["height"] == 16 + 3 % 64
+    assert set(extract_features(media).columns) == {
+        "doc_id", "n_bytes", "width", "height", "n_frames",
+    }
