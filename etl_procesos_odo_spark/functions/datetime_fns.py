@@ -216,3 +216,61 @@ def date_spine_col(start: Column, end: Column, step: str = "interval 1 day") -> 
     explode for a spine (reference pd.date_range,
     app_indicadores_modelo_atencion.py:963-968)."""
     return F.sequence(start, end, F.expr(step))
+
+
+def ampm_to_decimal_hours(col: Column | str, sentinel: float = 999999.0) -> Column:
+    """F11 — 'h:mm AM/PM' → decimal hours, sentinel for unparseable/null
+    (app_confirmaciones.py:226-257: 12→24h logic, 999999 null sentinel)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.upper(F.trim(c.cast("string")))
+    h = F.regexp_extract(s, r"^(\d{1,2}):", 1).try_cast("int")
+    m = F.regexp_extract(s, r":(\d{2})", 1).try_cast("int")
+    is_pm = s.contains("PM")
+    is_am = s.contains("AM")
+    h24 = (
+        F.when(is_pm & (h != 12), h + 12)
+        .when(is_am & (h == 12), F.lit(0))
+        .otherwise(h)
+    )
+    return F.when(
+        h.isNotNull() & m.isNotNull() & (is_am | is_pm),
+        h24.cast("double") + m.cast("double") / 60,
+    ).otherwise(F.lit(sentinel))
+
+
+def parse_wallclock_flexible(
+    col: Column | str,
+    formats: Sequence[str] = (
+        "HH:mm:ss", "HH:mm", "h:mm a", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+    ),
+) -> Column:
+    """F7 — flexible wall-clock parse (the 65-line ``convertir_hora`` at
+    app_calculador_recursos_modelo_atencion.py:31-95), one expression:
+
+    1. numeric > 59 → Excel serial datetime (epoch 1899-12-30);
+    2. numeric in [0, 1] → fraction-of-day on the epoch date;
+    3. else try the strptime formats in order;
+    4. regex rescue: first '(\\d{1,2}):(\\d{2})' anywhere in the string.
+
+    Returns a timestamp (date part meaningful only for branch 1).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    num = c.try_cast("double")
+    serial_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("1899-12-30 00:00:00").cast("timestamp"))
+        + (num * 86400).cast("long")
+    )
+    frac_ts = F.timestamp_seconds((num * 86400).cast("long"))
+    s = F.trim(c.cast("string"))
+    by_format = F.coalesce(*[F.try_to_timestamp(s, F.lit(f)) for f in formats])
+    rescue_h = F.regexp_extract(s, r"(\d{1,2}):(\d{2})", 1).try_cast("int")
+    rescue_m = F.regexp_extract(s, r"(\d{1,2}):(\d{2})", 2).try_cast("int")
+    rescue_ts = F.when(
+        rescue_h.between(0, 23) & rescue_m.between(0, 59),
+        F.timestamp_seconds((rescue_h * 3600 + rescue_m * 60).cast("long")),
+    )
+    return (
+        F.when(num.isNotNull() & (num > 59), serial_ts)
+        .when(num.isNotNull() & (num >= 0) & (num <= 1), frac_ts)
+        .when(num.isNull(), F.coalesce(by_format, rescue_ts))
+    )

@@ -67,18 +67,37 @@ def exact_dedup(
     )
 
 
+# Affine MinHash permutation family over the Mersenne prime 2^31-1:
+# one md5 base hash per shingle, then num_hashes cheap (a*h + b) % P maps —
+# 12× fewer digest computations than hashing per seed. Constants are fixed
+# odd multipliers/offsets; the oracle SQL embeds the same numbers.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, 7919 * (i + 1)) for i in range(num_hashes)]
+
+
+def base_hashes(shingle_col: Column) -> Column:
+    """Per-shingle 60-bit md5 hash mod the Mersenne prime — computed ONCE
+    per row and materialized as a column, so the per-seed permutations
+    below never re-digest (Catalyst does not reliably CSE a repeated
+    subexpression across 12 aggregates)."""
+    return F.transform(shingle_col, lambda s: hash60(s) % F.lit(MINHASH_P))
+
+
 def minhash_signature(
-    shingle_col: Column, num_hashes: int = 12
+    base_col: Column, num_hashes: int = 12
 ) -> list[Column]:
-    """MinHash signature: for each seed i, min over shingles of
-    hash60(i || ':' || shingle). Null when the shingle set is empty."""
+    """MinHash signature from a pre-hashed shingle array (``base_hashes``):
+    for each seed i, min over (a_i * h + b_i) % P. Null when empty."""
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % F.lit(MINHASH_P)
+
     return [
-        F.array_min(
-            F.transform(
-                shingle_col, lambda s, i=i: hash60(F.concat(F.lit(f"{i}:"), s))
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.array_min(F.transform(base_col, perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
 
 
@@ -130,10 +149,19 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     self-join → exact-Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard_sim), id_a < id_b, one row per pair."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    signed = sh.select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+        # the shingle frame feeds signing AND both sides of the verify join —
+        # persist so tokenize+shingle runs once, not three times
+        .persist()
+    )
+    hashed = sh.withColumn("_base", base_hashes(F.col("_sh")))
+    signed = hashed.select(
+        "_id", *minhash_signature(F.col("_base"), num_hashes)
+    )
     banded = lsh_bands(signed, "_id", num_hashes, bands)
     cand = (
         banded.alias("x")

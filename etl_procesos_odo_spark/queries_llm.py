@@ -112,10 +112,13 @@ def q31_ngram_jaccard(spark: SparkSession, sf_dir: str):
 
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    from .llm.dedup import MINHASH_P, minhash_params
+
     rows_per = num_hashes // bands
     sig_cols = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> {o_h60(repr(str(i) + ':') + ' || s')})) AS mh{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(sh, s -> "
+        f"(({o_h60('s')} % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(

@@ -895,3 +895,245 @@ def q28_peak_hour(spark: SparkSession, sf_dir: str):
     return peak.select(
         "event_type", F.col("hora").alias("hora_pico"), F.col("n").alias("n_pico")
     )
+
+
+@register(
+    "q29_classifiers",
+    """
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_type,
+             CASE CAST(p_partkey % 3 AS INTEGER)
+               WHEN 0 THEN 'Consulta General'
+               WHEN 1 THEN 'procedimiento X'
+               ELSE 'CONSULTA especializada'
+             END AS actividad,
+             CASE CAST(p_partkey % 4 AS INTEGER)
+               WHEN 0 THEN 'Llamado Manual x'
+               WHEN 1 THEN 'AUTOmatico'
+               WHEN 2 THEN 'otra cosa'
+               ELSE NULL
+             END AS llamado_raw
+      FROM part
+      WHERE contains(upper(p_type), 'BRASS') OR contains(upper(p_type), 'STEEL')
+         OR contains(upper(p_type), 'COPPER')
+    ),
+    cls AS (
+      SELECT
+        CASE WHEN p_brand IN ('Brand#11', 'Brand#12', 'Brand#13') THEN 'GrupoA'
+             WHEN p_brand IN ('Brand#21', 'Brand#22', 'Brand#23') THEN 'GrupoB'
+             ELSE NULL END AS empresa,
+        CASE WHEN lower(trim(actividad)) LIKE 'consulta%' THEN 'Consulta'
+             ELSE 'Procedimiento' END AS ubicacion,
+        CASE WHEN llamado_raw IS NULL THEN 'NO CLASIFICADO'
+             WHEN contains(lower(trim(llamado_raw)), 'manual') THEN 'MANUAL'
+             WHEN contains(lower(trim(llamado_raw)), 'auto') THEN 'AUTOMÁTICO'
+             ELSE 'OTRO' END AS llamado
+      FROM base
+    )
+    SELECT empresa, ubicacion, llamado, COUNT(*) AS n
+    FROM cls GROUP BY 1, 2, 3
+    """,
+    doc="P5 contains-any-of-keys filter (indicador-modelo-vs-facturacion.py"
+    ":175-182 — implemented as a true per-key OR, diverging from the "
+    "reference's '|'.join literal-contains bug) + F13 code-list classifier "
+    "(app_calculo_necesidad_recepción_call_center.py:27-48) + F15 ubicación "
+    "(app_confirmaciones.py:32-39) + F14 llamado classifier "
+    "(app_indicadores_modelo_atencion.py:942-950).",
+)
+def q29_classifiers(spark: SparkSession, sf_dir: str):
+    from .functions.text_fns import (
+        classify_by_code_lists,
+        classify_llamado,
+        classify_ubicacion,
+        contains_any,
+    )
+
+    _utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    base = part.filter(
+        contains_any("p_type", ["BRASS", "STEEL", "COPPER"])
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("Consulta General"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("procedimiento X"))
+        .otherwise(F.lit("CONSULTA especializada"))
+        .alias("actividad"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("Llamado Manual x"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("AUTOmatico"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("otra cosa"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("llamado_raw"),
+    )
+    cls = base.select(
+        classify_by_code_lists(
+            "p_brand",
+            {
+                "GrupoA": ["Brand#11", "Brand#12", "Brand#13"],
+                "GrupoB": ["Brand#21", "Brand#22", "Brand#23"],
+            },
+        ).alias("empresa"),
+        classify_ubicacion("actividad").alias("ubicacion"),
+        classify_llamado("llamado_raw").alias("llamado"),
+    )
+    return cls.groupBy("empresa", "ubicacion", "llamado").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "q44_time_scalars",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 1440 AS DOUBLE) / 1440.0 AS frac
+      FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey, CAST(round(frac * 24 * 60) AS BIGINT) AS total_min
+      FROM t
+    ),
+    g AS (
+      SELECT o_orderkey,
+             CAST(floor(total_min / 60) AS BIGINT) % 24 AS h24,
+             total_min % 60 AS mm
+      FROM f
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN h24 % 12 = 0 THEN 12 ELSE h24 % 12 END AS VARCHAR)
+             || ':' || lpad(CAST(mm AS VARCHAR), 2, '0')
+             || ' ' || CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END AS etiqueta,
+           CAST(h24 AS DOUBLE) + CAST(mm AS DOUBLE) / 60 AS horas
+    FROM g
+    """,
+    doc="F5 fraction-of-day → 'h:MM AM/PM' (app_confirmaciones.py:121-144) "
+    "round-tripped through F11 'h:mm AM/PM' → decimal hours "
+    "(app_confirmaciones.py:226-257); fractions synthesized from orderkey. "
+    "The Spark side actually parses its own formatted label — the oracle "
+    "computes both closed-form, so format+parse must be mutually inverse.",
+)
+def q44_time_scalars(spark: SparkSession, sf_dir: str):
+    from .functions.datetime_fns import ampm_to_decimal_hours, day_fraction_to_ampm
+
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    frac = (F.col("o_orderkey") % 1440).cast("double") / 1440.0
+    labeled = orders.select(
+        "o_orderkey", day_fraction_to_ampm(frac).alias("etiqueta")
+    )
+    return labeled.select(
+        "o_orderkey", "etiqueta", ampm_to_decimal_hours("etiqueta").alias("horas")
+    )
+
+
+@register(
+    "q45_model_window_join",
+    """
+    WITH sedes (sede, fecha_inicio) AS (
+      VALUES ('1-URGENT', DATE '1996-01-01'),
+             ('2-HIGH', DATE '1997-06-01'),
+             ('3-MEDIUM', DATE '1995-03-15'),
+             ('4-NOT SPECIFIED', DATE '1998-01-01'),
+             ('5-LOW', DATE '1996-09-01')
+    ),
+    o AS (
+      SELECT o_orderpriority AS sede, o_orderdate, o_totalprice FROM orders
+    )
+    SELECT sede,
+           CASE WHEN o_orderdate >= fecha_inicio THEN 'EN MODELO'
+                ELSE 'FUERA DE MODELO' END AS estado,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM o JOIN sedes USING (sede)
+    GROUP BY 1, 2
+    """,
+    doc="J6 dimension-condition (theta-like) classification join: rows "
+    "split in/out-of-model by per-sede start dates from a config dim "
+    "(indicador-modelo-vs-facturacion.py:516-546 with SEDES config "
+    ":35-71) — broadcast the tiny dim, classify with a range predicate, "
+    "aggregate; no row explosion at any scale.",
+)
+def q45_model_window_join(spark: SparkSession, sf_dir: str):
+    import datetime as _dt
+
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    sedes = spark.createDataFrame(
+        [
+            ("1-URGENT", _dt.date(1996, 1, 1)),
+            ("2-HIGH", _dt.date(1997, 6, 1)),
+            ("3-MEDIUM", _dt.date(1995, 3, 15)),
+            ("4-NOT SPECIFIED", _dt.date(1998, 1, 1)),
+            ("5-LOW", _dt.date(1996, 9, 1)),
+        ],
+        ["sede", "fecha_inicio"],
+    )
+    o = orders.select(
+        F.col("o_orderpriority").alias("sede"), "o_orderdate", "o_totalprice"
+    )
+    joined = o.join(F.broadcast(sedes), on="sede")
+    estado = F.when(
+        F.col("o_orderdate") >= F.col("fecha_inicio"), F.lit("EN MODELO")
+    ).otherwise(F.lit("FUERA DE MODELO"))
+    return joined.groupBy("sede", estado.alias("estado")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q46_constrained_partition",
+    """
+    WITH allowed (c_mktsegment, particion) AS (
+      VALUES ('AUTOMOBILE', 1), ('AUTOMOBILE', 2),
+             ('BUILDING', 3), ('BUILDING', 4), ('BUILDING', 5),
+             ('FURNITURE', 1), ('FURNITURE', 3),
+             ('HOUSEHOLD', 2), ('HOUSEHOLD', 4), ('HOUSEHOLD', 5),
+             ('MACHINERY', 1)
+    ),
+    na AS (
+      SELECT c_mktsegment, COUNT(*) AS n_parts,
+             list_sort(list(particion)) AS parts
+      FROM allowed GROUP BY 1
+    ),
+    keys AS (SELECT DISTINCT c_mktsegment, c_custkey FROM customer),
+    rk AS (
+      SELECT c_mktsegment, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':42'), 1, 15) AS BIGINT),
+                        c_custkey) AS rk
+      FROM keys
+    )
+    SELECT r.c_mktsegment, r.c_custkey,
+           CAST(parts[CAST((rk - 1) % n_parts + 1 AS INTEGER)] AS BIGINT) AS particion
+    FROM rk r JOIN na USING (c_mktsegment)
+    """,
+    doc="X5 constrained partitioner (app.py:91-145): each unit restricted "
+    "to a configured subset of partitions, keys round-robined across the "
+    "unit's allowed parts by seeded-hash rank. md5 ordering makes full "
+    "membership oracle-checkable.",
+)
+def q46_constrained_partition(spark: SparkSession, sf_dir: str):
+    from .operators.partitioner import constrained_partition
+
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    allowed = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", 1), ("AUTOMOBILE", 2),
+            ("BUILDING", 3), ("BUILDING", 4), ("BUILDING", 5),
+            ("FURNITURE", 1), ("FURNITURE", 3),
+            ("HOUSEHOLD", 2), ("HOUSEHOLD", 4), ("HOUSEHOLD", 5),
+            ("MACHINERY", 1),
+        ],
+        ["c_mktsegment", "particion"],
+    )
+    assign = constrained_partition(
+        cust, "c_mktsegment", "c_custkey", allowed, seed=42, hash_method="md5"
+    )
+    return assign.select(
+        "c_mktsegment", "c_custkey", F.col("particion").cast("long").alias("particion")
+    )
