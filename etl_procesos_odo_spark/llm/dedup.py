@@ -192,6 +192,80 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH pair
+    graph, labeled by the minimum doc id in each component. Docs with no
+    near-dup (or no shingles) are singleton clusters of themselves.
+    Returns (doc_id, cluster_id); rows where doc_id == cluster_id are the
+    cluster representatives to keep.
+
+    Iterative min-label propagation: each node starts labeled with its own
+    id; every round takes min(label, neighbors' labels) until a fixpoint
+    (min reachable id — O(component diameter) rounds; near-dup components
+    are dense, so diameter is small). Per-round ``localCheckpoint``
+    truncates lineage so plans stay flat. At 100 TB the same loop holds —
+    only (node, label) pairs for nodes *in the pair graph* shuffle each
+    round (typically ≪ corpus size); the 2-hop large-star/small-star
+    variant is the upgrade path if diameters ever get long.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint()
+    )
+    lab = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(lab, edges["v"] == lab["id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_lab = (
+            lab.join(nbr_min, lab["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    out_id = F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col)
+    return (
+        df.select(out_id)
+        .join(lab, F.col("doc_id") == lab["id"], "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
 def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash per document: explode tokens, hash to 60 bits, sum
     ±1 per bit position, set bit where the sum is positive.

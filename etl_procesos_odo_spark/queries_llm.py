@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .llm.dedup import exact_dedup, jaccard, minhash_lsh_pairs, shingles, simhash60
+from .llm.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    shingles,
+    simhash60,
+)
 from .llm.multimodal import attach_payload, extract_features
 from .llm.similarity import cosine_topk, hyperplanes, lsh_bucket_topk
 from .llm.text_analysis import (
@@ -111,7 +118,13 @@ def q31_ngram_jaccard(spark: SparkSession, sf_dir: str):
     )
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    final_select: str | None = None,
+    recursive: bool = False,
+) -> str:
     from .llm.dedup import MINHASH_P, minhash_params
 
     rows_per = num_hashes // bands
@@ -130,7 +143,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
         for b in range(bands)
     )
     return f"""
-    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    WITH {"RECURSIVE " if recursive else ""}w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
     shin AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
     f AS (SELECT * FROM shin WHERE len(sh) > 0),
     sig AS (SELECT doc_id, sh,
@@ -151,7 +164,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
                / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard_sim
       FROM cand JOIN f a ON a.doc_id = id_a JOIN f b ON b.doc_id = id_b
     )
-    SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= {threshold}
+    {final_select or f"SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= {threshold}"}
     """
 
 
@@ -167,6 +180,39 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
 def q32_minhash_lsh(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+_CLUSTER_FINAL = """
+    , pairs AS (SELECT id_a, id_b FROM j WHERE jaccard_sim >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register(
+    "q47_dedup_clusters",
+    _minhash_oracle(final_select=_CLUSTER_FINAL, recursive=True),
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph (q32), each doc labeled with the min doc_id in its "
+    "component; doc_id == cluster_id marks the representative to keep. "
+    "Spark side is iterative min-label propagation over only the nodes in "
+    "the pair graph (O(diameter) rounds, localCheckpoint-truncated "
+    "lineage); oracle is a recursive min-reachability CTE.",
+)
+def q47_dedup_clusters(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(
         docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
     )
 

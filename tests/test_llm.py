@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_procesos_odo_spark.llm.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     shingles,
@@ -94,3 +95,28 @@ def test_multimodal_plumbing_schema(spark):
     assert set(extract_features(media).columns) == {
         "doc_id", "n_bytes", "width", "height", "n_frames",
     }
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # a≈b and b≈c but a,c share fewer shingles: transitivity must still
+    # place all three in one cluster labeled by the min id; d is a singleton.
+    words = [f"w{i}" for i in range(50)]
+    a = " ".join(words)
+    bw = list(words)
+    bw[5], bw[6] = "CHANGED1", "CHANGED2"
+    cw = list(bw)
+    cw[30], cw[31] = "ALTERED1", "ALTERED2"
+    # jaccard: a~b = b~c = 0.846 (edges at t=0.8); a~c = 0.714 (filtered)
+    rows = [
+        (10, a), (20, " ".join(bw)), (30, " ".join(cw)),
+        (40, "completely unrelated words " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert got[10] == 10 and got[20] == 10 and got[30] == 10
+    assert got[40] == 40
+    # representatives = rows where doc_id == cluster_id
+    assert sorted(k for k, v in got.items() if k == v) == [10, 40]
