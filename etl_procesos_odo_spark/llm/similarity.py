@@ -140,3 +140,102 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from a
+    shared random-hyperplane LSH bucket, verified by exact cosine ≥
+    threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    The semantic-dedup complement to the lexical MinHash path: catches
+    paraphrases that share no shingles. Same scale shape as MinHash-LSH —
+    signatures are per-row expressions, only bucket keys shuffle, and the
+    self-join is bucket-local (recall is the documented LSH trade:
+    cross-bucket pairs are missed; more planes/tables raise it).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    s = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = s.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket"
+    )
+    b = s.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (here: the first ``n_cells``
+    corpus vectors by id — deterministic, so the oracle can reproduce it;
+    production would k-means these) assigns every vector to its
+    nearest-centroid cell; a query searches only its own cell's posting
+    list (nprobe=1). Returns (query_id, neighbor_id, cell, cos_sim, rank).
+
+    Scale shape: the centroid table is tiny → broadcast to every executor
+    (assignment is a narrow map), posting lists are hash-partitioned by
+    cell, and a query shuffles only its cell key — 1/n_cells of
+    brute-force work per query at balanced cells.
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    )
+
+    def assign(df: DataFrame, idal: str, val: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(idal),
+            F.col(vec_col).alias(val),
+            "cell",
+            cosine(F.col(vec_col), F.col("centv")).alias("_cs"),
+        )
+        w = Window.partitionBy(idal).orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_cs", "_rk")
+        )
+
+    posting = assign(corpus, "neighbor_id", "cv")
+    qcells = assign(queries, "query_id", "qv")
+    scored = (
+        qcells.join(posting, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -25,7 +25,13 @@ from .llm.dedup import (
     simhash60,
 )
 from .llm.multimodal import attach_payload, extract_features
-from .llm.similarity import cosine_topk, hyperplanes, lsh_bucket_topk
+from .llm.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplanes,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from .llm.text_analysis import (
     LANG_MARKERS,
     TOKEN_PIECE_RE,
@@ -328,6 +334,100 @@ def q39_ann_lsh(spark: SparkSession, sf_dir: str):
     return lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=8, seed=42
     )
+
+
+def _neardup_oracle(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, threshold: float = 0.35
+) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    plane_lits = [
+        "CAST([" + ", ".join(f"{x:.1f}" for x in p) + "] AS DOUBLE[])"
+        for p in planes
+    ]
+    sig = " + ".join(
+        f"CASE WHEN {o_dot('v', plane_lits[b], 'len(v)')} > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {o_dot('a.v', 'b.v', 'len(a.v)')}
+               / (sqrt({o_dot('a.v', 'a.v', 'len(a.v)')})
+                  * sqrt({o_dot('b.v', 'b.v', 'len(b.v)')})) AS cos_sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@register(
+    "q48_embedding_neardup",
+    _neardup_oracle(),
+    doc="Embedding-cosine near-duplicate pairs: random-hyperplane LSH "
+    "bucket candidates verified by exact cosine ≥ 0.35 — the semantic "
+    "complement to lexical MinHash dedup (q32), catching paraphrases that "
+    "share no shingles. Bucket-local self-join: only 8-bit signature keys "
+    "shuffle; cross-bucket recall loss is the documented LSH trade.",
+)
+def q48_embedding_neardup(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(
+        emb, dim=64, threshold=0.35, n_planes=8, seed=42
+    )
+
+
+def _ivf_oracle(n_cells: int = 16, k: int = 5) -> str:
+    cos = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
+    )
+    assign_cos = (
+        f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
+        f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cell, {assign_cos} AS cs
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM scored)
+      WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg WHERE vec_id < 10),
+    p AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg),
+    dots AS (
+      SELECT query_id, neighbor_id, q.cell AS cell, {cos} AS cos_sim
+      FROM q JOIN p USING (cell) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM dots)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q49_ann_ivf",
+    _ivf_oracle(),
+    doc="IVF-style ANN: deterministic coarse quantizer (first 16 corpus "
+    "vectors as centroids; production would k-means), nearest-centroid "
+    "cell assignment via broadcast cross join + argmin window, nprobe=1 "
+    "cell-local exact cosine top-k. Posting lists hash-partition by cell; "
+    "a query shuffles only its cell key — 1/16 of brute-force per query.",
+)
+def q49_ann_ivf(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5)
 
 
 # ---------------------------------------------------------------------------

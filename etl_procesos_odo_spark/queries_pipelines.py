@@ -395,3 +395,70 @@ def q55_facturacion_pipeline(spark: SparkSession, sf_dir: str):
             F.col("novedades").cast("double") / F.col("ingresos").cast("double")
         ).alias("ratio_novedades"),
     )
+
+
+@register(
+    "q57_narrative_verdicts",
+    """
+    WITH r AS (
+      SELECT n_name AS sede, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+             100.0 * COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+               / COUNT(*) AS pct_fulfilled
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT sede, n_orders, revenue, pct_fulfilled,
+           CASE WHEN pct_fulfilled >= 35 THEN 'CUMPLE'
+                WHEN pct_fulfilled >= 31 THEN 'PARCIAL'
+                ELSE 'NO CUMPLE' END AS verdict_cumplimiento,
+           CASE WHEN n_orders >= 700 THEN 'ALTO'
+                WHEN n_orders >= 500 THEN 'MEDIO'
+                ELSE 'BAJO' END AS verdict_volumen
+    FROM r
+    """,
+    doc="Rule-based narrative verdicts (U5, indicador-modelo-vs-"
+    "facturacion.py:1148-1292): threshold tiers as when-chains over the "
+    "per-sede executive rollup — the engine-side half of the reference's "
+    "markdown narrative generator (text templating stays driver-side). "
+    "Two broadcast dim joins + one hash agg.",
+)
+def q57_narrative_verdicts(spark: SparkSession, sf_dir: str):
+    from .registry import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("sede"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            (
+                F.lit(100.0)
+                * F.count(F.when(F.col("o_orderstatus") == "F", 1))
+                / F.count("*")
+            ).alias("pct_fulfilled"),
+        )
+    )
+    return r.select(
+        "sede",
+        "n_orders",
+        "revenue",
+        "pct_fulfilled",
+        F.when(F.col("pct_fulfilled") >= 35, "CUMPLE")
+        .when(F.col("pct_fulfilled") >= 31, "PARCIAL")
+        .otherwise("NO CUMPLE")
+        .alias("verdict_cumplimiento"),
+        F.when(F.col("n_orders") >= 700, "ALTO")
+        .when(F.col("n_orders") >= 500, "MEDIO")
+        .otherwise("BAJO")
+        .alias("verdict_volumen"),
+    )

@@ -75,3 +75,52 @@ def q41_forecast_demand(spark: SparkSession, sf_dir: str):
     feats = demand_features(load_table(spark, sf_dir, "events"))
     model, _metrics = train_best_forecaster(feats, seed=42)
     return forecast_grid(spark, model)
+
+
+@register(
+    "q56_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization (30-min inactivity gap) per user via "
+    "Spark's native session_window — the merging-window aggregate a "
+    "training-data pipeline uses for behavioral grouping. Batch mode here; "
+    "the identical expression runs under readStream with a watermark. One "
+    "shuffle on user_id; the oracle is the classic lag-gap cumulative-sum "
+    "sessionization (session_end = last event + gap, matching Spark).",
+)
+def q56_sessionize(spark: SparkSession, sf_dir: str):
+    from .registry import dsum, load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
