@@ -1,0 +1,108 @@
+"""Physical-plan invariants: the 100 TB design assertions (SCALE.md).
+
+Correctness says the operator computes the right answer; these tests pin
+the *plan shape* that makes it viable at scale — filters pushed to the
+parquet scan, columns pruned, small dims broadcast, exactly one shuffle
+where one is needed, and no accidental cartesian products in the LSH
+paths. A regression here is a silent 10-100x cliff at scale that sf0.001
+correctness tests would never catch.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from etl_procesos_odo_spark.registry import registry
+
+from .conftest import SF_DIR
+
+QS = {q.name: q for q in registry()}
+
+
+@pytest.fixture(scope="module")
+def plan(spark):
+    def _plan(name: str, mode: str = "simple") -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QS[name].spark_fn(spark, SF_DIR).explain(mode)
+        return buf.getvalue()
+
+    return _plan
+
+
+def test_filter_pushdown_reaches_scan(plan):
+    p = plan("q02_filter_project", "formatted")
+    assert "GreaterThan(value,50.0)" in p  # predicate at the parquet scan
+    assert "In(event_type," in p
+
+
+def test_column_pruning_reaches_scan(plan):
+    p = plan("q03_dim_join_agg", "formatted")
+    # customer has 5 columns; the scan must read only the 2 the query needs
+    assert "struct<c_nationkey:int,c_acctbal:double>" in p
+
+
+def test_narrow_query_has_no_shuffle(plan):
+    assert plan("q02_filter_project").count("Exchange") == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",  # groupBy(flag, status)
+        "q30_dedup_exact",  # groupBy(digest)
+        "q35_langid",  # scan-side scoring, one confusion-matrix agg
+        "q56_sessionize",  # session_window keyed by user_id
+    ],
+)
+def test_single_shuffle_aggregates(plan, name):
+    p = plan(name)
+    assert p.count("Exchange") == 1, f"{name} should shuffle exactly once"
+    # partial (map-side combine) + final aggregate
+    assert p.count("HashAggregate") >= 2 or "SessionWindowStateStore" in p
+
+
+def test_dim_joins_broadcast(plan):
+    p = plan("q03_dim_join_agg")
+    assert p.count("BroadcastHashJoin") == 2  # nation, region dims
+    assert "SortMergeJoin" not in p
+
+
+def test_rollup_joins_broadcast_no_cartesian(plan):
+    p = plan("q57_narrative_verdicts")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["q32_minhash_lsh", "q48_embedding_neardup"])
+def test_lsh_joins_are_equi_joins(plan, name):
+    """The LSH bucket self-join must be an equi-join on (band/bucket) keys;
+    a nested-loop fallback here is the quadratic cliff LSH exists to avoid."""
+    p = plan(name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert (
+        p.count("BroadcastHashJoin")
+        + p.count("SortMergeJoin")
+        + p.count("ShuffledHashJoin")
+        >= 1
+    )
+
+
+def test_ivf_centroid_join_is_tiny_broadcast(plan):
+    """The only nested-loop joins allowed in the IVF plan are the two
+    16-row centroid-assignment cross joins (corpus + queries); the cell
+    join itself must be an equi-join."""
+    p = plan("q49_ann_ivf")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert (
+        p.count("BroadcastHashJoin")
+        + p.count("SortMergeJoin")
+        + p.count("ShuffledHashJoin")
+        >= 1
+    )
