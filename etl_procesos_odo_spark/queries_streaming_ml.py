@@ -124,3 +124,30 @@ def q56_sessionize(spark: SparkSession, sf_dir: str):
             "total_value",
         )
     )
+
+
+@register(
+    "q58_stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           MAX(value) AS max_value,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState, the "
+    "brief's arbitrary-state surface): per-user running profile held in "
+    "explicit group state, Arrow-batched into Python per key. Bounded "
+    "single-batch backfill => emitted rows equal the batch groupBy, which "
+    "the oracle checks exactly (all measures arrival-order independent).",
+)
+def q58_stateful_user_stats(spark: SparkSession, sf_dir: str):
+    from .streaming.temporal import stateful_user_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = run_to_memory(
+        stateful_user_stats(events_stream(spark, sf_dir)),
+        "q58_stateful_user_stats_out",
+        "append",
+    )
+    return out

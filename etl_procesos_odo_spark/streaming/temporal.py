@@ -85,3 +85,72 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom arbitrary-stateful operator (applyInPandasWithState): a
+    per-user running profile — event count, purchase count, max value,
+    latest-event micros — carried in explicit group state across
+    micro-batches and re-emitted on every update.
+
+    This is the escape hatch for semantics window/dropDuplicates can't
+    express (per-key accumulators, custom eviction). State lives in the
+    state store keyed by user_id (one shuffle to co-locate keys); rows
+    cross into Python as Arrow batches per key. All emitted measures are
+    arrival-order independent, so on a bounded single-batch backfill the
+    output equals the batch groupBy — which is what the oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_purchases", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("np", LongType()),
+            StructField("mx", DoubleType()),
+            StructField("ts", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        n, np_, mx, ts = (
+            state.get if state.exists else (0, 0, float("-inf"), -1)
+        )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            np_ += int((pdf["event_type"] == "purchase").sum())
+            mx = max(mx, float(pdf["value"].max()))
+            ts = max(ts, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, np_, mx, ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_purchases": [np_],
+                "max_value": [mx],
+                "last_ts_us": [ts],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
