@@ -1137,3 +1137,144 @@ def q46_constrained_partition(spark: SparkSession, sf_dir: str):
     return assign.select(
         "c_mktsegment", "c_custkey", F.col("particion").cast("long").alias("particion")
     )
+
+
+@register(
+    "q59_scalar_kit",
+    """
+    SELECT event_id,
+           translate(event_type, 'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN') AS slug,
+           concat_ws('|', event_type, CAST(CAST(ts AS DATE) AS VARCHAR),
+                     CAST(user_id AS VARCHAR)) AS msg_key,
+           COALESCE(TRY_CAST(props AS DOUBLE), 1.0) AS props_num,
+           ts - INTERVAL 30 MINUTE AS arrival_ts,
+           CAST(FLOOR((day(ts) - 1) / 7) + 1 AS BIGINT) AS semana_del_mes
+    FROM events
+    """,
+    doc="Scalar expression kit in one pass: accent fold (F17), composite "
+    "message key (F19, app_confirmaciones.py:198-201), numeric-or-default "
+    "(F24), minus-30-minutes arrival shift (F9, app_calculador_recursos_"
+    "modelo_atencion.py:204-217), week-of-month (F21). All JVM-side "
+    "codegen'd expressions — zero shuffles, full scan speed.",
+)
+def q59_scalar_kit(spark: SparkSession, sf_dir: str):
+    from .functions.datetime_fns import minus_minutes, week_of_month
+    from .functions.text_fns import (
+        accent_fold,
+        composite_message_key,
+        numeric_or_default,
+    )
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        accent_fold("event_type").alias("slug"),
+        composite_message_key(
+            [F.col("event_type"), F.to_date("ts").cast("string"), F.col("user_id")]
+        ).alias("msg_key"),
+        numeric_or_default("props", 1.0).alias("props_num"),
+        minus_minutes("ts", 30).alias("arrival_ts"),
+        week_of_month("ts").alias("semana_del_mes"),
+    )
+
+
+@register(
+    "q60_slot_spine_load",
+    """
+    WITH slots AS (
+      SELECT strftime(CAST(g AS TIMESTAMP), '%H:%M') AS slot
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2000-01-01 06:30:00',
+                   TIMESTAMP '2000-01-01 12:00:00', INTERVAL 5 MINUTE)) AS g)
+      UNION ALL
+      SELECT strftime(CAST(g AS TIMESTAMP), '%H:%M') AS slot
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2000-01-01 12:05:00',
+                   TIMESTAMP '2000-01-01 19:00:00', INTERVAL 5 MINUTE)) AS g)
+    ),
+    h AS (SELECT unnest(generate_series(0, 23)) AS hora),
+    per_hour AS (
+      SELECT hora, COUNT(slot) AS n_slots
+      FROM h LEFT JOIN slots ON CAST(slot[1:2] AS BIGINT) = hora
+      GROUP BY hora
+    )
+    SELECT hora, n_slots,
+           SUM(n_slots) OVER (ORDER BY hora ROWS UNBOUNDED PRECEDING)
+             AS acum_slots
+    FROM per_hour
+    """,
+    doc="Generated-dimension composition: 5-min time-slot spine (G1, "
+    "app_calculador_recursos_modelo_atencion.py:124-136) built as two "
+    "half-day spines unioned by name (J7/X1), left-joined to the 0-23 "
+    "hour spine (G2/J4) with 0-fill via count, and a running total (W5). "
+    "Spines are sequence+explode on one-row frames — never a table scan.",
+)
+def q60_slot_spine_load(spark: SparkSession, sf_dir: str):
+    from .operators.joins import union_all_by_name
+    from .operators.spines import hour_spine, time_slot_spine
+    from .operators.windows import cumulative_sum
+
+    _utc(spark)
+    slots = union_all_by_name(
+        [
+            time_slot_spine(spark, "06:30", "12:00"),
+            time_slot_spine(spark, "12:05", "19:00"),
+        ]
+    )
+    hours = hour_spine(spark)
+    per_hour = (
+        hours.join(
+            slots,
+            F.substring("slot", 1, 2).cast("long") == F.col("hora"),
+            "left",
+        )
+        .groupBy("hora")
+        .agg(F.count("slot").alias("n_slots"))
+    )
+    return cumulative_sum(per_hour, [F.col("hora")], "n_slots", "acum_slots")
+
+
+@register(
+    "q61_lag_carryforward",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN make_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                       + CAST(FLOOR(value) AS BIGINT)) * 1000000)
+                  END AS fin
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, user_id, ts,
+             lag(COALESCE(fin, ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS prev_basis
+      FROM b
+    )
+    SELECT event_id, user_id,
+           CASE WHEN CAST(ts AS DATE) = CAST(prev_basis AS DATE)
+                THEN (FLOOR(epoch(ts)) - FLOOR(epoch(prev_basis))) / 60.0
+                END AS espera_min
+    FROM p
+    """,
+    doc="W3 carry-forward wait time via the lag_wait_minutes operator "
+    "(app_indicadores_modelo_atencion.py:1110-1182): finish timestamps "
+    "exist only for purchase events (ts + floor(value) seconds); the wait "
+    "basis is previous finish-or-arrival, with the same-day guard nulling "
+    "cross-day waits. One window over (user_id, ts) — single shuffle.",
+)
+def q61_lag_carryforward(spark: SparkSession, sf_dir: str):
+    from .operators.windows import lag_wait_minutes
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn(
+        "fin",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") + F.floor("value").cast("long")
+            ),
+        ),
+    )
+    out = lag_wait_minutes(b, "user_id", "ts", "fin", same_day_only=True)
+    return out.select("event_id", "user_id", "espera_min")
