@@ -29,6 +29,11 @@ def main() -> None:
     wanted = set(only.split(",")) if only else None
 
     spark = get_spark("etl-odo-bench")
+    # Warm the JVM/codegen/IO path once so session startup cost doesn't
+    # land on whichever query happens to run first.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
     timings: dict[str, float] = {}
     for q in registry():
         if wanted and q.name not in wanted:

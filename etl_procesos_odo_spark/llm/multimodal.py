@@ -82,3 +82,64 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, out_w long, out_h long, n_bytes_out long, payload binary"
+)
+FRAMES_SCHEMA = "doc_id long, n_frames long, sampled array<long>"
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize plumbing via mapInPandas: payload in, resized payload out.
+
+    The stub "resize" crops/keeps the first out_w*out_h payload bytes
+    (deterministic, codec-free); a codec-enabled cluster swaps the body
+    for PIL ``Image.resize`` + re-encode without touching the plan, batch
+    shape, or schema. Output bytes stay a binary column — chained
+    transforms remain one mapInPandas pipeline per partition.
+    """
+    import pandas as pd
+
+    target = out_w * out_h
+
+    def op(batches):
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[:target]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": resized.map(len).astype("int64"),
+                    "payload": resized,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame-sampling plumbing via mapInPandas: derive the (stub) frame
+    count from the payload, keep every k-th frame index. The real path
+    replaces the count/extract with an ffmpeg probe + frame decode; the
+    Spark contract (binary in, typed array out, per-partition batches)
+    is identical."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            n_frames = pdf["payload"].map(
+                lambda b: fake_decode_meta(b)[2]
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "sampled": n_frames.map(
+                        lambda n: list(range(0, int(n), every_k))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAMES_SCHEMA)

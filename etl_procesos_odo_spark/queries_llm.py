@@ -569,3 +569,38 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "text", "doc_id")
     return extract_features(media)
+
+
+@register(
+    "q62_multimodal_transform",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             1 + octet_length(encode(text)) % 8 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+           CAST(least(n_bytes, 256) AS BIGINT) AS n_bytes_out,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           list_transform(generate_series(0, CAST(floor((n_frames - 1) / 3) AS BIGINT)),
+                          i -> CAST(i * 3 AS BIGINT)) AS sampled
+    FROM m
+    """,
+    doc="Multimodal transform plumbing: resize (payload -> bounded-byte "
+    "payload) and frame-sampling (every 3rd index) as chained mapInPandas "
+    "stages over binary columns. Decode/resize bodies are deterministic "
+    "stubs (no codecs in container); the oracle recomputes the metadata "
+    "closed-form, verifying batch shape, schema, and byte plumbing.",
+)
+def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
+    from .llm.multimodal import resize_images, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "text", "doc_id")
+    resized = resize_images(media, 16, 16).select(
+        "doc_id", "out_w", "out_h", "n_bytes_out"
+    )
+    frames = sample_frames(media, 3)
+    return resized.join(frames, "doc_id")
