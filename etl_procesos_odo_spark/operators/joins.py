@@ -53,3 +53,35 @@ def union_all_by_name(frames: Sequence[DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    row_key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key into ``n_salt``
+    subkeys (deterministic hash of ``row_key``), replicate the dim side
+    across every salt, join on (key, salt). The result is exactly the
+    plain join — salting only changes task placement.
+
+    This is the manual fallback when AQE's skew-join split isn't enough
+    (e.g. one key holds >50% of rows): the hot key's rows spread over
+    ``n_salt`` reducers instead of one straggler task. Dim replication
+    costs n_salt× its (small) size — only ever used dim-side.
+    """
+    salt = F.pmod(F.xxhash64(F.col(row_key)), F.lit(n_salt)).alias("_salt")
+    big_s = big.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = big_s.join(
+        dim_s,
+        (big_s[big_key] == dim_s[dim_key]) & (big_s["_salt"] == dim_s["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

@@ -1278,3 +1278,34 @@ def q61_lag_carryforward(spark: SparkSession, sf_dir: str):
     )
     out = lag_wait_minutes(b, "user_id", "ts", "fin", same_day_only=True)
     return out.select("event_id", "user_id", "espera_min")
+
+
+@register(
+    "q63_salted_segments",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-safe salted join (SCALE.md joins section): the big side's "
+    "key is salted into 8 deterministic subkeys, the dim side replicated "
+    "per salt, joined on (key, salt) — result provably identical to the "
+    "plain join (the oracle IS the unsalted join). The manual remedy when "
+    "one hot key would otherwise pin a single reducer at 100 TB.",
+)
+def q63_salted_segments(spark: SparkSession, sf_dir: str):
+    from .operators.joins import salted_join
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", "c_custkey", "event_id", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )

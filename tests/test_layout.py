@@ -1,0 +1,83 @@
+"""Data-layout scale mechanics: partitioned writes prune, bucketed writes
+join without a shuffle (SCALE.md scans/joins sections).
+
+At 100 TB the table layout IS the index: events partitioned by date makes
+P6 date filters partition pruning; bucketing both sides of a repeated
+equi-join eliminates its shuffle permanently. These tests exercise the
+write path and assert the read-side plan actually gets the benefit.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "events_by_date")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev.withColumn("fecha", F.to_date("ts")).write.partitionBy("fecha").parquet(
+        out
+    )
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("fecha") == "2024-01-10")
+    p = plan_of(one_day)
+    # the date predicate must land in PartitionFilters (directory pruning),
+    # NOT PushedFilters (row-group filtering after reading the file)
+    assert "PartitionFilters" in p and "2024-01-10" in p.split("PartitionFilters")[1].split("\n")[0]
+    # pruned scan reads one partition directory, not all
+    n_days = back.select("fecha").distinct().count()
+    assert n_days > 1
+    assert one_day.count() == ev.filter(F.to_date("ts") == "2024-01-10").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            p = plan_of(j, "simple")
+            assert "SortMergeJoin" in p
+            # co-bucketed layout: the join needs NO exchange on either side
+            assert "Exchange" not in p, p
+            assert j.count() == li.count()  # every lineitem has its order
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
