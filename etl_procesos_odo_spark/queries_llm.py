@@ -544,6 +544,85 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str):
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _corpus_prep_final(threshold: float = 0.5, min_tokens: int = 30) -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(f"len(list_intersect(toks, {arr})) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN score_{lg} = {m} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+    return f"""
+    , pairs AS (SELECT id_a, id_b FROM j WHERE jaccard_sim >= {threshold}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    reps AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id),
+    kept AS (
+      SELECT w.doc_id, w.w,
+             list_distinct(list_transform(w.w, x -> lower(x))) AS toks
+      FROM w JOIN reps USING (doc_id)
+      WHERE len(w.w) >= {min_tokens}
+    ),
+    scored AS (SELECT doc_id, len(w) AS n_tokens, {', '.join(score_cols)}
+               FROM kept),
+    labeled AS (SELECT n_tokens, {case} AS pred_lang FROM scored)
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM labeled GROUP BY pred_lang
+    """
+
+
+@register(
+    "q64_corpus_prep",
+    _minhash_oracle(final_select=_corpus_prep_final(), recursive=True),
+    doc="End-to-end training-corpus prep pipeline composing the LLM "
+    "operators: MinHash-LSH near-dup clustering (q47) -> keep only "
+    "cluster representatives -> token-count quality gate (>= 30) -> "
+    "language-ID (q35) -> per-language corpus stats. The 100 TB shape: "
+    "one LSH pass + component loop over the (small) pair graph, then "
+    "pure scan expressions — the full prep costs ~2 shuffles beyond the "
+    "dedup itself.",
+)
+def q64_corpus_prep(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(reps, "doc_id").filter(
+        token_count_ws(F.col("text")) >= 30
+    )
+    scores = lang_scores(F.col("text"))
+    scored = kept.select(
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        *[v.alias(k) for k, v in scores.items()],
+    )
+    labeled = scored.withColumn(
+        "pred_lang", lang_predict({k: F.col(k) for k in scores})
+    )
+    return labeled.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
