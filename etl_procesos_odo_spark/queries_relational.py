@@ -1309,3 +1309,35 @@ def q63_salted_segments(spark: SparkSession, sf_dir: str):
             "total_value"
         ),
     )
+
+
+@register(
+    "q65_pivot_explicit_total",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P,
+           COUNT(*) FILTER (WHERE o_orderstatus IN ('F','O','P')) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A12 pivot with an EXPLICIT values list + TOTAL column — the "
+    "scale-safe pivot form (SURVEY.md §7 watch-out: dynamic pivot needs a "
+    "distinct-values job and unbounded output width; pinning the values "
+    "makes the plan static and one-pass). TOTAL via expression over the "
+    "pivoted columns, no second aggregation.",
+)
+def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .na.fill(0, statuses)
+    )
+    total = sum(F.col(s) for s in statuses).cast("long")
+    return piv.select(
+        "o_orderpriority", *statuses, total.alias("total")
+    )
