@@ -1341,3 +1341,118 @@ def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
     return piv.select(
         "o_orderpriority", *statuses, total.alias("total")
     )
+
+
+@register(
+    "q66_wallclock_flexible",
+    """
+    WITH raws AS (
+      SELECT o_orderkey AS k,
+             CASE CAST(o_orderkey % 8 AS INTEGER)
+               WHEN 0 THEN CAST(60 + o_orderkey % 300 AS VARCHAR)
+               WHEN 1 THEN '0.' || CAST(o_orderkey % 9 AS VARCHAR)
+               WHEN 2 THEN lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+                        || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
+                        || lpad(CAST(o_orderkey % 53 AS VARCHAR), 2, '0')
+               WHEN 3 THEN lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+                        || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+               WHEN 4 THEN CAST(1 + o_orderkey % 12 AS VARCHAR) || ':'
+                        || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+                        || CASE WHEN o_orderkey % 2 = 0 THEN ' AM' ELSE ' PM' END
+               WHEN 5 THEN '2024-03-' || lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0')
+                        || ' ' || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0')
+                        || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+               WHEN 6 THEN 'aprox ' || CAST(o_orderkey % 24 AS VARCHAR) || ':'
+                        || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ' hrs'
+               ELSE 'n/a'
+             END AS raw
+      FROM orders
+    ),
+    p AS (
+      SELECT k, raw, TRY_CAST(raw AS DOUBLE) AS n,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (COALESCE(try_strptime(raw, '%H:%M:%S'),
+                           try_strptime(raw, '%H:%M'),
+                           try_strptime(raw, '%I:%M %p'))
+                  - TIMESTAMP '1900-01-01 00:00:00') AS time_only,
+             COALESCE(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                      try_strptime(raw, '%Y-%m-%d %H:%M')) AS full_dt,
+             TRY_CAST(regexp_extract(raw, '(\\d{1,2}):(\\d{2})', 1) AS INTEGER) AS rh,
+             TRY_CAST(regexp_extract(raw, '(\\d{1,2}):(\\d{2})', 2) AS INTEGER) AS rm
+      FROM raws
+    )
+    SELECT k AS o_orderkey, raw,
+           CASE
+             WHEN n IS NOT NULL AND n > 59
+               THEN TIMESTAMP '1899-12-30 00:00:00'
+                    + to_seconds(CAST(floor(n * 86400) AS BIGINT))
+             WHEN n IS NOT NULL AND n >= 0 AND n <= 1
+               THEN TIMESTAMP '1970-01-01 00:00:00'
+                    + to_seconds(CAST(floor(n * 86400) AS BIGINT))
+             WHEN n IS NULL THEN COALESCE(
+               time_only, full_dt,
+               CASE WHEN rh BETWEEN 0 AND 23 AND rm BETWEEN 0 AND 59
+                    THEN TIMESTAMP '1970-01-01 00:00:00'
+                         + to_seconds(CAST(rh * 3600 + rm * 60 AS BIGINT)) END)
+           END AS ts
+    FROM p
+    """,
+    doc="F7 flexible wall-clock parse (the 65-line convertir_hora state "
+    "machine, app_calculador_recursos_modelo_atencion.py:31-95) as ONE "
+    "expression over all branches: Excel serial (>59), day fraction "
+    "[0,1], 5 strptime formats, regex hh:mm rescue, unparseable->null. "
+    "Inputs synthesized per-branch from o_orderkey. Oracle shifts "
+    "DuckDB's 1900-01-01 time-only default to Spark's 1970 epoch.",
+)
+def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
+    from .functions.datetime_fns import parse_wallclock_flexible
+
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    raw = (
+        F.when(k % 8 == 0, (F.lit(60) + k % 300).cast("string"))
+        .when(k % 8 == 1, F.concat(F.lit("0."), (k % 9).cast("string")))
+        .when(
+            k % 8 == 2,
+            F.concat_ws(":", two(k % 24), two(k % 60), two(k % 53)),
+        )
+        .when(k % 8 == 3, F.concat_ws(":", two(k % 24), two(k % 60)))
+        .when(
+            k % 8 == 4,
+            F.concat(
+                (F.lit(1) + k % 12).cast("string"),
+                F.lit(":"),
+                two(k % 60),
+                F.when(k % 2 == 0, F.lit(" AM")).otherwise(F.lit(" PM")),
+            ),
+        )
+        .when(
+            k % 8 == 5,
+            F.concat(
+                F.lit("2024-03-"),
+                two(F.lit(1) + k % 28),
+                F.lit(" "),
+                two(k % 24),
+                F.lit(":"),
+                two(k % 60),
+            ),
+        )
+        .when(
+            k % 8 == 6,
+            F.concat(
+                F.lit("aprox "),
+                (k % 24).cast("string"),
+                F.lit(":"),
+                two(k % 60),
+                F.lit(" hrs"),
+            ),
+        )
+        .otherwise(F.lit("n/a"))
+    )
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        parse_wallclock_flexible(raw).alias("ts"),
+    )
