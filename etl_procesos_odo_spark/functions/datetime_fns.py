@@ -219,23 +219,48 @@ def date_spine_col(start: Column, end: Column, step: str = "interval 1 day") -> 
 
 
 def ampm_to_decimal_hours(col: Column | str, sentinel: float = 999999.0) -> Column:
-    """F11 — 'h:mm AM/PM' → decimal hours, sentinel for unparseable/null
-    (app_confirmaciones.py:226-257: 12→24h logic, 999999 null sentinel)."""
+    """F11 — ``hora_a_decimal`` (app_confirmaciones.py:226-257) as one
+    expression, branch-for-branch:
+
+    1. null/''/'nan' → the 999999 sentinel;
+    2. ``float(s)`` passthrough for plain numeric strings;
+    3. else strip AM/PM (the reference's four literal replaces), split on
+       ':' (minutes default 0, seconds ignored) — 24-hour colon strings
+       without a suffix parse too;
+    4. PM & hour≠12 → +12; no PM & hour==12 → 0 (the reference's quirk:
+       this also zeroes a suffix-less '12:30');
+    5. any int() failure → sentinel.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.upper(F.trim(c.cast("string")))
-    h = F.regexp_extract(s, r"^(\d{1,2}):", 1).try_cast("int")
-    m = F.regexp_extract(s, r":(\d{2})", 1).try_cast("int")
-    is_pm = s.contains("PM")
-    is_am = s.contains("AM")
+    s = F.trim(c.cast("string"))
+    empty = c.isNull() | (s == "") | (s == "nan")
+    num = s.try_cast("double")
+    es_pm = F.lower(s).contains("pm")
+    clean = F.trim(F.regexp_replace(s, "AM|PM|am|pm", ""))
+    parts = F.split(clean, ":")
+    has_colon = clean.contains(":")
+    h = F.when(has_colon, F.element_at(parts, 1).try_cast("int")).otherwise(
+        clean.try_cast("int")
+    )
+    m = (
+        F.when(has_colon & (F.size(parts) >= 2), F.element_at(parts, 2).try_cast("int"))
+        .when(has_colon, F.lit(None).cast("int"))
+        .otherwise(F.lit(0))
+    )
     h24 = (
-        F.when(is_pm & (h != 12), h + 12)
-        .when(is_am & (h == 12), F.lit(0))
+        F.when(es_pm & (h != 12), h + 12)
+        .when(~es_pm & (h == 12), F.lit(0))
         .otherwise(h)
     )
-    return F.when(
-        h.isNotNull() & m.isNotNull() & (is_am | is_pm),
-        h24.cast("double") + m.cast("double") / 60,
-    ).otherwise(F.lit(sentinel))
+    return (
+        F.when(empty, F.lit(sentinel))
+        .when(num.isNotNull(), num)
+        .when(
+            h.isNotNull() & m.isNotNull(),
+            h24.cast("double") + m.cast("double") / 60,
+        )
+        .otherwise(F.lit(sentinel))
+    )
 
 
 def parse_wallclock_flexible(
@@ -244,10 +269,12 @@ def parse_wallclock_flexible(
         "HH:mm:ss", "HH:mm", "h:mm a", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
     ),
 ) -> Column:
-    """F7 — flexible wall-clock parse (the 65-line ``convertir_hora`` at
+    """F7 — flexible wall-clock parse (the 65-line ``convertir_a_hora`` at
     app_calculador_recursos_modelo_atencion.py:31-95), one expression:
 
-    1. numeric > 59 → Excel serial datetime (epoch 1899-12-30);
+    1. numeric > 40000 → Excel serial datetime (epoch 1899-12-30) — the
+       reference's exact threshold; numerics in the (1, 40000] gap (and
+       negatives) return null, matching its fall-through;
     2. numeric in [0, 1] → fraction-of-day on the epoch date;
     3. else try the strptime formats in order;
     4. regex rescue: first '(\\d{1,2}):(\\d{2})' anywhere in the string.
@@ -270,7 +297,7 @@ def parse_wallclock_flexible(
         F.timestamp_seconds((rescue_h * 3600 + rescue_m * 60).cast("long")),
     )
     return (
-        F.when(num.isNotNull() & (num > 59), serial_ts)
+        F.when(num.isNotNull() & (num > 40000), serial_ts)
         .when(num.isNotNull() & (num >= 0) & (num <= 1), frac_ts)
         .when(num.isNull(), F.coalesce(by_format, rescue_ts))
     )

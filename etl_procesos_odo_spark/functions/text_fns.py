@@ -61,9 +61,14 @@ def phone_normalize(
     (app_confirmaciones.py:203-224):
 
     - strip a trailing '.0' (Excel float residue) and whitespace;
-    - empty móvil → fall back to fijo unless fijo starts with '60';
+    - empty móvil → '+57'+fijo unless fijo is empty or starts with '60';
     - móvil starting with '3' (mobile prefix, not '60' landline) → '+57'+móvil;
-    - otherwise a sentinel default.
+    - otherwise the sentinel default (the reference never passes a raw
+      non-matching móvil through — it keeps its 'sin número…' initializer).
+
+    The reference strips the trailing '.0' on the *output* column after the
+    '+57' concat; stripping the inputs first is equivalent (the suffix never
+    affects the emptiness/startswith tests) and keeps one expression.
     """
     mv = F.col(movil) if isinstance(movil, str) else movil
     fj = F.col(fijo) if isinstance(fijo, str) else fijo
@@ -72,9 +77,14 @@ def phone_normalize(
     m_empty = m.isNull() | (m == "") | (m == "nan")
     f_empty = f_.isNull() | (f_ == "") | (f_ == "nan")
     return (
-        F.when(m_empty & ~f_empty & ~f_.startswith("60"), f_)
-        .when(~m_empty & m.startswith("3") & ~m.startswith("60"), F.concat(F.lit("+57"), m))
-        .when(~m_empty, m)
+        F.when(
+            m_empty & ~f_empty & ~f_.startswith("60"),
+            F.concat(F.lit("+57"), f_),
+        )
+        .when(
+            ~m_empty & m.startswith("3") & ~m.startswith("60"),
+            F.concat(F.lit("+57"), m),
+        )
         .otherwise(F.lit(default))
     )
 

@@ -96,14 +96,23 @@ def with_total_row(
     """A11 — grouped aggregate plus an appended grand-TOTAL row
     (app.py:383-392; app_indicadores_modelo_atencion.py:250-257).
 
-    Implemented as ROLLUP (one pass, partial aggs reused) with the null
-    rollup key relabeled — not a union of two scans.
+    Implemented as ROLLUP (one pass, partial aggs reused) with the rollup
+    row identified by ``GROUPING(group_col)`` — not by coalescing NULLs, so
+    a natural NULL group in ``group_col`` stays distinguishable from the
+    grand-total row (it surfaces as a NULL-labeled group, exactly like the
+    reference's pandas groupby(dropna=False) + appended total).
     """
     agg_exprs = [v.alias(k) for k, v in aggs.items()]
     return (
         df.rollup(group_col)
-        .agg(*agg_exprs)
-        .withColumn(group_col, F.coalesce(F.col(group_col), F.lit(total_label)))
+        .agg(*agg_exprs, F.grouping(group_col).alias("_is_total"))
+        .withColumn(
+            group_col,
+            F.when(F.col("_is_total") == 1, F.lit(total_label)).otherwise(
+                F.col(group_col)
+            ),
+        )
+        .drop("_is_total")
     )
 
 

@@ -272,7 +272,7 @@ def q52_recursos_pipeline(spark: SparkSession, sf_dir: str):
       SELECT * FROM t
       WHERE same_day AND wait_us > 0 AND wait_us < 3000000000 AND dia < 4
     )
-    SELECT COALESCE(dia, CAST(-1 AS BIGINT)) AS dia,
+    SELECT CASE WHEN GROUPING(dia) = 1 THEN CAST(-1 AS BIGINT) ELSE dia END AS dia,
            COUNT(*) AS n_esperas,
            CAST(SUM(wait_us) AS DOUBLE) / COUNT(*) / CAST(60000000 AS DOUBLE)
              AS avg_espera_min
@@ -309,8 +309,13 @@ def q54_indicadores_pipeline(spark: SparkSession, sf_dir: str):
             (
                 F.sum("wait_us").cast("double") / F.count("*") / F.lit(60000000.0)
             ).alias("avg_espera_min"),
+            F.grouping("dia").alias("_g"),
         )
-        .withColumn("dia", F.coalesce(F.col("dia"), F.lit(-1).cast("long")))
+        .withColumn(
+            "dia",
+            F.when(F.col("_g") == 1, F.lit(-1).cast("long")).otherwise(F.col("dia")),
+        )
+        .drop("_g")
     )
 
 

@@ -519,7 +519,8 @@ def q16_running_revenue(spark: SparkSession, sf_dir: str):
 @register(
     "q17_rollup_total",
     """
-    SELECT COALESCE(o_orderstatus, 'TOTAL') AS o_orderstatus,
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'TOTAL'
+                ELSE o_orderstatus END AS o_orderstatus,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
     FROM orders GROUP BY ROLLUP(o_orderstatus)
@@ -730,18 +731,18 @@ def q23_time_grid_5min(spark: SparkSession, sf_dir: str):
     SELECT c_custkey,
            CASE
              WHEN (m = '' OR m = 'nan') AND NOT (f = '' OR f = 'nan')
-                  AND NOT starts_with(f, '60') THEN f
+                  AND NOT starts_with(f, '60') THEN '+57' || f
              WHEN NOT (m = '' OR m = 'nan') AND starts_with(m, '3')
                   AND NOT starts_with(m, '60') THEN '+57' || m
-             WHEN NOT (m = '' OR m = 'nan') THEN m
              ELSE 'SIN TELÉFONO'
            END AS telefono
     FROM c
     """,
     doc="F18 phone-normalization ruleset (app_confirmaciones.py:203-224): "
-    "trailing-'.0' strip, móvil→+57 prefix, fijo fallback unless landline "
-    "'60', sentinel default. Inputs synthesized deterministically from "
-    "c_custkey (the star schema has no phone column).",
+    "trailing-'.0' strip, '+57' prefix on both the móvil rule and the fijo "
+    "fallback, sentinel for everything else (the reference keeps its "
+    "initializer for non-matching móvil). Inputs synthesized "
+    "deterministically from c_custkey (the star schema has no phone column).",
 )
 def q24_phone_rules(spark: SparkSession, sf_dir: str):
     _utc(spark)
@@ -1348,8 +1349,8 @@ def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
     """
     WITH raws AS (
       SELECT o_orderkey AS k,
-             CASE CAST(o_orderkey % 8 AS INTEGER)
-               WHEN 0 THEN CAST(60 + o_orderkey % 300 AS VARCHAR)
+             CASE CAST(o_orderkey % 9 AS INTEGER)
+               WHEN 0 THEN CAST(40001 + o_orderkey % 300 AS VARCHAR)
                WHEN 1 THEN '0.' || CAST(o_orderkey % 9 AS VARCHAR)
                WHEN 2 THEN lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
                         || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
@@ -1364,6 +1365,7 @@ def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
                         || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
                WHEN 6 THEN 'aprox ' || CAST(o_orderkey % 24 AS VARCHAR) || ':'
                         || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ' hrs'
+               WHEN 7 THEN CAST(2 + o_orderkey % 39999 AS VARCHAR)
                ELSE 'n/a'
              END AS raw
       FROM orders
@@ -1383,7 +1385,7 @@ def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
     )
     SELECT k AS o_orderkey, raw,
            CASE
-             WHEN n IS NOT NULL AND n > 59
+             WHEN n IS NOT NULL AND n > 40000
                THEN TIMESTAMP '1899-12-30 00:00:00'
                     + to_seconds(CAST(floor(n * 86400) AS BIGINT))
              WHEN n IS NOT NULL AND n >= 0 AND n <= 1
@@ -1397,9 +1399,10 @@ def q65_pivot_explicit_total(spark: SparkSession, sf_dir: str):
            END AS ts
     FROM p
     """,
-    doc="F7 flexible wall-clock parse (the 65-line convertir_hora state "
+    doc="F7 flexible wall-clock parse (the 65-line convertir_a_hora state "
     "machine, app_calculador_recursos_modelo_atencion.py:31-95) as ONE "
-    "expression over all branches: Excel serial (>59), day fraction "
+    "expression over all branches: Excel serial (>40000, the reference's "
+    "exact cutoff), the (1,40000] numeric gap -> null, day fraction "
     "[0,1], 5 strptime formats, regex hh:mm rescue, unparseable->null. "
     "Inputs synthesized per-branch from o_orderkey. Oracle shifts "
     "DuckDB's 1900-01-01 time-only default to Spark's 1970 epoch.",
@@ -1412,15 +1415,15 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
     k = F.col("o_orderkey")
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     raw = (
-        F.when(k % 8 == 0, (F.lit(60) + k % 300).cast("string"))
-        .when(k % 8 == 1, F.concat(F.lit("0."), (k % 9).cast("string")))
+        F.when(k % 9 == 0, (F.lit(40001) + k % 300).cast("string"))
+        .when(k % 9 == 1, F.concat(F.lit("0."), (k % 9).cast("string")))
         .when(
-            k % 8 == 2,
+            k % 9 == 2,
             F.concat_ws(":", two(k % 24), two(k % 60), two(k % 53)),
         )
-        .when(k % 8 == 3, F.concat_ws(":", two(k % 24), two(k % 60)))
+        .when(k % 9 == 3, F.concat_ws(":", two(k % 24), two(k % 60)))
         .when(
-            k % 8 == 4,
+            k % 9 == 4,
             F.concat(
                 (F.lit(1) + k % 12).cast("string"),
                 F.lit(":"),
@@ -1429,7 +1432,7 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
             ),
         )
         .when(
-            k % 8 == 5,
+            k % 9 == 5,
             F.concat(
                 F.lit("2024-03-"),
                 two(F.lit(1) + k % 28),
@@ -1440,7 +1443,7 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
             ),
         )
         .when(
-            k % 8 == 6,
+            k % 9 == 6,
             F.concat(
                 F.lit("aprox "),
                 (k % 24).cast("string"),
@@ -1449,6 +1452,7 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
                 F.lit(" hrs"),
             ),
         )
+        .when(k % 9 == 7, (F.lit(2) + k % 39999).cast("string"))
         .otherwise(F.lit("n/a"))
     )
     return orders.select(

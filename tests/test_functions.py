@@ -86,10 +86,11 @@ def test_phone_normalize_rules(spark):
     """Ruleset of app_confirmaciones.py:203-224."""
     rows = [
         ("3001234567", "6015550000"),   # movil mobile -> +57
-        ("", "3005550000"),             # empty movil -> fijo (not '60')
+        ("", "3005550000"),             # empty movil -> '+57'+fijo (not '60')
         ("", "6015550000"),             # empty movil, fijo landline -> default
         ("  3001234567.0  ", ""),       # trim + strip .0 -> +57
-        ("6012345678", ""),             # movil landline-style kept as-is
+        ("6012345678", ""),             # movil landline-style -> sentinel kept
+        ("9991234567", ""),             # movil not starting '3' -> sentinel kept
         (None, None),                   # nothing -> default
     ]
     got = _col_vals(
@@ -100,12 +101,77 @@ def test_phone_normalize_rules(spark):
     )
     assert got == [
         "+573001234567",
-        "3005550000",
+        "+573005550000",
         "SIN TELÉFONO",
         "+573001234567",
-        "6012345678",
+        "SIN TELÉFONO",
+        "SIN TELÉFONO",
         "SIN TELÉFONO",
     ]
+
+
+def test_ampm_to_decimal_hours_reference_branches(spark):
+    """hora_a_decimal (app_confirmaciones.py:226-257) branch-for-branch:
+    numeric passthrough, 24h colon strings, the hour-12->0 quirk, AM/PM
+    shifts, sentinel failures."""
+    from etl_procesos_odo_spark.functions.datetime_fns import ampm_to_decimal_hours
+
+    rows = [
+        ("1:30 PM",),    # 13.5
+        ("12:15 AM",),   # 0.25
+        ("12:15 PM",),   # 12.25
+        ("14:30",),      # 24h, no suffix -> 14.5 (reference parses it)
+        ("12:30",),      # reference quirk: no PM & hour==12 -> 0 -> 0.5
+        ("7.25",),       # float passthrough
+        ("15",),         # int passthrough via float()
+        ("3 PM",),       # no colon, suffix -> int('3') -> 15.0
+        ("",),           # sentinel
+        ("nan",),        # sentinel
+        (None,),         # sentinel
+        ("abc",),        # sentinel
+    ]
+    got = _col_vals(spark, rows, "h string", ampm_to_decimal_hours("h"))
+    assert got == [
+        13.5, 0.25, 12.25, 14.5, 0.5, 7.25, 15.0, 15.0,
+        999999.0, 999999.0, 999999.0, 999999.0,
+    ]
+
+
+def test_parse_wallclock_serial_threshold(spark):
+    """convertir_a_hora (app_calculador_recursos_modelo_atencion.py:31-95):
+    numeric > 40000 is an Excel serial; the (1, 40000] gap and negatives
+    are null; [0, 1] is a day fraction."""
+    from etl_procesos_odo_spark.functions.datetime_fns import (
+        parse_wallclock_flexible,
+    )
+
+    rows = [("40001",), ("45000",), ("120",), ("40000",), ("-5",), ("0.5",)]
+    got = _col_vals(spark, rows, "v string", parse_wallclock_flexible("v"))
+    assert got[0] == datetime.datetime(1899, 12, 30) + datetime.timedelta(days=40001)
+    assert got[1] == datetime.datetime(1899, 12, 30) + datetime.timedelta(days=45000)
+    assert got[2] is None
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] == datetime.datetime(1970, 1, 1, 12, 0, 0)
+
+
+def test_with_total_row_null_group_distinct_from_total(spark):
+    """A natural NULL group must stay separate from the grand-TOTAL row
+    (GROUPING-based labeling, not NULL-coalescing)."""
+    from etl_procesos_odo_spark.operators.aggregates import with_total_row
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 10), (None, 20)], "k string, v int"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in with_total_row(
+            df, "k", {"n": F.count("*"), "s": F.sum("v")}
+        ).collect()
+    }
+    assert out["a"] == (2, 3)
+    assert out[None] == (2, 30)      # natural NULL group survives
+    assert out["TOTAL"] == (4, 33)   # grand total labeled via GROUPING()
 
 
 def test_spanish_date_roundtrip(spark):
