@@ -41,6 +41,56 @@ def seeded_order_hash(key: Column, seed: int, method: str = "xxhash64") -> Colum
     raise ValueError(f"unknown hash method: {method!r}")
 
 
+STRIPE_SHIFT = 52  # high-bit stripes: 4096 for signed xxhash64, 256 for 60-bit md5
+
+
+def _striped_global_rank(
+    keys: DataFrame, unit_col: str, key_col: str, order_hash: Column
+) -> DataFrame:
+    """Per-unit global rank by (hash, key) WITHOUT a per-unit serial sort.
+
+    A plain ``row_number() over (partition by unit order by hash)`` funnels
+    every key of one unit through a single task — a straggler/OOM at 10⁸+
+    keys per unit (and AQE does not split window partitions). Instead:
+
+    1. stripe = high bits of the hash (``>> 52``, arithmetic shift — monotone
+       in the signed hash), so ordering by (stripe, hash, key) ≡ ordering by
+       (hash, key) and ranks compose exactly;
+    2. local ``row_number`` within each (unit, stripe) window — parallelism
+       is units × up-to-4096 stripes, each task holds ~1/4096 of a unit;
+    3. per-(unit, stripe) counts (a tiny aggregate: ≤ units × 4096 rows)
+       yield prefix-sum offsets, broadcast-joined back;
+    4. global rank = stripe offset + local rank.
+
+    Output: the distinct (unit, key) frame plus ``_rk`` (1-based global
+    rank by (hash, key) within the unit) and ``_cnt`` (unit key count).
+    The result is bit-identical to the single-window form — same order,
+    same ranks — so oracle membership checks are unaffected.
+    """
+    striped = keys.withColumn("_h", order_hash).withColumn(
+        "_stripe", F.shiftright(F.col("_h"), STRIPE_SHIFT)
+    )
+    w_local = Window.partitionBy(unit_col, "_stripe").orderBy("_h", key_col)
+    local = striped.withColumn("_lrk", F.row_number().over(w_local))
+    counts = striped.groupBy(unit_col, "_stripe").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(unit_col)
+        .orderBy("_stripe")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        unit_col,
+        "_stripe",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(unit_col)).alias("_cnt"),
+    )
+    return (
+        local.join(F.broadcast(offsets), on=[unit_col, "_stripe"])
+        .withColumn("_rk", (F.col("_off") + F.col("_lrk")).cast("long"))
+        .drop("_h", "_stripe", "_lrk", "_off")
+    )
+
+
 def balanced_partition(
     df: DataFrame,
     unit_col: str,
@@ -53,14 +103,30 @@ def balanced_partition(
     """X4 — assign each distinct ``key_col`` within each ``unit_col`` to one
     of ``num_parts`` balanced partitions; returns (unit, key, particion).
 
-    ntile over a seeded-hash ordering = the reference's shuffle+quota split:
-    sizes per unit differ by at most 1, larger parts first.
+    The ntile quota formula over a seeded-hash ordering = the reference's
+    shuffle+quota split: sizes per unit differ by at most 1, larger parts
+    first (remainder to the lowest part ids, app.py:77-87). The rank itself
+    comes from the striped two-pass assembly (``_striped_global_rank``) so
+    no single task ever sorts a whole unit; the closed-form quota below is
+    exactly ntile's: with cnt keys and n parts, the first cnt%n parts get
+    ⌈cnt/n⌉ keys, the rest ⌊cnt/n⌋.
     """
     keys = df.select(unit_col, key_col).distinct()
-    w = Window.partitionBy(unit_col).orderBy(
-        seeded_order_hash(F.col(key_col), seed, hash_method), F.col(key_col)
+    ranked = (
+        _striped_global_rank(
+            keys, unit_col, key_col,
+            seeded_order_hash(F.col(key_col), seed, hash_method),
+        )
+        .withColumn("_base", F.expr(f"_cnt div {num_parts}"))
+        .withColumn("_rem", F.col("_cnt") % F.lit(num_parts).cast("long"))
     )
-    return keys.withColumn(out_col, F.ntile(num_parts).over(w))
+    thr = F.col("_rem") * (F.col("_base") + 1)
+    part = F.when(
+        F.col("_rk") <= thr, F.expr("(_rk - 1) div (_base + 1) + 1")
+    ).otherwise(F.col("_rem") + F.expr("(_rk - _rem * (_base + 1) - 1) div _base + 1"))
+    return ranked.withColumn(out_col, part.cast("int")).drop(
+        "_rk", "_cnt", "_base", "_rem"
+    )
 
 
 def constrained_partition(
@@ -75,17 +141,18 @@ def constrained_partition(
     """X5 — constrained variant: each unit may only use a configured subset
     of partitions (app.py:91-145). ``allowed`` is a dim
     (unit_col, particion) listing permitted part ids per unit; keys are
-    round-robined across the unit's allowed parts by seeded-hash rank.
+    round-robined across the unit's allowed parts by seeded-hash rank
+    (the same striped two-pass rank as X4 — no per-unit serial sort).
     """
     n_allowed = allowed.groupBy(unit_col).agg(
         F.count("*").alias("_n_parts"),
         F.sort_array(F.collect_list(out_col)).alias("_parts"),
     )
     keys = df.select(unit_col, key_col).distinct()
-    w = Window.partitionBy(unit_col).orderBy(
-        seeded_order_hash(F.col(key_col), seed, hash_method), F.col(key_col)
-    )
-    ranked = keys.withColumn("_rk", F.row_number().over(w))
+    ranked = _striped_global_rank(
+        keys, unit_col, key_col,
+        seeded_order_hash(F.col(key_col), seed, hash_method),
+    ).drop("_cnt")
     return (
         ranked.join(F.broadcast(n_allowed), on=unit_col, how="inner")
         .withColumn(

@@ -93,6 +93,24 @@ def test_lsh_joins_are_equi_joins(plan, name):
     )
 
 
+def test_partitioner_has_no_per_unit_serial_window(plan, spark):
+    """The X4/X5 rank must come from (unit, stripe) windows, never a
+    window partitioned by the unit alone over the raw key frame — that
+    funnels a whole unit through one task at scale (and AQE cannot split
+    window partitions). The only unit-only windows allowed are the
+    prefix-offset sums over the tiny per-(unit, stripe) count aggregate."""
+    import re
+
+    for name in ("q19_balanced_partition", "q46_constrained_partition"):
+        p = plan(name)
+        rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
+        assert rn_specs, f"{name}: expected a row_number window in the plan"
+        for spec in rn_specs:
+            assert "_stripe" in spec, (
+                f"{name}: row_number window not striped: {spec}"
+            )
+
+
 def test_ivf_centroid_join_is_tiny_broadcast(plan):
     """The only nested-loop joins allowed in the IVF plan are the two
     16-row centroid-assignment cross joins (corpus + queries); the cell
