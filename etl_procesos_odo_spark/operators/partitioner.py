@@ -71,8 +71,15 @@ def _striped_global_rank(
         "_stripe", F.shiftright(F.col("_h"), STRIPE_SHIFT)
     )
     w_local = Window.partitionBy(unit_col, "_stripe").orderBy("_h", key_col)
-    local = striped.withColumn("_lrk", F.row_number().over(w_local))
-    counts = striped.groupBy(unit_col, "_stripe").agg(F.count("*").alias("_c"))
+    w_part = Window.partitionBy(unit_col, "_stripe")
+    # the per-(unit, stripe) count rides the SAME window exchange as the
+    # local rank (unordered count over the identical partitioning), so the
+    # counts branch below shares the shuffle (ReusedExchange) instead of
+    # re-scanning and re-distincting the key frame
+    local = striped.withColumn("_lrk", F.row_number().over(w_local)).withColumn(
+        "_c", F.count("*").over(w_part)
+    )
+    counts = local.filter(F.col("_lrk") == 1).select(unit_col, "_stripe", "_c")
     w_off = (
         Window.partitionBy(unit_col)
         .orderBy("_stripe")
@@ -87,7 +94,7 @@ def _striped_global_rank(
     return (
         local.join(F.broadcast(offsets), on=[unit_col, "_stripe"])
         .withColumn("_rk", (F.col("_off") + F.col("_lrk")).cast("long"))
-        .drop("_h", "_stripe", "_lrk", "_off")
+        .drop("_h", "_stripe", "_lrk", "_off", "_c")
     )
 
 
