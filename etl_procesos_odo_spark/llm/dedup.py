@@ -73,6 +73,24 @@ def exact_dedup(
 # odd multipliers/offsets; the oracle SQL embeds the same numbers.
 MINHASH_P = (1 << 31) - 1
 
+# Persist-lifecycle cap: registry queries hand lazy frames to a driver that
+# collects them and moves on, so an operator-internal persist can never be
+# unpersisted by its own caller at the right moment. Instead each new
+# pipeline invocation evicts the previous invocation's cached frame —
+# bounding a long session (67-query correctness run, bench loops, pytest)
+# to at most ONE live cached shingle frame instead of one per invocation.
+_LIVE_PERSISTS: list = []
+
+
+def _persist_capped(df: DataFrame) -> DataFrame:
+    while _LIVE_PERSISTS:
+        try:
+            _LIVE_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    _LIVE_PERSISTS.append(df.persist())
+    return df
+
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7919 * (i + 1)) for i in range(num_hashes)]
@@ -149,14 +167,13 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     self-join → exact-Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard_sim), id_a < id_b, one row per pair."""
-    sh = (
+    sh = _persist_capped(
+        # the shingle frame feeds signing AND both sides of the verify join —
+        # persist so tokenize+shingle runs once, not three times (capped:
+        # the previous invocation's frame is evicted, see _persist_capped)
         df.select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-        )
-        .filter(F.size("_sh") > 0)
-        # the shingle frame feeds signing AND both sides of the verify join —
-        # persist so tokenize+shingle runs once, not three times
-        .persist()
+        ).filter(F.size("_sh") > 0)
     )
     hashed = sh.withColumn("_base", base_hashes(F.col("_sh")))
     signed = hashed.select(

@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # long-session hygiene: the correctness harness runs the whole
+        # 67-query registry in one JVM — reclaim shuffle files, broadcast
+        # blocks and localCheckpoint RDDs promptly instead of at the default
+        # 30-min ContextCleaner GC tick
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # surface Python-worker native crashes with a stack instead of a
+        # silent executor death (diagnosis aid for the Arrow/UDF paths)
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

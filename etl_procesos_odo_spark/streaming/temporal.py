@@ -69,11 +69,17 @@ def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming frame to completion against the memory sink and
-    return the materialized table (bounded-input smoke path)."""
+    return the result as a local batch DataFrame (bounded-input smoke path).
+
+    The memory-sink table and the stopped query's state are released
+    EAGERLY: the sink rows are materialized (bounded by windows/keys, not
+    raw volume — this is the harness-only export edge) and the temp view is
+    dropped before returning, so a long correctness session (67 registry
+    queries, bench loops) does not accumulate sink tables and streaming
+    state across queries. Production replaces this sink with Kafka/Delta —
+    nothing upstream of the sink changes.
+    """
     spark = df.sparkSession
-    spark.catalog.dropTempView(name) if name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -84,7 +90,10 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def stateful_user_stats(stream: DataFrame) -> DataFrame:

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Batch-isolated correctness runner: every registry query vs its DuckDB
+oracle, with optional fresh-process isolation per batch.
+
+Round-1 postmortem: running all 67 registry queries in ONE long-lived JVM
+intermittently segfaulted (accumulated cached blocks / streaming state /
+Arrow workers), which is the most likely reason the driver's
+CORRECTNESS_r01.json came back empty. This runner is the mitigation:
+
+    python verify_all.py                    # one session, whole registry
+    python verify_all.py --isolate 12       # fresh subprocess per 12 queries
+    python verify_all.py --sf /root/testdata/sf0.01 --out CORRECTNESS_local.json
+
+Per query it records the same three driver signals (row-count match,
+sorted-schema match, order-insensitive value match) or a rows-only count
+for oracle-less queries, plus any error, and exits non-zero if anything
+fails. ``--isolate`` survives a crashing batch: the failed batch is
+re-run one-query-per-process so a single poisoned query cannot take the
+whole artifact down with it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import decimal
+import json
+import math
+import os
+import subprocess
+import sys
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def run_queries(names: list[str], sf_dir: str) -> dict:
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import TABLES, get_spark
+
+    qdefs = {q.name: q for q in registry()}
+    spark = get_spark("verify-all")
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    results: dict = {}
+    for name in names:
+        q = qdefs[name]
+        try:
+            df = q.spark_fn(spark, sf_dir)
+            s_cols = list(df.columns)
+            s_rows = [tuple(r) for r in df.collect()]
+            if q.oracle is None:
+                results[name] = {"rows": len(s_rows), "rows_only": True, "ok": True}
+                continue
+            rel = con.sql(q.oracle)
+            o_cols, o_rows = list(rel.columns), rel.fetchall()
+            si = [s_cols.index(c) for c in sorted(s_cols)]
+            oi = [o_cols.index(c) for c in sorted(o_cols)]
+            schema_match = sorted(s_cols) == sorted(o_cols)
+            count_match = len(s_rows) == len(o_rows)
+            value_match = sorted(
+                tuple(canon(r[i]) for i in si) for r in s_rows
+            ) == sorted(tuple(canon(r[i]) for i in oi) for r in o_rows)
+            results[name] = {
+                "rows": len(s_rows),
+                "schema_match": schema_match,
+                "count_match": count_match,
+                "value_match": value_match,
+                "ok": schema_match and count_match and value_match,
+            }
+        except Exception as e:  # record, keep going
+            results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"[:500]}
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--out", default="CORRECTNESS_local.json")
+    ap.add_argument("--isolate", type=int, default=0, metavar="N",
+                    help="run in fresh subprocesses of N queries each")
+    ap.add_argument("--run-batch", default=None, help="(internal) CSV of query names")
+    args = ap.parse_args()
+
+    if args.run_batch is not None:
+        results = run_queries(args.run_batch.split(","), args.sf)
+        print("\n" + json.dumps(results))
+        return 0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_procesos_odo_spark.registry import registry
+
+    names = [q.name for q in registry()]
+    results: dict = {}
+    if not args.isolate:
+        results = run_queries(names, args.sf)
+    else:
+        batches = [names[i:i + args.isolate] for i in range(0, len(names), args.isolate)]
+        for batch in batches:
+            for attempt_batch in (batch,):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--run-batch", ",".join(attempt_batch),
+                     "--sf", args.sf],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                if proc.returncode == 0:
+                    results.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+                else:
+                    # batch crashed (e.g. JVM segfault) — retry one-by-one so
+                    # one poisoned query can't empty the whole artifact
+                    for n in attempt_batch:
+                        p1 = subprocess.run(
+                            [sys.executable, __file__, "--run-batch", n, "--sf", args.sf],
+                            capture_output=True, text=True, timeout=1800,
+                        )
+                        if p1.returncode == 0:
+                            results.update(json.loads(p1.stdout.strip().splitlines()[-1]))
+                        else:
+                            results[n] = {
+                                "ok": False,
+                                "error": f"process rc={p1.returncode}: "
+                                         + p1.stderr[-300:],
+                            }
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    bad = [k for k, r in results.items() if not r.get("ok")]
+    print(f"{n_ok}/{len(results)} ok -> {args.out}")
+    if bad:
+        print("FAILED:", ", ".join(bad))
+    return 0 if not bad else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
