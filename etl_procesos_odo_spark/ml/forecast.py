@@ -5,9 +5,10 @@ pipeline (app_calculo_necesidad_recepción_call_center.py:553-713,
 - features per (date, hour): weekday, hour, month, day-of-month,
   week-of-month; label = hourly demand count;
 - 70/30 split, seed 42 (reference :620);
-- candidate models: LinearRegression + GBTRegressor (the reference's
-  LinearRegression / MLPRegressor / GradientBoostingRegressor trio — MLP
-  regression has no pyspark.ml equivalent; GBT covers the boosted slot);
+- candidate models: LinearRegression + GBTRegressor + RandomForestRegressor
+  (the reference's LinearRegression / MLPRegressor / GradientBoostingRegressor
+  trio — MLP regression has no pyspark.ml equivalent, so a random forest
+  fills the third best-of-3 slot; GBT covers the boosted one);
 - best-by-R² on the held-out split (reference :697-713);
 - batch inference over a (weekday × hour) grid, predictions clamped ≥ 0
   (reference :1370 ``max(pred, 0)``), averaged across days per slot (U4).
@@ -46,11 +47,16 @@ FEATURES = ["dia_semana", "hora", "mes", "dia_mes", "semana_mes"]
 
 
 def train_best_forecaster(features: DataFrame, seed: int = 42):
-    """Fit LinearRegression + GBTRegressor on a 70/30 split and return
-    (best_model, metrics) by held-out R² (reference picks best-by-R²)."""
+    """Fit the three candidates on a 70/30 split and return
+    (best_model, metrics) by held-out R² — the reference's best-of-3 pick
+    (app_calculo_necesidad_recepción_call_center.py:620-713)."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import GBTRegressor, LinearRegression
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
 
     assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
     data = assembler.transform(features).select("features", "demanda")
@@ -61,6 +67,9 @@ def train_best_forecaster(features: DataFrame, seed: int = 42):
     candidates = {
         "linear_regression": LinearRegression(labelCol="demanda"),
         "gbt": GBTRegressor(labelCol="demanda", seed=seed, maxIter=20),
+        "random_forest": RandomForestRegressor(
+            labelCol="demanda", seed=seed, numTrees=30
+        ),
     }
     best_name, best_model, best_r2 = None, None, float("-inf")
     metrics = {}
