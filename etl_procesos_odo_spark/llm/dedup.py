@@ -209,6 +209,54 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-dedup-first MinHash-LSH (the SCALE.md composition guard,
+    now encoded as an operator): collapse exact duplicates to one
+    representative per normalized-text digest BEFORE shingling, so a
+    massive exact-dup cluster contributes ONE row per band bucket instead
+    of n — without this, a 10⁶-copy boilerplate document turns its band
+    buckets into 10⁶-row hot keys and the bucket self-join into a 10¹²-pair
+    explosion. Near-dup pair weights are multiplied back:
+    ``n_pairs = |group_a| × |group_b|`` underlying document pairs.
+
+    Returns (id_a, id_b, jaccard_sim, n_pairs); ids are each exact-group's
+    lowest doc id. Composition: exact digest groupBy (uniform keys, one
+    shuffle) → the q32 LSH pipeline over representatives only.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    reps = df.groupBy(F.md5(norm).alias("_digest")).agg(
+        F.min(id_col).alias(id_col),
+        # representative's raw text (min-id row) — deterministic, and both
+        # engines shingle the same raw string
+        F.min_by(text_col, id_col).alias(text_col),
+        F.count("*").alias("_n_docs"),
+    )
+    pairs = minhash_lsh_pairs(
+        reps.select(id_col, text_col), text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    sa = reps.select(F.col(id_col).alias("id_a"), F.col("_n_docs").alias("_na"))
+    sb = reps.select(F.col(id_col).alias("id_b"), F.col("_n_docs").alias("_nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_sim",
+            (F.col("_na") * F.col("_nb")).alias("n_pairs"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     text_col: str,

@@ -142,6 +142,79 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_bucket_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """Multi-probe ANN (the q39 recall knob): each query searches its own
+    LSH bucket AND the bucket reached by flipping its *lowest-margin*
+    plane bit — the plane whose |dot| is smallest, i.e. the boundary the
+    query sits closest to, which is where its missed neighbors live.
+
+    ``probe=1`` degenerates to ``lsh_bucket_topk``; ``probe=2`` doubles
+    the candidate set for ~2× work (still ~2/256 of brute force) and
+    recovers most boundary-split neighbors. Scale shape is unchanged: the
+    query side explodes to ``probe`` rows, the join still shuffles bucket
+    keys only. Ties in the margin pick the lowest plane index —
+    deterministic, mirrored in the oracle SQL.
+
+    Returns (query_id, neighbor_id, bucket, cos_sim, rank); ``bucket`` is
+    the bucket the neighbor was found in.
+    """
+    if probe not in (1, 2):
+        raise ValueError("probe must be 1 or 2 (flip-one-bit multiprobe)")
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    dots = [
+        dot_double(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+        for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for b, d in enumerate(dots):
+        sig = sig + F.when(d > 0, F.lit(2**b)).otherwise(0).cast("long")
+    if probe == 1:
+        buckets = F.array(sig)
+    else:
+        minv = F.least(*[F.abs(d) for d in dots])
+        flip = F.lit(None).cast("long")
+        for b in reversed(range(n_planes)):
+            flip = F.when(F.abs(dots[b]) == minv, F.lit(2**b).cast("long")).otherwise(flip)
+        buckets = F.array(sig, sig.bitwiseXOR(flip))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(buckets).alias("bucket"),
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     dim: int,

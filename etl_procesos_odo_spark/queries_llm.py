@@ -21,6 +21,7 @@ from .llm.dedup import (
     exact_dedup,
     jaccard,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_collapsed,
     shingles,
     simhash60,
 )
@@ -31,6 +32,7 @@ from .llm.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_bucket_topk_multiprobe,
 )
 from .llm.text_analysis import (
     LANG_MARKERS,
@@ -130,6 +132,8 @@ def _minhash_oracle(
     threshold: float = 0.5,
     final_select: str | None = None,
     recursive: bool = False,
+    source: str = "documents",
+    pre_cte: str = "",
 ) -> str:
     from .llm.dedup import MINHASH_P, minhash_params
 
@@ -149,7 +153,7 @@ def _minhash_oracle(
         for b in range(bands)
     )
     return f"""
-    WITH {"RECURSIVE " if recursive else ""}w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    WITH {"RECURSIVE " if recursive else ""}{pre_cte}w AS (SELECT doc_id, {O_TOKENS} AS w FROM {source}),
     shin AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
     f AS (SELECT * FROM shin WHERE len(sh) > 0),
     sig AS (SELECT doc_id, sh,
@@ -428,6 +432,108 @@ def _ivf_oracle(n_cells: int = 16, k: int = 5) -> str:
 def q49_ann_ivf(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5)
+
+
+_COLLAPSE_PRE_CTE = (
+    r"src AS (SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text, "
+    r"COUNT(*) AS n_docs FROM documents "
+    r"GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))), "
+)
+
+_COLLAPSE_FINAL = """
+    , sizes AS (SELECT doc_id AS sid, n_docs FROM src)
+    SELECT j.id_a, j.id_b, j.jaccard_sim, sa.n_docs * sb.n_docs AS n_pairs
+    FROM j JOIN sizes sa ON sa.sid = j.id_a JOIN sizes sb ON sb.sid = j.id_b
+    WHERE j.jaccard_sim >= 0.5
+    """
+
+
+@register(
+    "q67_minhash_lsh_collapsed",
+    _minhash_oracle(
+        source="src", pre_cte=_COLLAPSE_PRE_CTE, final_select=_COLLAPSE_FINAL
+    ),
+    doc="Exact-dedup-first MinHash-LSH (the SCALE.md composition guard as "
+    "an operator): exact duplicates collapse to one representative per "
+    "normalized-text digest BEFORE shingling, so a 10⁶-copy boilerplate "
+    "doc puts ONE row in each band bucket instead of 10⁶ (which would "
+    "make the bucket self-join quadratic in the cluster size); near-dup "
+    "pair weights multiply back as n_pairs = |group_a| × |group_b|.",
+)
+def q67_minhash_lsh_collapsed(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_collapsed(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+def _ann_multiprobe_oracle(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5
+) -> str:
+    planes = hyperplanes(dim, n_planes, seed)
+    plane_lits = [
+        "CAST([" + ", ".join(f"{x:.1f}" for x in p) + "] AS DOUBLE[])"
+        for p in planes
+    ]
+    d_cols = ",\n             ".join(
+        f"{o_dot('v', plane_lits[b], 'len(v)')} AS d{b}" for b in range(n_planes)
+    )
+    sig = " + ".join(
+        f"CASE WHEN d{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_planes)
+    )
+    minv = "LEAST(" + ", ".join(f"abs(d{b})" for b in range(n_planes)) + ")"
+    flip = "CASE " + " ".join(
+        f"WHEN abs(d{b}) = minv THEN CAST({1 << b} AS BIGINT)"
+        for b in range(n_planes)
+    ) + " END"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    d AS (SELECT vec_id, v,
+             {d_cols}
+          FROM e),
+    s1 AS (SELECT vec_id, v, {sig} AS bucket, {minv} AS minv,
+                  {', '.join(f'd{b}' for b in range(n_planes))}
+           FROM d),
+    s2 AS (SELECT vec_id, v, bucket, {flip} AS flip FROM s1),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM s2),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM s2 WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id AS query_id, v AS qv, xor(bucket, flip) AS bucket
+      FROM s2 WHERE vec_id < 10
+    ),
+    dots AS (
+      SELECT query_id, neighbor_id, bucket,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM dots)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q68_ann_multiprobe",
+    _ann_multiprobe_oracle(),
+    doc="Multi-probe ANN (q39's recall knob, probe=2): each query searches "
+    "its own LSH bucket plus the bucket across its lowest-|margin| "
+    "hyperplane — the boundary its missed neighbors sit behind. ~2× the "
+    "candidates (still ~2/256 of brute force), same shuffle shape: the "
+    "query side explodes to 2 bucket keys, the join stays a bucket "
+    "equi-join. Margin ties pick the lowest plane index in both engines.",
+)
+def q68_ann_multiprobe(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, k=5, n_planes=8, seed=42, probe=2,
+    )
 
 
 # ---------------------------------------------------------------------------

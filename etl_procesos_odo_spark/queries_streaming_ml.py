@@ -77,9 +77,7 @@ def q41_forecast_demand(spark: SparkSession, sf_dir: str):
     return forecast_grid(spark, model)
 
 
-@register(
-    "q56_sessionize",
-    """
+_SESSION_ORACLE = """
     WITH t AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -100,7 +98,12 @@ def q41_forecast_demand(spark: SparkSession, sf_dir: str):
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "q56_sessionize",
+    _SESSION_ORACLE,
     doc="Gap-based sessionization (30-min inactivity gap) per user via "
     "Spark's native session_window — the merging-window aggregate a "
     "training-data pipeline uses for behavioral grouping. Batch mode here; "
@@ -123,6 +126,28 @@ def q56_sessionize(spark: SparkSession, sf_dir: str):
             "n_events",
             "total_value",
         )
+    )
+
+
+@register(
+    "q69_streaming_sessionize",
+    _SESSION_ORACLE,
+    doc="q56's gap sessionization executed by the STREAMING engine "
+    "(readStream → watermark → session_window → memory sink, run to "
+    "completion): the identical session definition under both execution "
+    "modes, hash-checked against the same batch oracle — the unification "
+    "claim in q56's doc, now proved rather than asserted. Complete-mode "
+    "backfill emits every session; production uses append mode, where the "
+    "1-day watermark bounds state and finalizes sessions as it passes them.",
+)
+def q69_streaming_sessionize(spark: SparkSession, sf_dir: str):
+    from .streaming.temporal import sessionized_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_to_memory(
+        sessionized_stream(events_stream(spark, sf_dir)),
+        "q69_streaming_sessionize_out",
+        "complete",
     )
 
 

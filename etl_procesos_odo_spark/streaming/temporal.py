@@ -96,6 +96,40 @@ def run_to_memory(
     return spark.createDataFrame(rows, schema)
 
 
+def sessionized_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Gap sessionization under the streaming engine — the *same
+    expression* as the batch q56 plan (``session_window`` + count/exact
+    sum), proving the batch/streaming unification claim: one definition of
+    a session, two execution modes.
+
+    The watermark bounds session state in production (append mode emits a
+    session once the watermark passes its end and its state is dropped).
+    The harness runs this in complete mode so the bounded backfill emits
+    *every* session and the output can be hash-compared against the exact
+    batch oracle; with append mode the comparison would be limited to the
+    watermark-finalized prefix.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stateful_user_stats(stream: DataFrame) -> DataFrame:
     """Custom arbitrary-stateful operator (applyInPandasWithState): a
     per-user running profile — event count, purchase count, max value,

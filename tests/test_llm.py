@@ -120,3 +120,86 @@ def test_dedup_clusters_transitive_chain(spark):
     assert got[40] == 40
     # representatives = rows where doc_id == cluster_id
     assert sorted(k for k, v in got.items() if k == v) == [10, 40]
+
+
+def test_collapsed_lsh_bucket_blowup_guard(spark):
+    """A planted exact-dup cluster must contribute ONE row per band bucket
+    (not n), no intra-cluster pairs, and pair weights must multiply back."""
+    from etl_procesos_odo_spark.llm.dedup import (
+        base_hashes,
+        lsh_bands,
+        minhash_lsh_pairs_collapsed,
+        minhash_signature,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    words = [f"tok{i}" for i in range(40)]
+    text_a = " ".join(words)
+    bw = list(words)
+    bw[3], bw[4] = "X1", "X2"
+    text_b = " ".join(bw)  # near-dup of a
+    rows = [(i, text_a) for i in range(30)]          # 30 exact copies of a
+    rows += [(100 + i, text_b) for i in range(4)]    # 4 exact copies of b
+    rows.append((500, "entirely different content " * 6))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = minhash_lsh_pairs_collapsed(df, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["n_pairs"] for r in out.collect()}
+    # single near-dup pair between the two group representatives (0, 100),
+    # weighted by 30 x 4 underlying document pairs
+    assert got == {(0, 100): 120}
+
+    # the guard itself: band rows for the collapsed frame — one row per
+    # (band, representative), so the 30-copy cluster cannot hot-key a bucket
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    reps = df.groupBy(F.md5(norm).alias("d")).agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text")
+    )
+    sh = reps.select(
+        "doc_id", shingles(F.col("text"), 3).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    signed = sh.withColumn("_b", base_hashes(F.col("_sh"))).select(
+        "doc_id", *minhash_signature(F.col("_b"), 12)
+    )
+    banded = lsh_bands(signed, "doc_id", 12, 4)
+    per_bucket = banded.groupBy("band_idx", "band_hash").count().collect()
+    assert max(r["count"] for r in per_bucket) <= 2  # reps only, never 30
+
+
+def test_multiprobe_recall_uplift(spark):
+    """probe=2 must dominate probe=1: candidates are a superset, and
+    recall@5 against the brute-force ground truth (q34 semantics) must not
+    decrease — with the boundary-flip probing it strictly helps whenever a
+    query's neighbors straddle its lowest-margin plane."""
+    from etl_procesos_odo_spark.llm.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+        lsh_bucket_topk_multiprobe,
+    )
+    from etl_procesos_odo_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    got1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, q, dim=64, k=5).collect()
+    }
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk_multiprobe(emb, q, dim=64, k=5, probe=2).collect()
+    }
+    r1 = len(got1 & truth) / len(truth)
+    r2 = len(got2 & truth) / len(truth)
+    assert r2 >= r1
+    # probe=1 via the multiprobe entrypoint degenerates to lsh_bucket_topk
+    got1b = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk_multiprobe(emb, q, dim=64, k=5, probe=1).collect()
+    }
+    assert got1b == got1
