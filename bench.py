@@ -20,6 +20,70 @@ from etl_procesos_odo_spark.registry import registry
 from etl_procesos_odo_spark.session import get_spark
 
 
+def skew_join_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Evidence for the salted-join scale claim (operators/joins.py): a
+    deliberately skewed big side (~95% of rows on one hot key, inflated
+    10×) equi-joined against a 1000-row dim with broadcast disabled (the
+    big-big scenario salting exists for). Three measurements:
+
+    - unsalted, AQE skew-split off  → the straggler worst case;
+    - unsalted, AQE skew-split on   → what the runtime rescues for free;
+    - salted (n_salt=32)            → the manual guard, hot key spread
+                                      across 32 reducers.
+
+    Reported under "extras" so the registry total stays comparable
+    across rounds.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.operators.joins import salted_join
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_orderkey") % 20 != 0, F.lit(1).cast("long"))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+            .alias("k"),
+            F.col("l_orderkey").alias("rk"),
+            "l_quantity",
+        )
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(10))))
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("dk"), (F.col("id") * 2).alias("payload")
+    )
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.enabled":
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+    }
+    res: dict[str, float] = {}
+
+    def run(tag: str, df) -> None:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        res[tag] = round(time.perf_counter() - t0, 3)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unsalted = li.join(dim, li["k"] == dim["dk"], "inner")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run("skew_join_unsalted_noaqe_sec", unsalted)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        run("skew_join_unsalted_aqe_sec", unsalted)
+        run(
+            "skew_join_salted_sec",
+            salted_join(li, dim, "k", "dk", "rk", n_salt=32),
+        )
+    except Exception as exc:
+        print(f"BENCH ERROR skew_join: {exc}", file=sys.stderr)
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+    return res
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -47,6 +111,8 @@ def main() -> None:
             timings[q.name] = -1.0
             print(f"BENCH ERROR {q.name}: {exc}", file=sys.stderr)
 
+    extras = {} if wanted else skew_join_bench(spark, sf_dir)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -55,6 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": sf,
             }
         )
