@@ -331,6 +331,116 @@ def dedup_clusters(
     )
 
 
+def cc_bigstar(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round companion to the min-label
+    propagation loop in :func:`dedup_clusters`, whose round count is
+    O(component diameter). Near-dup components are dense (diameter ~2-3)
+    so propagation wins there; this variant is for pair graphs with long
+    chains (e.g. threshold set low enough that near-dup edges form
+    paths), where diameter-many rounds would dominate.
+
+    Input: (u, v) edge frame, any orientation/duplication. Output:
+    (id, cluster_id) for every node appearing in an edge, cluster_id =
+    min node id of the component.
+
+    Each round is two groupBy/join passes over the edge set, shuffled on
+    node id — no per-component serialization anywhere, so a single huge
+    component spreads across the cluster (the property propagation also
+    has, but in diameter-many rounds). Lineage is truncated per round
+    with ``localCheckpoint``; at the fixpoint the edge set is a star per
+    component (every node points at the component min), read off
+    directly as labels.
+    """
+    # canonical undirected form: u < v, no self-loops, distinct
+    e = (
+        edges.select(
+            F.least(edges.columns[0], edges.columns[1]).alias("u"),
+            F.greatest(edges.columns[0], edges.columns[1]).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # per node a: m = min(neighbors ∪ {a}); emit (m, b) for b > a.
+        # m <= a < b keeps the canonical u < v form, no self-loops.
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), "v")
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # per node v (the larger endpoint): m = min of its smaller
+        # neighbors; re-point those neighbors and v itself at m.
+        mins = e.groupBy("v").agg(F.min("u").alias("m"))
+        out = e.join(mins, "v").select(F.col("u").alias("x"), "m").union(
+            mins.select(F.col("v").alias("x"), "m")
+        )
+        return (
+            out.filter(F.col("x") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("x").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        e1 = large_star(e).localCheckpoint()
+        e2 = small_star(e1).localCheckpoint()
+        # converged only when BOTH ops are individually no-ops — a
+        # combined LS∘SS round-trip check could mask an oscillation
+        changed = (
+            e1.exceptAll(e).limit(1).count()
+            + e.exceptAll(e1).limit(1).count()
+            + e2.exceptAll(e1).limit(1).count()
+            + e1.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # fixpoint edges are stars (m, v): v's label is m, m labels itself
+    roots = e.select(F.col("u").alias("id")).exceptAll(
+        e.select(F.col("v").alias("id"))
+    ).distinct()
+    return e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id")).union(
+        roots.select("id", F.col("id").alias("cluster_id"))
+    )
+
+
+def dedup_clusters_bigstar(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """:func:`dedup_clusters` semantics (same pair graph, same
+    (doc_id, cluster_id) output) computed with :func:`cc_bigstar`
+    instead of min-label propagation — same answer by construction, so
+    both run against the identical recursive-CTE oracle."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    lab = cc_bigstar(pairs.select("id_a", "id_b"), max_iter=max_iter)
+    out_id = F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col)
+    return (
+        df.select(out_id)
+        .join(lab, F.col("doc_id") == lab["id"], "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
 def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash per document: explode tokens, hash to 60 bits, sum
     ±1 per bit position, set bit where the sum is positive.

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .llm.dedup import (
     dedup_clusters,
+    dedup_clusters_bigstar,
     exact_dedup,
     jaccard,
     minhash_lsh_pairs,
@@ -223,6 +224,23 @@ _CLUSTER_FINAL = """
 def q47_dedup_clusters(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return dedup_clusters(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+@register(
+    "q70_dedup_clusters_bigstar",
+    _minhash_oracle(final_select=_CLUSTER_FINAL, recursive=True),
+    doc="Same clustering semantics as q47 computed with the alternating "
+    "large-star/small-star algorithm (Kiveris et al. SoCC'14, cc_bigstar) "
+    "instead of min-label propagation: O(log n) rounds vs O(diameter), "
+    "the scale path for pair graphs with long chains. Identical "
+    "recursive-CTE oracle as q47 — two independent CC algorithms, one "
+    "hash-checked answer.",
+)
+def q70_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters_bigstar(
         docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
     )
 

@@ -8,7 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_procesos_odo_spark.llm.dedup import (
+    cc_bigstar,
     dedup_clusters,
+    dedup_clusters_bigstar,
     exact_dedup,
     minhash_lsh_pairs,
     shingles,
@@ -120,6 +122,41 @@ def test_dedup_clusters_transitive_chain(spark):
     assert got[40] == 40
     # representatives = rows where doc_id == cluster_id
     assert sorted(k for k, v in got.items() if k == v) == [10, 40]
+
+
+def test_cc_bigstar_long_chain_few_rounds(spark):
+    # path graph of diameter 39: min-label propagation needs ~39 rounds;
+    # large-star/small-star must finish within 8 alternations (O(log n)).
+    # Mixed orientations and duplicate edges exercise canonicalization.
+    edges = [(i + 1, i) if i % 3 else (i, i + 1) for i in range(39)]
+    edges += [(0, 1), (50, 60), (60, 70), (70, 50)]  # dup + a 3-cycle
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r["cluster_id"] for r in cc_bigstar(df, max_iter=8).collect()}
+    assert got == {**{i: 0 for i in range(40)}, 50: 50, 60: 50, 70: 50}
+
+
+def test_dedup_clusters_bigstar_matches_minlabel(spark):
+    # both CC algorithms over the same LSH pair graph → identical labels
+    words = [f"w{i}" for i in range(50)]
+    a = " ".join(words)
+    bw = list(words)
+    bw[5], bw[6] = "CHANGED1", "CHANGED2"
+    cw = list(bw)
+    cw[30], cw[31] = "ALTERED1", "ALTERED2"
+    rows = [
+        (10, a), (20, " ".join(bw)), (30, " ".join(cw)),
+        (40, "completely unrelated words " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted(
+        tuple(r) for r in dedup_clusters(df, "text", "doc_id", threshold=0.8).collect()
+    )
+    star = sorted(
+        tuple(r)
+        for r in dedup_clusters_bigstar(df, "text", "doc_id", threshold=0.8).collect()
+    )
+    assert base == star
+    assert {t[0]: t[1] for t in star}[30] == 10  # transitive a-b-c chain held
 
 
 def test_collapsed_lsh_bucket_blowup_guard(spark):
