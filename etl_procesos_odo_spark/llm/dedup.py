@@ -92,6 +92,20 @@ def _persist_capped(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard: a single small parquet file scans as
+    ONE task, serializing the expensive per-row shingle/digest expressions
+    on one core while the rest idle. Repartition up to the session's
+    default parallelism only when the scan has fewer partitions — a no-op
+    at scale, where file-granular splits already saturate the cluster
+    (and where an unconditional raw-text shuffle would be the wrong
+    trade)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7919 * (i + 1)) for i in range(num_hashes)]
 
@@ -171,9 +185,11 @@ def minhash_lsh_pairs(
         # the shingle frame feeds signing AND both sides of the verify join —
         # persist so tokenize+shingle runs once, not three times (capped:
         # the previous invocation's frame is evicted, see _persist_capped)
-        df.select(
+        _spread(df)
+        .select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-        ).filter(F.size("_sh") > 0)
+        )
+        .filter(F.size("_sh") > 0)
     )
     hashed = sh.withColumn("_base", base_hashes(F.col("_sh")))
     signed = hashed.select(
@@ -438,6 +454,68 @@ def dedup_clusters_bigstar(
         df.select(out_id)
         .join(lab, F.col("doc_id") == lab["id"], "left")
         .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Train/test decontamination: flag training docs that share at least
+    ``min_shared`` distinct word k-gram shingles with any benchmark doc —
+    the standard pre-training hygiene pass (strip eval-set text from the
+    corpus before training).
+
+    Inverted-index join keyed by the shingle, never all-pairs: explode
+    each side's distinct shingles, drop shingles whose combined document
+    frequency exceeds ``max_df`` (boilerplate n-grams are useless as
+    contamination evidence AND are exactly the hot keys that would skew
+    the shuffle — one frequent phrase otherwise fans out df_train × df_bench
+    rows), equi-join on the shingle, then two hash aggregates. At 100 TB
+    every stage is shuffled on uniform keys (shingle, then (train, bench)
+    id pairs); the df cap bounds the worst fan-out by construction.
+
+    Returns (doc_id, n_bench_docs, n_shared_shingles, max_shared) per
+    contaminated training doc.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("_side"),
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("g"),
+        )
+
+    # one tagged exploded frame, persisted (capped lifecycle): tokenize +
+    # shingle runs once, and the df-cap aggregate plus both join sides all
+    # read the cached rows instead of re-exploding
+    # _spread BEFORE side(): the exchange must precede the shingle
+    # explode, or the expensive expression still runs in the scan task
+    e = _persist_capped(side(_spread(train), "t").union(side(_spread(bench), "b")))
+    if max_df is not None:
+        keep = (
+            e.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("g")
+        )
+        e = e.join(keep, "g")
+    t = e.filter(F.col("_side") == "t").select(F.col("_id").alias("doc_id"), "g")
+    b = e.filter(F.col("_side") == "b").select(F.col("_id").alias("b_id"), "g")
+    pair = (
+        t.join(b, "g")
+        .groupBy("doc_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pair.groupBy("doc_id").agg(
+        F.count("*").alias("n_bench_docs"),
+        F.sum("n_shared").alias("n_shared_shingles"),
+        F.max("n_shared").alias("max_shared"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .llm.dedup import (
+    decontaminate,
     dedup_clusters,
     dedup_clusters_bigstar,
     exact_dedup,
@@ -27,6 +28,7 @@ from .llm.dedup import (
     simhash60,
 )
 from .llm.multimodal import attach_payload, extract_features
+from .llm.sampling import hash_sample
 from .llm.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -644,6 +646,71 @@ def q37_token_counts(spark: SparkSession, sf_dir: str):
         "doc_id",
         token_count_ws(F.col("text")).alias("n_ws_tokens"),
         token_count_bpe(F.col("text")).alias("n_bpe_pieces"),
+    )
+
+
+@register(
+    "q71_decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    keep AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 20),
+    t AS (SELECT doc_id, g FROM e
+          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM keep)),
+    b AS (SELECT doc_id AS b_id, g FROM e
+          WHERE doc_id % 50 = 0 AND g IN (SELECT g FROM keep)),
+    p AS (SELECT t.doc_id, b.b_id, COUNT(*) AS n_shared
+          FROM t JOIN b USING (g)
+          GROUP BY t.doc_id, b.b_id
+          HAVING COUNT(*) >= 2)
+    SELECT doc_id,
+           COUNT(*) AS n_bench_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
+           MAX(n_shared) AS max_shared
+    FROM p GROUP BY doc_id
+    """,
+    doc="Train/test decontamination: training docs (doc_id % 50 != 0) "
+    "sharing >= 2 distinct 3-gram shingles with any benchmark doc "
+    "(doc_id % 50 = 0), via an inverted-index equi-join on the shingle — "
+    "never all-pairs. Shingles with combined document frequency > 20 are "
+    "dropped first: boilerplate n-grams carry no contamination signal and "
+    "are exactly the hot keys that would skew the shuffle at 100 TB.",
+)
+def q71_decontaminate(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(
+        train, bench, "text", "doc_id", k=3, min_shared=2, max_df=20
+    )
+
+
+@register(
+    "q72_hash_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) / 1152921504606846976.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 ELSE 0.1 END
+    """,
+    doc="Deterministic stratified corpus sampling (language rebalancing "
+    "for a training mix): keep a row iff its 60-bit md5 uniform is below "
+    "the per-language rate. Reproducible across runs, engines, and "
+    "partition layouts — the properties rand()-based sampleBy lacks at "
+    "100 TB — and a pure per-row scan expression (no shuffle, no RNG "
+    "state).",
+)
+def q72_hash_sample(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(
+        docs.select("doc_id", "lang", "source"),
+        "doc_id",
+        {"en": 0.5, "es": 0.3},
+        "lang",
+        default_rate=0.1,
+        salt="s1",
     )
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_procesos_odo_spark.llm.dedup import (
     cc_bigstar,
+    decontaminate,
     dedup_clusters,
     dedup_clusters_bigstar,
     exact_dedup,
@@ -17,6 +18,7 @@ from etl_procesos_odo_spark.llm.dedup import (
     simhash60,
 )
 from etl_procesos_odo_spark.llm.multimodal import attach_payload, extract_features
+from etl_procesos_odo_spark.llm.sampling import hash_sample
 from etl_procesos_odo_spark.llm.similarity import cosine_topk, hyperplanes
 
 
@@ -157,6 +159,64 @@ def test_dedup_clusters_bigstar_matches_minlabel(spark):
     )
     assert base == star
     assert {t[0]: t[1] for t in star}[30] == 10  # transitive a-b-c chain held
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows_train = [
+        (1, "intro words then " + bench_text + " plus a trailing tail"),
+        (2, "nothing in common with anything else at all here"),
+        (3, "quick brown fox appears"),  # 1 shared shingle < min_shared
+    ]
+    rows_bench = [(100, bench_text)]
+    train = spark.createDataFrame(rows_train, ["doc_id", "text"])
+    bench = spark.createDataFrame(rows_bench, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bench_docs"], r["max_shared"])
+        for r in decontaminate(
+            train, bench, "text", "doc_id", k=3, min_shared=2, max_df=20
+        ).collect()
+    }
+    assert set(got) == {1}
+    assert got[1][0] == 1 and got[1][1] >= 2
+
+
+def test_decontaminate_max_df_drops_boilerplate(spark):
+    # the same boilerplate shingle in EVERY doc must be excluded by the
+    # df cap, leaving no pair with >= min_shared evidence
+    boiler = "all rights reserved worldwide"
+    train = spark.createDataFrame(
+        [(i, f"doc {i} body text {boiler}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark answer key {boiler}")], ["doc_id", "text"]
+    )
+    out = decontaminate(
+        train, bench, "text", "doc_id", k=3, min_shared=1, max_df=3
+    )
+    assert out.count() == 0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+    )
+    a = hash_sample(df, "doc_id", {"en": 0.5}, "lang", default_rate=0.0)
+    b = hash_sample(df, "doc_id", {"en": 0.5}, "lang", default_rate=0.0)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    assert all(i % 2 == 0 for i in ra)  # zz stratum dropped entirely
+    assert 0.4 < len(ra) / 1000 < 0.6  # ~50% of the en stratum
+    # independent draw under a different salt
+    rc = sorted(
+        r["doc_id"]
+        for r in hash_sample(
+            df, "doc_id", {"en": 0.5}, "lang", default_rate=0.0, salt="s2"
+        ).collect()
+    )
+    assert rc != ra
 
 
 def test_collapsed_lsh_bucket_blowup_guard(spark):
