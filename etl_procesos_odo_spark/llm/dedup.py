@@ -92,18 +92,8 @@ def _persist_capped(df: DataFrame) -> DataFrame:
     return df
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-input parallelism guard: a single small parquet file scans as
-    ONE task, serializing the expensive per-row shingle/digest expressions
-    on one core while the rest idle. Repartition up to the session's
-    default parallelism only when the scan has fewer partitions — a no-op
-    at scale, where file-granular splits already saturate the cluster
-    (and where an unconditional raw-text shuffle would be the wrong
-    trade)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..session import spread_small_input as _spread  # noqa: E402
+# (shared parallelism guard: see session.spread_small_input)
 
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:

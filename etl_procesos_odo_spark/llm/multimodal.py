@@ -16,6 +16,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_small_input
+
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, payload binary, n_bytes long"
 )
@@ -29,6 +31,9 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the ingestion shape for opaque media blobs (here UTF-8 bytes stand in
     for image bytes; at scale this is the parquet BINARY column as-is)."""
     payload = F.encode(F.col(text_col), "UTF-8")
+    # downstream consumers are Arrow-batched mapInPandas ops — spread a
+    # sub-parallelism input now so Python workers run in parallel
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.lit("image/fake").alias("media_type"),

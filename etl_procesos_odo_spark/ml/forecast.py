@@ -59,7 +59,19 @@ def train_best_forecaster(features: DataFrame, seed: int = 42):
     )
 
     assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
-    data = assembler.transform(features).select("features", "demanda")
+    # the feature frame is post-aggregate — at most (#days × 24) rows no
+    # matter the raw scale — but inherits the aggregation's shuffle
+    # partitioning, so every internal fit iteration (GBT ~20, RF ~30)
+    # schedules a full-width job over near-empty partitions. Repartition
+    # to ONE partition AFTER the parallel aggregation (repartition, not
+    # coalesce: coalesce would collapse the upstream agg to one task too)
+    # and cache: iteration jobs become single-task over in-memory rows.
+    data = (
+        assembler.transform(features)
+        .select("features", "demanda")
+        .repartition(1)
+        .cache()
+    )
     train, test = data.randomSplit([0.7, 0.3], seed=seed)
     evaluator = RegressionEvaluator(
         labelCol="demanda", predictionCol="prediction", metricName="r2"
@@ -79,6 +91,7 @@ def train_best_forecaster(features: DataFrame, seed: int = 42):
         metrics[name] = r2
         if r2 > best_r2:
             best_name, best_model, best_r2 = name, model, r2
+    data.unpersist()
     return best_model, {"best": best_name, "r2": metrics}
 
 

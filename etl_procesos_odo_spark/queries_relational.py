@@ -1022,6 +1022,16 @@ def q44_time_scalars(spark: SparkSession, sf_dir: str):
     labeled = orders.select(
         "o_orderkey", day_fraction_to_ampm(frac).alias("etiqueta")
     )
+    # exchange barrier: without it CollapseProject inlines the etiqueta
+    # string-builder into EVERY branch reference inside the decimal-hours
+    # parser (~4x the expression work, measured); the hash exchange
+    # materializes the narrow (key, string) frame once and spreads the
+    # heavy parse across the cluster — ~30 bytes/row of shuffle buys back
+    # the duplicated string evaluation at any scale. Explicit partition
+    # count: AQE would otherwise coalesce the few-MB shuffle back to one
+    # task, keeping the barrier but losing the parallelism.
+    par = spark.sparkContext.defaultParallelism
+    labeled = labeled.repartition(par, F.col("o_orderkey"))
     return labeled.select(
         "o_orderkey", "etiqueta", ampm_to_decimal_hours("etiqueta").alias("horas")
     )
@@ -1455,8 +1465,14 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
         .when(k % 9 == 7, (F.lit(2) + k % 39999).cast("string"))
         .otherwise(F.lit("n/a"))
     )
-    return orders.select(
+    # same exchange-barrier rationale as q44: materialize the synthetic
+    # raw string once instead of re-evaluating its 9-branch builder inside
+    # each of the parser's format trials, and spread the parse
+    built = orders.select("o_orderkey", raw.alias("raw")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    )
+    return built.select(
         "o_orderkey",
-        raw.alias("raw"),
-        parse_wallclock_flexible(raw).alias("ts"),
+        "raw",
+        parse_wallclock_flexible(F.col("raw")).alias("ts"),
     )

@@ -63,6 +63,20 @@ def get_spark(
     return spark
 
 
+def spread_small_input(df):
+    """Small-input parallelism guard: a single small parquet file (or any
+    sub-parallelism frame) scans as one task, serializing expensive
+    per-row expressions or Arrow-batched Python work on one core while
+    the rest idle. Repartition up to the session's default parallelism
+    only when the frame has fewer partitions — a no-op at scale, where
+    file-granular splits already saturate the cluster (and where an
+    unconditional shuffle of raw input would be the wrong trade)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 TABLES = (
     "region",
     "nation",
