@@ -303,6 +303,11 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
+    # labels are monotone non-increasing per node, so the scalar label sum
+    # strictly decreases iff any label changed — one cheap aggregate over
+    # the checkpointed frame per round instead of an old-vs-new join
+    _dsum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))  # overflow-proof
+    lab_sum = lab.agg(_dsum).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             edges.join(lab, edges["v"] == lab["id"])
@@ -319,16 +324,11 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_lab.agg(_dsum).collect()[0][0]
         lab = new_lab
-        if changed == 0:
+        if new_sum == lab_sum:
             break
+        lab_sum = new_sum
     out_id = F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col)
     return (
         df.select(out_id)
@@ -398,18 +398,21 @@ def cc_bigstar(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
 
     for _ in range(max_iter):
-        e1 = large_star(e).localCheckpoint()
-        e2 = small_star(e1).localCheckpoint()
-        # converged only when BOTH ops are individually no-ops — a
-        # combined LS∘SS round-trip check could mask an oscillation
-        changed = (
-            e1.exceptAll(e).limit(1).count()
-            + e.exceptAll(e1).limit(1).count()
-            + e2.exceptAll(e1).limit(1).count()
-            + e1.exceptAll(e2).limit(1).count()
+        e = small_star(large_star(e)).localCheckpoint()
+        # stars are exactly the fixpoints of both ops (shown below), and
+        # labels are only readable off a star set — so the convergence
+        # check IS the star test: no node may be both a center (u) and a
+        # leaf (v). One semi-join probe per round, no edge-set diffing.
+        #   star ⇒ fixpoint: a center's neighbors are all larger, its own
+        #   min is itself; a leaf's one neighbor is the component min —
+        #   LS and SS each re-emit the same (center, leaf) edges.
+        non_star = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .limit(1)
+            .count()
         )
-        e = e2
-        if changed == 0:
+        if non_star == 0:
             break
     # fixpoint edges are stars (m, v): v's label is m, m labels itself
     roots = e.select(F.col("u").alias("id")).exceptAll(
