@@ -66,7 +66,10 @@ def dedup_first_stream(stream: DataFrame, watermark: str = "1 day") -> DataFrame
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming frame to completion against the memory sink and
     return the result as a local batch DataFrame (bounded-input smoke path).
@@ -80,16 +83,28 @@ def run_to_memory(
     nothing upstream of the sink changes.
     """
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    # streaming state partition count should track KEY cardinality (hours,
+    # users, sessions — bounded here), not input width: every micro-batch
+    # pays state-store open/commit per partition, so 32 near-empty state
+    # partitions cost ~4x the wall time of 8 (measured). The conf is read
+    # at .start() and restored after; production sizes it at deploy time.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(saved), state_partitions))
     )
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     sink = spark.table(name)
     rows, schema = sink.collect(), sink.schema
     spark.catalog.dropTempView(name)
