@@ -263,23 +263,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (here: the first ``n_cells``
     corpus vectors by id — deterministic, so the oracle can reproduce it;
     production would k-means these) assigns every vector to its
-    nearest-centroid cell; a query searches only its own cell's posting
-    list (nprobe=1). Returns (query_id, neighbor_id, cell, cos_sim, rank).
+    nearest-centroid cell; a query searches its ``nprobe``
+    nearest-centroid cells' posting lists (corpus vectors always live in
+    exactly one cell). Returns (query_id, neighbor_id, cell, cos_sim,
+    rank).
 
     Scale shape: the centroid table is tiny → broadcast to every executor
     (assignment is a narrow map), posting lists are hash-partitioned by
-    cell, and a query shuffles only its cell key — 1/n_cells of
-    brute-force work per query at balanced cells.
+    cell, and a query shuffles only its cell keys — nprobe/n_cells of
+    brute-force work per query at balanced cells. nprobe>1 is literally a
+    union of cell keys on the query side: the posting-list join, the
+    partitioning, and the plan shape are unchanged (the recall knob does
+    not re-architect the query).
     """
     cents = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
     )
 
-    def assign(df: DataFrame, idal: str, val: str) -> DataFrame:
+    def assign(df: DataFrame, idal: str, val: str, probes: int = 1) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
             F.col(id_col).alias(idal),
             F.col(vec_col).alias(val),
@@ -289,12 +295,12 @@ def ivf_topk(
         w = Window.partitionBy(idal).orderBy(F.desc("_cs"), F.col("cell"))
         return (
             scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
+            .filter(F.col("_rk") <= probes)
             .drop("_cs", "_rk")
         )
 
     posting = assign(corpus, "neighbor_id", "cv")
-    qcells = assign(queries, "query_id", "qv")
+    qcells = assign(queries, "query_id", "qv", probes=nprobe)
     scored = (
         qcells.join(posting, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

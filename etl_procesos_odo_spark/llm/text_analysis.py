@@ -43,6 +43,50 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PIECE_RE), 0)).cast("long")
 
 
+def repetition_metrics(
+    col: Column | str, tokenized: bool = False
+) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    appendix A1.1): the fraction of duplicate words / 2-grams / 3-grams in
+    a document. High values mark boilerplate, keyword spam, and
+    degenerate generations for corpus filtering. Pure per-row array
+    expressions — scan speed, no shuffle, composable with the
+    quality_metrics family.
+
+    ``tokenized=True`` means ``col`` is already an ``array<string>`` of
+    tokens: the three metric families each reference the token array
+    several times, and Catalyst's project collapsing re-inlines an
+    aliased tokenization into every reference — materialize the array
+    once (projection + exchange barrier, as q73 does) and pass it in."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = c if tokenized else tokens(c)
+
+    def raw_grams(k: int) -> Column:
+        if k == 1:
+            return w
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+        return F.when(F.size(w) >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def dup_frac(k: int) -> Column:
+        g = raw_grams(k)
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_word_frac": dup_frac(1),
+        "dup_2gram_frac": dup_frac(2),
+        "dup_3gram_frac": dup_frac(3),
+    }
+
+
 def quality_metrics(col: Column | str) -> dict[str, Column]:
     """Quality-scoring column family: length, token count, mean token
     length, punctuation ratio, stopword ratio. Ratios are single divisions

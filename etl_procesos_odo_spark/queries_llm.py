@@ -403,7 +403,7 @@ def q48_embedding_neardup(spark: SparkSession, sf_dir: str):
     )
 
 
-def _ivf_oracle(n_cells: int = 16, k: int = 5) -> str:
+def _ivf_oracle(n_cells: int = 16, k: int = 5, nprobe: int = 1) -> str:
     cos = (
         f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
         f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
@@ -420,14 +420,14 @@ def _ivf_oracle(n_cells: int = 16, k: int = 5) -> str:
       FROM e CROSS JOIN cents c
     ),
     asg AS (
-      SELECT vec_id, v, cell
+      SELECT vec_id, v, cell, rk
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                          ORDER BY cs DESC, cell) AS rk
             FROM scored)
-      WHERE rk = 1
+      WHERE rk <= {nprobe}
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg WHERE vec_id < 10),
-    p AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg),
+    p AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg WHERE rk = 1),
     dots AS (
       SELECT query_id, neighbor_id, q.cell AS cell, {cos} AS cos_sim
       FROM q JOIN p USING (cell) WHERE query_id <> neighbor_id
@@ -452,6 +452,67 @@ def _ivf_oracle(n_cells: int = 16, k: int = 5) -> str:
 def q49_ann_ivf(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5)
+
+
+@register(
+    "q74_ann_ivf_multiprobe",
+    _ivf_oracle(nprobe=2),
+    doc="IVF ANN at nprobe=2: each query searches its two nearest "
+    "centroids' posting lists. Proves the SCALE.md claim that the recall "
+    "knob is a pure union of cell keys on the query side — the "
+    "broadcast-centroid assignment, the cell-keyed posting-list join, and "
+    "the plan shape are byte-identical to q49's nprobe=1.",
+)
+def q74_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5, nprobe=2
+    )
+
+
+@register(
+    "q73_repetition_metrics",
+    """
+    WITH w AS (SELECT doc_id, """ + O_TOKENS + r""" AS w FROM documents),
+    g AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                            i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+           END AS dup_word_frac,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           END AS dup_2gram_frac,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           END AS dup_3gram_frac
+    FROM g
+    """,
+    doc="Gopher-style within-document repetition signals (Rae et al. "
+    "2021 A1.1): duplicate word / 2-gram / 3-gram fractions per document "
+    "— boilerplate and keyword-spam filters for corpus prep. Pure "
+    "per-row array expressions at scan speed, no shuffle.",
+)
+def q73_repetition_metrics(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import repetition_metrics, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE behind an exchange barrier (q44 rationale: collapsed
+    # projections re-inline the tokenizer into every metric reference)
+    # and spread the single-file scan across the cluster
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    m = repetition_metrics(F.col("w"), tokenized=True)
+    return toks.select(
+        "doc_id", *[expr.alias(name) for name, expr in m.items()]
+    )
 
 
 _COLLAPSE_PRE_CTE = (

@@ -219,6 +219,49 @@ def test_hash_sample_deterministic_and_stratified(spark):
     assert rc != ra
 
 
+def test_repetition_metrics_crafted(spark):
+    from etl_procesos_odo_spark.llm.text_analysis import repetition_metrics
+
+    rows = [
+        (1, "spam spam spam spam"),          # all dup words/2-grams/3-grams
+        (2, "every word here differs now"),  # zero duplicates
+        (3, ""),                             # degenerate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = repetition_metrics(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[e.alias(n) for n, e in m.items()]
+        ).collect()
+    }
+    assert got[1]["dup_word_frac"] == 0.75       # 4 words, 1 distinct
+    assert got[1]["dup_2gram_frac"] == 1 - 1 / 3  # 3 grams, 1 distinct
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_3gram_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.0        # empty text → 0, not null
+
+
+def test_ivf_multiprobe_recall_never_worse(spark):
+    from etl_procesos_odo_spark.llm.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    best1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in ivf_topk(emb, q, n_cells=16, k=1).collect()
+    }
+    best2 = {
+        r["query_id"]: r["cos_sim"]
+        for r in ivf_topk(emb, q, n_cells=16, k=1, nprobe=2).collect()
+    }
+    # probing a second cell can only add candidates: per-query best cosine
+    # is monotone non-decreasing in nprobe
+    assert set(best1) <= set(best2)
+    for qid, s1 in best1.items():
+        assert best2[qid] >= s1 - 1e-12
+
+
 def test_collapsed_lsh_bucket_blowup_guard(spark):
     """A planted exact-dup cluster must contribute ONE row per band bucket
     (not n), no intra-cluster pairs, and pair weights must multiply back."""
