@@ -776,6 +776,69 @@ def q72_hash_sample(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q75_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({O_TOKENS}) AS n_tokens FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM s
+    """,
+    doc="Sequence packing: lay documents out in deterministic id order "
+    "per language stratum and cut a training sequence every 512 "
+    "cumulative tokens (pack_id = tokens-before // budget). One window "
+    "cumulative sum per bounded stratum — no global serial pass; compose "
+    "with a hash stripe (the partitioner pattern) for unbounded strata.",
+)
+def q75_pack_sequences(spark: SparkSession, sf_dir: str):
+    from .llm.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", 512, "lang")
+
+
+@register(
+    "q76_chunk_documents",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    p AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+    c AS (
+      SELECT doc_id, w, n,
+             unnest(generate_series(
+               0, CAST((greatest(n - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_idx
+      FROM p
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(w, chunk_idx * 48 + 1,
+                               least(chunk_idx * 48 + 64, n))) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(w, chunk_idx * 48 + 1,
+                                      least(chunk_idx * 48 + 64, n)), ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="Context-window chunking: split each document's token stream "
+    "into 64-token chunks with 16-token overlap (stride 48), one row per "
+    "chunk, final chunk may be short. Tokenize-once + explode — "
+    "scan-speed per-row expressions, no shuffle.",
+)
+def q76_chunk_documents(spark: SparkSession, sf_dir: str):
+    from .llm.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+@register(
     "q38_fingerprint",
     f"""
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents)

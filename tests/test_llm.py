@@ -262,6 +262,43 @@ def test_ivf_multiprobe_recall_never_worse(spark):
         assert best2[qid] >= s1 - 1e-12
 
 
+def test_pack_sequences_boundaries(spark):
+    from etl_procesos_odo_spark.llm.packing import pack_sequences
+
+    # tokens per doc: 6, 4, 3 in one stratum; budget 8
+    # cum_before: 0, 6, 10 → packs 0, 0, 1; offsets 0, 6, 2
+    rows = [
+        (1, "a b c d e f", "en"),
+        (2, "g h i j", "en"),
+        (3, "k l m", "en"),
+        (4, "x y", "es"),  # separate stratum restarts at pack 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+        for r in pack_sequences(df, "doc_id", 8, "lang").collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 6), 3: (1, 2), 4: (0, 0)}
+
+
+def test_chunk_documents_overlap(spark):
+    from etl_procesos_odo_spark.llm.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect()
+    )
+    # doc 1: stride 2 → starts 0,2,4,6 (chunks of 4), last covers w6..w9
+    assert [r[2] for r in rows if r[0] == 1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert [r[2] for r in rows if r[0] == 2] == ["short"]
+    assert not [r for r in rows if r[0] == 3]  # empty doc → no chunks
+
+
 def test_collapsed_lsh_bucket_blowup_guard(spark):
     """A planted exact-dup cluster must contribute ONE row per band bucket
     (not n), no intra-cluster pairs, and pair weights must multiply back."""
