@@ -839,6 +839,106 @@ def q76_chunk_documents(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q77_corpus_prep_pack",
+    f"""
+    WITH dig AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+             MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    ),
+    base AS (SELECT d.* FROM documents d JOIN dig ON d.doc_id = dig.keep_id),
+    train AS (SELECT * FROM base WHERE doc_id % 50 <> 0),
+    trainw AS (SELECT doc_id, {O_TOKENS} AS w FROM train),
+    benchw AS (SELECT doc_id, {O_TOKENS} AS w
+               FROM documents WHERE doc_id % 50 = 0),
+    tw AS (SELECT doc_id, {O_SHINGLES} AS sh FROM trainw),
+    bw AS (SELECT doc_id, {O_SHINGLES} AS sh FROM benchw),
+    e AS (
+      SELECT doc_id, 't' AS side, unnest(sh) AS g FROM tw
+      UNION ALL
+      SELECT doc_id, 'b' AS side, unnest(sh) AS g FROM bw
+    ),
+    keep_g AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 20),
+    t2 AS (SELECT doc_id, g FROM e
+           WHERE side = 't' AND g IN (SELECT g FROM keep_g)),
+    b2 AS (SELECT doc_id AS b_id, g FROM e
+           WHERE side = 'b' AND g IN (SELECT g FROM keep_g)),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t2.doc_id, b2.b_id FROM t2 JOIN b2 USING (g)
+        GROUP BY t2.doc_id, b2.b_id HAVING COUNT(*) >= 2
+      )
+    ),
+    cw AS (
+      SELECT doc_id, lang, {O_TOKENS} AS w FROM train
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    q AS (
+      SELECT doc_id, lang, len(w) AS n_tokens,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+             END AS dwf
+      FROM cw
+    ),
+    gated AS (SELECT * FROM q WHERE n_tokens >= 30 AND dwf <= 0.5),
+    samp AS (
+      SELECT * FROM gated
+      WHERE CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) / 1152921504606846976.0
+            < CASE lang WHEN 'en' THEN 0.5 ELSE 0.8 END
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM samp
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+    FROM s
+    """,
+    doc="Full training-corpus pipeline v2, end-to-end: exact dedup (keep "
+    "min-id per digest) -> train/test decontamination (drop docs sharing "
+    ">=2 shingles with the benchmark split) -> quality gates (>=30 "
+    "tokens, dup_word_frac <= 0.5) -> deterministic language rebalancing "
+    "(en 0.5, others 0.8) -> 512-token sequence packing. Every stage is "
+    "the scale-shaped operator it composes (digest groupBy, inverted "
+    "shingle index, scan-speed gates, hash sampling, stratum-local "
+    "packing) — one pipeline, one shuffle per wide stage, no collects.",
+)
+def q77_corpus_prep_pack(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import exact_dedup
+    from .llm.packing import pack_sequences
+    from .llm.text_analysis import repetition_metrics, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    base = docs.join(keep, "doc_id")
+    train = base.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = decontaminate(
+        train, bench, "text", "doc_id", k=3, min_shared=2, max_df=20
+    ).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    rep = repetition_metrics(F.col("text"))
+    gated = clean.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        rep["dup_word_frac"].alias("dwf"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("dwf") <= 0.5))
+    sampled = hash_sample(
+        gated, "doc_id", {"en": 0.5}, "lang", default_rate=0.8, salt="s1"
+    )
+    return pack_sequences(sampled, "doc_id", 512, "lang")
+
+
+@register(
     "q38_fingerprint",
     f"""
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents)
