@@ -124,3 +124,41 @@ def test_ivf_centroid_join_is_tiny_broadcast(plan):
         + p.count("ShuffledHashJoin")
         >= 1
     )
+
+
+def test_scan_speed_corpus_ops_have_no_shuffle(plan):
+    """hash sampling (q72) and chunking (q76) are per-row pipelines —
+    any Exchange in their plans means an accidental wide dependency."""
+    assert plan("q72_hash_sample").count("Exchange") == 0
+    assert plan("q76_chunk_documents").count("Exchange") == 0
+
+
+def test_repetition_metrics_single_barrier(plan):
+    """q73 must have exactly its one deliberate exchange barrier (the
+    tokenize-once materialization) — more means an accidental shuffle,
+    zero means the barrier was optimized away and the tokenizer is being
+    re-inlined per metric."""
+    assert plan("q73_repetition_metrics").count("Exchange") == 1
+
+
+def test_pack_sequences_single_stratum_shuffle(plan):
+    """q75: one hash exchange for the per-stratum cumulative-sum window;
+    the window must be keyed by the stratum, not unpartitioned (an
+    unpartitioned running sum is a single-task serial pass at scale)."""
+    p = plan("q75_pack_sequences")
+    assert p.count("Exchange") == 1
+    assert "windowspecdefinition(lang" in p
+
+
+def test_ivf_multiprobe_same_plan_shape_as_nprobe1(plan):
+    """SCALE.md claim: nprobe>1 is a union of cell keys on the query
+    side — operator mix must be identical to q49's nprobe=1 plan."""
+    import re
+
+    def shape(name):
+        ops = re.findall(r"(BroadcastNestedLoopJoin|BroadcastHashJoin|"
+                         r"SortMergeJoin|ShuffledHashJoin|CartesianProduct|"
+                         r"Window|HashAggregate)", plan(name))
+        return sorted(set(ops)), len(ops)
+
+    assert shape("q74_ann_ivf_multiprobe") == shape("q49_ann_ivf")
