@@ -450,6 +450,65 @@ def dedup_clusters_bigstar(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pair search at scale: band the 60-bit signature
+    into ``bands`` equal bit-slices and self-join on (band_idx, band_key).
+    Pigeonhole guarantee: a pair within Hamming distance ≤ bands-1 has at
+    least one band with zero differing bits, so recall is EXACT for
+    ``max_hamming ≤ bands - 1`` (no LSH probability involved).
+    Verification is ``bit_count(xor)`` over candidates only. Shuffle
+    shape is identical to the MinHash-LSH band join — only
+    (band_idx, band_key) keys move. Returns (id_a, id_b, hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError("exact recall requires max_hamming <= bands - 1")
+    width = 60 // bands
+    mask = (1 << width) - 1
+    sig = simhash60(df, text_col, id_col)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("_id"), "simhash", F.explode(keys).alias("k")
+    ).select("_id", "simhash", "k.b", "k.bv")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x.b") == F.col("y.b"),
+                F.col("x.bv") == F.col("y.bv"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y._id").alias("id_b"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,
@@ -516,7 +575,7 @@ def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash per document: explode tokens, hash to 60 bits, sum
     ±1 per bit position, set bit where the sum is positive.
     Returns (id, simhash)."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     bit_sums = tok.groupBy("_id").agg(

@@ -247,7 +247,7 @@ def q70_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str):
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte() -> str:
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(60)
@@ -256,15 +256,43 @@ def _simhash_oracle() -> str:
         f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         for b in range(60)
     )
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id, unnest({O_TOKENS}) AS t FROM documents
     ),
     h AS (SELECT doc_id, {o_h60('t')} AS h FROM tok),
     bits AS (SELECT doc_id,
              {bit_sums}
-            FROM h GROUP BY doc_id)
-    SELECT doc_id, {sim_expr} AS simhash FROM bits
+            FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim"
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 60 // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH {_simhash_cte()},
+    bnd AS (
+      SELECT doc_id, simhash,
+             unnest(generate_series(0, {bands - 1})) AS b
+      FROM sim
+    ),
+    k AS (SELECT doc_id, simhash, b,
+                 (simhash >> (b * {width})) & {mask} AS bv
+          FROM bnd),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sa,
+                      y.doc_id AS id_b, y.simhash AS sb
+      FROM k x JOIN k y
+        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 
 
@@ -279,6 +307,25 @@ def _simhash_oracle() -> str:
 def q33_simhash(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return simhash60(docs, "text", "doc_id")
+
+
+@register(
+    "q78_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc="SimHash near-dup pair search: band the 60-bit signature into 4 "
+    "15-bit keys and self-join on (band, key) — by pigeonhole a pair "
+    "within Hamming distance <= 3 shares at least one intact band, so "
+    "recall is EXACT (no LSH probability). bit_count(xor) verification "
+    "on candidates only; shuffle carries (band, key) only, same shape as "
+    "the MinHash-LSH band join.",
+)
+def q78_simhash_pairs(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bands=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -299,6 +299,34 @@ def test_chunk_documents_overlap(spark):
     assert not [r for r in rows if r[0] == 3]  # empty doc → no chunks
 
 
+def test_simhash_pairs_exact_recall_vs_brute_force(spark):
+    from etl_procesos_odo_spark.llm.dedup import (
+        simhash60,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, "text", "doc_id", max_hamming=3, bands=4
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash60(docs, "text", "doc_id").collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    # pigeonhole: banded search must find EVERY pair within distance 3
+    assert got == brute
+
+
 def test_collapsed_lsh_bucket_blowup_guard(spark):
     """A planted exact-dup cluster must contribute ONE row per band bucket
     (not n), no intra-cluster pairs, and pair weights must multiply back."""
