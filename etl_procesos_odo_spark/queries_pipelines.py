@@ -426,9 +426,8 @@ def q55_facturacion_pipeline(spark: SparkSession, sf_dir: str):
     """,
     doc="Rule-based narrative verdicts (U5, indicador-modelo-vs-"
     "facturacion.py:1148-1292): threshold tiers as when-chains over the "
-    "per-sede executive rollup — the engine-side half of the reference's "
-    "markdown narrative generator (text templating stays driver-side). "
-    "Two broadcast dim joins + one hash agg.",
+    "per-sede executive rollup. Two broadcast dim joins + one hash agg. "
+    "q79 renders the markdown narrative itself engine-side.",
 )
 def q57_narrative_verdicts(spark: SparkSession, sf_dir: str):
     from .registry import dsum
@@ -466,4 +465,74 @@ def q57_narrative_verdicts(spark: SparkSession, sf_dir: str):
         .when(F.col("n_orders") >= 500, "MEDIO")
         .otherwise("BAJO")
         .alias("verdict_volumen"),
+    )
+
+
+@register(
+    "q79_narrative_render",
+    """
+    WITH r AS (
+      SELECT n_name AS sede, COUNT(*) AS n_orders,
+             100.0 * COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+               / COUNT(*) AS pct_fulfilled
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT sede, n_orders, round(pct_fulfilled, 1) AS pct1,
+             CASE WHEN pct_fulfilled >= 35 THEN 'CUMPLE'
+                  WHEN pct_fulfilled >= 31 THEN 'PARCIAL'
+                  ELSE 'NO CUMPLE' END AS vc,
+             CASE WHEN pct_fulfilled >= 35 THEN '✅'
+                  WHEN pct_fulfilled >= 31 THEN '⚠️'
+                  ELSE '❌' END AS icon_c,
+             CASE WHEN n_orders >= 700 THEN '✅'
+                  WHEN n_orders >= 500 THEN '⚠️'
+                  ELSE '❌' END AS icon_v
+      FROM r
+    )
+    SELECT sede,
+           printf('| %s | %.1f%% | %s | %d | %s |',
+                  sede, pct1, icon_c, n_orders, icon_v) AS fila_markdown,
+           printf('%s **%s el objetivo de cumplimiento** (meta: >=35%%).',
+                  icon_c, vc) AS conclusion
+    FROM v
+    """,
+    doc="Engine-side rendering of the reference's executive narrative "
+    "(generar_narrativa_ejecutiva, indicador-modelo-vs-facturacion.py:"
+    "1148-1292): the per-sede markdown table row and verdict sentence as "
+    "format_string expressions over the q57 tiers — closing the "
+    "templating half of U5 in the engine. Percentages are pre-rounded "
+    "with round(x, 1) so %.1f formatting never lands on a "
+    "representation tie (Java formats HALF_UP, C half-even).",
+)
+def q79_narrative_render(spark: SparkSession, sf_dir: str):
+    base = q57_narrative_verdicts(spark, sf_dir)
+    icon_c = (
+        F.when(F.col("verdict_cumplimiento") == "CUMPLE", "✅")
+        .when(F.col("verdict_cumplimiento") == "PARCIAL", "⚠️")
+        .otherwise("❌")
+    )
+    icon_v = (
+        F.when(F.col("verdict_volumen") == "ALTO", "✅")
+        .when(F.col("verdict_volumen") == "MEDIO", "⚠️")
+        .otherwise("❌")
+    )
+    return base.select(
+        "sede",
+        F.format_string(
+            "| %s | %.1f%% | %s | %d | %s |",
+            F.col("sede"),
+            F.round(F.col("pct_fulfilled"), 1),
+            icon_c,
+            F.col("n_orders"),
+            icon_v,
+        ).alias("fila_markdown"),
+        F.format_string(
+            "%s **%s el objetivo de cumplimiento** (meta: >=35%%).",
+            icon_c,
+            F.col("verdict_cumplimiento"),
+        ).alias("conclusion"),
     )
