@@ -318,3 +318,33 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage path for
+    embedding columns at 100 TB (4x smaller than float32, 8x smaller than
+    float64; ANN candidate generation runs on the int8 vectors and only
+    the final re-rank touches full precision). Per vector:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` — pure per-row
+    expressions at scan speed.
+
+    Returns (id, scale, q int8-range array<int>, recon_cos): the exact
+    cosine between the original and the dequantized vector, the quality
+    gauge for the compression (typically > 0.99 for real embeddings).
+    Zero vectors get scale 0 and recon_cos null."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / 127.0
+    q = F.transform(
+        F.col("_v"), lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+    )
+    deq = F.transform(F.col("q"), lambda x: x.cast("double") * F.col("scale"))
+    return (
+        df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+        .withColumn("q", F.when(F.col("scale") > 0, q).otherwise(
+            F.transform(F.col("_v"), lambda x: F.lit(0))))
+        .withColumn("recon_cos", F.when(
+            F.col("scale") > 0, cosine(F.col("_v"), deq)))
+        .drop("_v")
+    )

@@ -327,6 +327,20 @@ def test_simhash_pairs_exact_recall_vs_brute_force(spark):
     assert got == brute
 
 
+def test_quantize_int8_range_and_zero_vector(spark):
+    from etl_procesos_odo_spark.llm.similarity import quantize_int8
+
+    rows = [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert all(-127 <= x <= 127 for x in got[1]["q"])
+    assert max(abs(x) for x in got[1]["q"]) == 127  # max component saturates
+    assert got[1]["recon_cos"] > 0.999
+    assert got[2]["scale"] == 0.0
+    assert got[2]["q"] == [0, 0, 0, 0]
+    assert got[2]["recon_cos"] is None
+
+
 def test_collapsed_lsh_bucket_blowup_guard(spark):
     """A planted exact-dup cluster must contribute ONE row per band bucket
     (not n), no intra-cluster pairs, and pair weights must multiply back."""
