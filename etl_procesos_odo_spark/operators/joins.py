@@ -85,3 +85,63 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: dict[str, str],
+) -> DataFrame:
+    """Backward as-of join (a temporal operator Spark lacks natively; the
+    feature-backfill primitive: "for each observation, the latest
+    reading at or before it"): every left row gets the values of the
+    single latest right row with the same ``on`` key and
+    ``right_ts <= left_ts``, or nulls if none.
+
+    Implementation is the scale-correct union + window trick — NOT a
+    range join: tag both sides, union, and take
+    ``last(value, ignorenulls)`` over (key, ts, side) with side ordering
+    right-before-left so an equal-timestamp right row is visible to the
+    left row. One shuffle on the key, per-key sort, zero row explosion —
+    a naive range join materializes every (left, right-earlier) pair
+    first, which is quadratic per key at scale.
+
+    ``right_vals`` maps right column -> output alias. The right side must
+    be unique per (key, ts); callers dedupe first (ties would otherwise
+    be resolved by engine-dependent window order).
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[rc]).alias(f"_rv_{rc}")
+          for rc in right_vals],
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *[F.col(rc).alias(f"_rv_{rc}") for rc in right_vals],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "_side",
+        *lcols,
+        *[
+            F.last(f"_rv_{rc}", ignorenulls=True).over(w).alias(alias)
+            for rc, alias in right_vals.items()
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

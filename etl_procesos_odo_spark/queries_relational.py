@@ -1476,3 +1476,50 @@ def q66_wallclock_flexible(spark: SparkSession, sf_dir: str):
         "raw",
         parse_wallclock_flexible(F.col("raw")).alias("ts"),
     )
+
+
+@register(
+    "q81_asof_join",
+    """
+    WITH rdd AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rk
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rk = 1
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts,
+           r.value AS last_purchase_value, r.ts AS last_purchase_ts
+    FROM l ASOF LEFT JOIN rdd r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="Backward as-of join (temporal operator Spark lacks natively; "
+    "the feature-backfill primitive): each click event joined to the "
+    "user's latest purchase at or before it. Spark side is the "
+    "union + last(ignorenulls) window trick (operators/joins.py "
+    "asof_join) — one shuffle on the key, per-key sort, zero row "
+    "explosion, vs a naive range join's quadratic-per-key pair "
+    "materialization. Oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def q81_asof_join(spark: SparkSession, sf_dir: str):
+    from .operators.joins import asof_join
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rk", F.row_number().over(wdd))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "ts", "value")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        left, right, "user_id", "ts", "ts",
+        {"value": "last_purchase_value", "ts": "last_purchase_ts"},
+    )

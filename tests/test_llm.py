@@ -422,3 +422,26 @@ def test_multiprobe_recall_uplift(spark):
         for r in lsh_bucket_topk_multiprobe(emb, q, dim=64, k=5, probe=1).collect()
     }
     assert got1b == got1
+
+
+def test_asof_join_semantics(spark):
+    from etl_procesos_odo_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 999.0)],
+        "k long, t long, v double",
+    )
+    left = spark.createDataFrame(
+        [(101, 1, 5), (102, 1, 10), (103, 1, 25), (104, 3, 50)],
+        "eid long, k long, t long",
+    )
+    got = {
+        r["eid"]: r["last_v"]
+        for r in asof_join(
+            left, right, "k", "t", "t", {"v": "last_v"}
+        ).collect()
+    }
+    assert got[101] is None        # before any right row
+    assert got[102] == 100.0       # equal timestamp matches (>= semantics)
+    assert got[103] == 200.0       # latest of two earlier rows
+    assert got[104] is None        # key with no right rows at all
