@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver-generated parquet stores naive (isAdjustedToUTC=false)
+        # timestamps; read them as LTZ (session TZ is UTC) so epoch
+        # functions work and semantics match the DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # long-session hygiene: the correctness harness runs the whole
@@ -91,14 +95,32 @@ TABLES = (
 )
 
 
+def _normalize_timestamps(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ). The session runs in
+    UTC, so the wall-clock values are preserved bit-for-bit and downstream
+    epoch functions (``unix_micros`` etc.) that reject NTZ keep working —
+    matching DuckDB, whose naive timestamps compare as UTC instants."""
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Parquet scan for one harness table (predicate/column pushdown apply).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    map to a native type: read it as long nanos (legacy conf, settable at
-    runtime) and convert to a micros timestamp — truncating exactly like
-    DuckDB's nanos→micros read, so oracle comparisons stay bit-identical.
+    Timestamp normalization across driver-generated data variants:
+    - TIMESTAMP(NANOS) (round-1 data): Spark has no native type — read as
+      long nanos (legacy conf, settable at runtime) and truncate to micros,
+      exactly like DuckDB's nanos→micros read.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-2 data): Spark 4
+      infers TIMESTAMP_NTZ by default; read as LTZ instead (runtime conf,
+      so driver-provided sessions get it too) — identical instants under
+      the UTC session timezone.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -106,8 +128,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict:

@@ -25,6 +25,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, with the same nanos→micros
     timestamp normalization as the batch loader (session.load_table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stream = (
