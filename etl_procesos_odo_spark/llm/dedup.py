@@ -596,3 +596,86 @@ def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("simhash"),
     )
     return sim.withColumnRenamed("_id", id_col)
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+) -> DataFrame:
+    """Substring-level (block) dedup à la "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022), at chunk granularity:
+    cut each document into non-overlapping ``block_words``-token blocks,
+    keep only the globally-first occurrence of every distinct block
+    (ordered by (id, position) — deterministic), and reassemble the
+    surviving blocks in document order. Unlike whole-document dedup (q30)
+    this removes boilerplate *inside* otherwise-unique documents.
+
+    Returns (id, n_blocks, n_kept, text_dedup) — one row per input
+    document, ``text_dedup`` null when every block was a repeat (or the
+    document was empty).
+
+    Scale shape: block hashing is a per-row expression; the keep-first
+    decision is one shuffle keyed by the block hash (uniform md5 keys, no
+    skew); reassembly is one shuffle keyed by the document id. No
+    quadratic stage — the suffix-array exactness of Lee et al. is traded
+    for fixed block boundaries, the standard large-corpus compromise.
+    """
+    c = F.col(text_col)
+    w = tokens(c)
+    n_blocks = (F.size(w) + F.lit(block_words - 1)) / F.lit(block_words)
+    n_blocks = n_blocks.cast("int")  # floor for positive ints
+    blocks = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * block_words + 1, block_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    from pyspark.sql import Window
+
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(blocks).alias("pos", "block")
+    )
+    keep_w = Window.partitionBy(F.md5(F.col("block"))).orderBy("_id", "pos")
+    marked = exploded.withColumn("rn", F.row_number().over(keep_w))
+    agg = (
+        marked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("pos"), F.col("block")),
+                            )
+                        )
+                    ),
+                    lambda x: x["block"],
+                ),
+                " ",
+            ).alias("_joined"),
+        )
+        .withColumn(
+            "text_dedup",
+            F.when(F.col("n_kept") > 0, F.col("_joined")),
+        )
+        .drop("_joined")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "text_dedup",
+        )
+    )

@@ -348,3 +348,84 @@ def quantize_int8(
             F.col("scale") > 0, cosine(F.col("_v"), deq)))
         .drop("_v")
     )
+
+
+def kmeans_lloyd_step(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> DataFrame:
+    """One Lloyd (k-means) refinement iteration over cosine cells — the
+    step that turns the IVF coarse quantizer's deterministic seed
+    centroids (``ivf_topk``: first ``n_cells`` vectors by id) into data-
+    driven ones. Production iterates this to a fixed round count; one
+    oracle-checkable step proves the distributed shape.
+
+    Returns (id, cell_init, cell_next, cos_next): the assignment before
+    and after the refined centroids, and the cosine to the new centroid.
+
+    Scale shape per iteration: assignment is a broadcast of ``n_cells``
+    centroids (narrow map + per-row argmax window keyed by id);
+    the centroid update is ONE shuffle keyed by (cell, component) —
+    posexplode spreads the elementwise mean over cells × dim keys, so no
+    single reducer sees a whole cell; component means are computed in
+    integer micro-units (``round(x * 1e6)`` — ties round away from zero
+    identically in both engines, unlike double→decimal casts) so summation
+    is exact integer arithmetic and the refined centroids are
+    bit-identical across engines, at a documented 1e-6 centroid
+    quantization.
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    )
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def nearest(cent_df: DataFrame, out: str) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "_id",
+            "_v",
+            "cell",
+            cosine(F.col("_v"), F.col("centv")).alias("_cs"),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "_v", F.col("cell").alias(out), F.col("_cs").alias(f"_cs_{out}"))
+        )
+
+    a0 = nearest(cents, "cell_init")
+    comp = a0.select(
+        "cell_init", F.posexplode(F.col("_v")).alias("pos", "x")
+    )
+    means = (
+        comp.groupBy("cell_init", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1e6).cast("long")
+                ).cast("double")
+                / (F.count("*") * F.lit(1000000)).cast("double")
+            ).alias("m")
+        )
+        .groupBy("cell_init")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centv")
+        )
+        .select(F.col("cell_init").alias("cell"), "centv")
+    )
+    a1 = nearest(means, "cell_next")
+    return (
+        a0.select("_id", "cell_init")
+        .join(a1.select("_id", "cell_next", F.col("_cs_cell_next").alias("cos_next")), on="_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell_init").cast("long").alias("cell_init"),
+            F.col("cell_next").cast("long").alias("cell_next"),
+            "cos_next",
+        )
+    )

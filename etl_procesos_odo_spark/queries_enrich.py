@@ -1,0 +1,299 @@
+"""Round-2 enrichment queries (q82+): block-level dedup, PII masking,
+semi-structured JSON extraction, corpus rarity scoring, deterministic
+train/val/test splits, and a k-means (Lloyd) refinement step for the IVF
+quantizer.
+
+Same conventions as the other query modules (registry.py docstring):
+decimal-exact sums for doubles, explicit tie-breaks, aliases mirrored
+verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text_fns import count_digit_runs, mask_digit_runs
+from .llm.dedup import block_dedup
+from .llm.sampling import hash_uniform
+from .llm.similarity import kmeans_lloyd_step
+from .queries_llm import O_TOKENS, o_dot, o_h60
+from .registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# q82 — block-level (substring) dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q82_block_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    b AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(8*i + 1):(8*i + 8)], ' ') AS block
+      FROM w, UNNEST(generate_series(0, (len(w) + 7) // 8 - 1)) AS t(i)
+      WHERE len(w) > 0
+    ),
+    k AS (
+      SELECT doc_id, pos, block,
+             row_number() OVER (PARTITION BY md5(block)
+                                ORDER BY doc_id, pos) AS rn
+      FROM b
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_blocks FROM k GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(block, ' ' ORDER BY pos) AS text_dedup
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_blocks, 0) AS n_blocks,
+           COALESCE(kp.n_kept, 0) AS n_kept,
+           kp.text_dedup
+    FROM documents d
+    LEFT JOIN cnt c USING (doc_id)
+    LEFT JOIN kept kp USING (doc_id)
+    """,
+    doc="Substring-level (8-token block) dedup — Lee et al. 2022 at chunk "
+    "granularity: keep the globally-first occurrence of every distinct "
+    "block (ordered by id, position) and reassemble the survivors per "
+    "document. Removes boilerplate *inside* otherwise-unique documents, "
+    "which whole-document dedup (q30) cannot. Two shuffles total: block "
+    "hash (uniform md5 keys) for keep-first, doc id for reassembly.",
+)
+def q82_block_dedup(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return block_dedup(docs, "text", "doc_id", block_words=8)
+
+
+# ---------------------------------------------------------------------------
+# q83 — PII-style identifier masking
+# ---------------------------------------------------------------------------
+
+@register(
+    "q83_pii_mask",
+    r"""
+    WITH u AS (
+      SELECT 'customer' AS entity, c_custkey AS key, c_name AS name
+      FROM customer
+      UNION ALL
+      SELECT 'supplier' AS entity, s_suppkey AS key, s_name AS name
+      FROM supplier
+    )
+    SELECT entity, key,
+           regexp_replace(name, '[0-9]{4,}([0-9]{2})', '[ID]\1', 'g')
+             AS masked_name,
+           CAST(len(regexp_extract_all(name, '[0-9]{4,}[0-9]{2}'))
+                AS BIGINT) AS n_masked
+    FROM u
+    """,
+    doc="PII-style scrubbing over entity names: redact every >=6-digit "
+    "identifier run but keep its last two digits as a join-suffix "
+    "('Customer#000000042' -> 'Customer#[ID]42') — the "
+    "redact-but-keep-linkage pattern of training-data pipelines. Pure "
+    "per-row regexp expressions at scan speed over a union of sources.",
+)
+def q83_pii_mask(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    u = cust.unionByName(sup)
+    return u.select(
+        "entity",
+        "key",
+        mask_digit_runs("name").alias("masked_name"),
+        count_digit_runs("name").alias("n_masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — semi-structured JSON extraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q84_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_distinct_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: pull a typed field out of the events "
+    "table's JSON props column (get_json_object — JVM-side, no Python) "
+    "and aggregate per event type. The schema-on-read path every log/"
+    "clickstream pipeline needs; at scale the extraction is a scan "
+    "expression and the aggregate is one partial-agg shuffle.",
+)
+def q84_json_extract(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — corpus-frequency rarity scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "q85_token_rarity",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM w),
+    dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+    SELECT doc_id,
+           count(*) AS n_distinct_tokens,
+           CAST(sum(df) AS DOUBLE) / count(*) AS avg_token_df,
+           min(df) AS rarest_df
+    FROM tok JOIN dfreq USING (token)
+    GROUP BY doc_id
+    """,
+    doc="Document rarity scoring against the corpus itself (the integer-"
+    "exact analog of CCNet's LM-perplexity filter): per document, the "
+    "mean and min document-frequency of its distinct tokens — low means "
+    "rare/noisy vocabulary, high means boilerplate. Integer sums keep "
+    "the score bit-exact across engines. Scale shape: one vocabulary "
+    "aggregation, one token-keyed join (AQE handles hot stopword keys), "
+    "one doc-keyed re-aggregation.",
+)
+def q85_token_rarity(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tok.join(dfreq, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            (F.sum("df").cast("double") / F.count("*")).alias("avg_token_df"),
+            F.min("df").alias("rarest_df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+@register(
+    "q86_train_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE WHEN {o_h60("'split' || CAST(doc_id AS VARCHAR)")}
+                       / 1152921504606846976.0 < 0.8 THEN 'train'
+                  WHEN {o_h60("'split' || CAST(doc_id AS VARCHAR)")}
+                       / 1152921504606846976.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: the side a document "
+    "lands on is a pure function of its id's md5 uniform — stable across "
+    "runs, engines, partition layouts, and retries, so no training "
+    "example ever migrates between splits (the leakage rand() splits "
+    "risk). Per-row scan expression + one count aggregation.",
+)
+def q86_train_split(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), salt="split")
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — k-means (Lloyd) refinement of the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(n_cells: int = 8) -> str:
+    cos0 = (
+        f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
+        f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    s0 AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c0 c
+    ),
+    a0 AS (
+      SELECT vec_id, v, cell AS cell_init
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s0)
+      WHERE rk = 1
+    ),
+    comp AS (
+      SELECT cell_init, i - 1 AS pos, CAST(v[i] AS DOUBLE) AS x
+      FROM a0, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    means AS (
+      SELECT cell_init AS cell, pos,
+             CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
+      FROM comp GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centv FROM means GROUP BY cell),
+    s1 AS (
+      SELECT a.vec_id, a.cell_init, c.cell, {cos0} AS cs
+      FROM (SELECT vec_id, cell_init, v FROM a0) a CROSS JOIN c1 c
+    )
+    SELECT vec_id,
+           CAST(cell_init AS BIGINT) AS cell_init,
+           CAST(cell AS BIGINT) AS cell_next,
+           cs AS cos_next
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, cell) AS rk
+          FROM s1)
+    WHERE rk = 1
+    """
+
+
+@register(
+    "q87_kmeans_step",
+    _kmeans_oracle(),
+    doc="One Lloyd (k-means) iteration over cosine cells: assign every "
+    "vector to its nearest seed centroid (q49's deterministic coarse "
+    "quantizer), recompute centroids as elementwise means in integer "
+    "micro-units (exact summation, bit-identical across engines), "
+    "reassign. The step that turns "
+    "the IVF quantizer data-driven; production loops it a fixed number "
+    "of rounds. Scale: assignment broadcasts 8 centroids; the update is "
+    "one shuffle over (cell, component) keys so no reducer holds a full "
+    "cell.",
+)
+def q87_kmeans_step(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, "vec_id", "embedding", n_cells=8)

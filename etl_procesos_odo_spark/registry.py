@@ -50,6 +50,7 @@ def registry() -> list[QueryDef]:
     from . import queries_llm  # noqa: F401
     from . import queries_pipelines  # noqa: F401
     from . import queries_streaming_ml  # noqa: F401
+    from . import queries_enrich  # noqa: F401
 
     return list(_REGISTRY)
 
