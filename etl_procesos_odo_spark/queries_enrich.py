@@ -297,3 +297,128 @@ def _kmeans_oracle(n_cells: int = 8) -> str:
 def q87_kmeans_step(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd_step(emb, "vec_id", "embedding", n_cells=8)
+
+
+# ---------------------------------------------------------------------------
+# q88 — corpus distribution stats (exact quantiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q88_corpus_quantiles",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS nc,
+             CAST(len({O_TOKENS}) AS DOUBLE) AS nt
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           quantile_cont(nc, 0.5) AS chars_p50,
+           quantile_cont(nc, 0.9) AS chars_p90,
+           quantile_cont(nc, 0.99) AS chars_p99,
+           quantile_cont(nt, 0.5) AS tokens_p50,
+           quantile_cont(nt, 0.9) AS tokens_p90
+    FROM t GROUP BY lang
+    """,
+    doc="Corpus length-distribution stats per language: exact p50/p90/p99 "
+    "of chars and whitespace tokens (Spark `percentile` and DuckDB "
+    "`quantile_cont` share the linear-interpolation definition, so the "
+    "comparison is bit-exact). Exact quantiles sort within each bounded "
+    "language group; the unbounded-cardinality path at 100 TB is "
+    "`approx_percentile` (t-digest sketch, mergeable map-side) — same "
+    "query shape, documented accuracy trade.",
+)
+def q88_corpus_quantiles(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("nc"),
+        token_count_ws(F.col("text")).cast("double").alias("nt"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile(F.col("nc"), F.lit(0.5)).alias("chars_p50"),
+        F.percentile(F.col("nc"), F.lit(0.9)).alias("chars_p90"),
+        F.percentile(F.col("nc"), F.lit(0.99)).alias("chars_p99"),
+        F.percentile(F.col("nt"), F.lit(0.5)).alias("tokens_p50"),
+        F.percentile(F.col("nt"), F.lit(0.9)).alias("tokens_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — closed-form OLS trend per group
+# ---------------------------------------------------------------------------
+
+# Fixed regression origin (2024-01-01 UTC) keeps the integer-unit x values
+# small enough that every per-row product fits in a BIGINT exactly.
+_OLS_BASE = 1704067200.0
+
+
+@register(
+    "q89_linear_trend",
+    f"""
+    WITH u AS (
+      SELECT event_type,
+             CAST(round((CAST(epoch(ts) AS DOUBLE) - {_OLS_BASE}) * 1000000.0)
+                  AS BIGINT) AS ix,
+             CAST(round(value * 100.0) AS BIGINT) AS iy
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(ix) AS DOUBLE) AS sx, CAST(SUM(iy) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ix AS HUGEINT) * iy) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ix AS HUGEINT) * ix) AS DOUBLE) AS sxx
+      FROM u GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0
+             AS slope_per_sec,
+           (sy / (100.0 * n))
+             - (((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0)
+               * (sx / (1000000.0 * n)) AS intercept_at_base
+    FROM s
+    """,
+    doc="Closed-form per-group OLS: the linear trend of event value over "
+    "time per event_type, from the five classic sufficient statistics "
+    "(n, Σx, Σy, Σxy, Σx²) — the distributed form of the reference's "
+    "per-series sklearn LinearRegression fit (app_calculo_necesidad_"
+    "recepción_call_center.py:620-713), as ONE partial-aggregatable "
+    "shuffle instead of a driver-side model loop. Inputs are quantized "
+    "to integer micro-sec/cent units so every sum is exact integer "
+    "arithmetic (bit-identical across engines); the final slope/"
+    "intercept arithmetic is the same double expression on both sides. "
+    "Scales to any group count — no data leaves the cluster.",
+)
+def q89_linear_trend(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    ix = F.round(
+        (F.col("ts").cast("double") - F.lit(_OLS_BASE)) * 1e6
+    ).cast("long")
+    iy = F.round(F.col("value") * 100.0).cast("long")
+    u = ev.select("event_type", ix.alias("ix"), iy.alias("iy"))
+    s = u.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("ix").cast("double").alias("sx"),
+        F.sum("iy").cast("double").alias("sy"),
+        F.sum(
+            F.col("ix").cast("decimal(38,0)") * F.col("iy")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.col("ix").cast("decimal(38,0)") * F.col("ix")
+        ).cast("double").alias("sxx"),
+    )
+    slope_uc = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    slope = slope_uc * 10000.0
+    intercept = (F.col("sy") / (100.0 * F.col("n"))) - slope * (
+        F.col("sx") / (1000000.0 * F.col("n"))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_sec"),
+        intercept.alias("intercept_at_base"),
+    )

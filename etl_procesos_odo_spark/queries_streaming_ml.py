@@ -176,3 +176,38 @@ def q58_stateful_user_stats(spark: SparkSession, sf_dir: str):
         "append",
     )
     return out
+
+
+@register(
+    "q90_stream_static_join",
+    """
+    WITH w(event_type, weight) AS (
+      VALUES ('click', 0.5), ('view', 1.0), ('purchase', 3.0),
+             ('signup', 2.0), ('error', 1.5)
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value * weight AS DECIMAL(25,6))) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN w USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join (the J1 broadcast-lookup family "
+    "under the streaming engine): each micro-batch broadcast-joins a "
+    "static weight dimension — no stream-side shuffle for the join — "
+    "then rolls tumbling 1-hour weighted demand. Complete-mode bounded "
+    "backfill vs the equivalent batch join+aggregate oracle. Weights "
+    "have one decimal so value*weight is exact in DECIMAL(25,6) on both "
+    "engines.",
+)
+def q90_stream_static_join(spark: SparkSession, sf_dir: str):
+    from .streaming.temporal import stream_static_weighted
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    weights = spark.createDataFrame(
+        [("click", 0.5), ("view", 1.0), ("purchase", 3.0),
+         ("signup", 2.0), ("error", 1.5)],
+        ["event_type", "weight"],
+    )
+    agg = stream_static_weighted(events_stream(spark, sf_dir), weights)
+    return run_to_memory(agg, "q90_stream_static_join_out", "complete")

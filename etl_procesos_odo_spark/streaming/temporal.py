@@ -213,3 +213,35 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_weighted(
+    stream: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join (the dimension-lookup operator under
+    the streaming engine): each micro-batch inner-joins the static weight
+    dim — Spark re-plans the static side per batch, so a broadcast dim
+    stays a broadcast hash join with NO stream-side shuffle for the join
+    itself — then rolls a tumbling 1-hour weighted demand aggregate.
+
+    This is the streaming form of the J1 broadcast-lookup family: at
+    scale the static side is a slowly-changing dimension re-read per
+    batch; the only wide dependency is the windowed aggregate's state
+    shuffle.
+    """
+    j = stream.join(F.broadcast(weights), on="event_type")
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(25,6)")
+            ).cast("double").alias("weighted_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "weighted_value",
+        )
+    )
