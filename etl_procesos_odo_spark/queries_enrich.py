@@ -422,3 +422,65 @@ def q89_linear_trend(spark: SparkSession, sf_dir: str):
         slope.alias("slope_per_sec"),
         intercept.alias("intercept_at_base"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — rolling time-range window (7-day trailing demand)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q92_rolling_window",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day_num,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, n,
+           SUM(n) OVER w AS n_7d,
+           CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d_present
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling 7-day trailing window per event type (RANGE frame over "
+    "day number, so calendar gaps shrink the frame instead of silently "
+    "widening it like a ROWS frame would): daily count, trailing-week "
+    "total, and mean over days *with data*. Pre-aggregates to one row "
+    "per (type, day) before the window — the frame runs over bounded "
+    "daily rows partitioned by type, not raw events, so the serial "
+    "window is never the scale bottleneck.",
+)
+def q92_rolling_window(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "day_num",
+            (F.col("day").cast("timestamp").cast("long") / 86400)
+            .cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+        (F.sum("n").over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_7d_present"
+        ),
+    )

@@ -211,3 +211,37 @@ def q90_stream_static_join(spark: SparkSession, sf_dir: str):
     )
     agg = stream_static_weighted(events_stream(spark, sf_dir), weights)
     return run_to_memory(agg, "q90_stream_static_join_out", "complete")
+
+
+@register(
+    "q91_streaming_sliding",
+    """
+    WITH x AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 AS ws
+      FROM events, UNNEST(generate_series(0, 3)) AS t(k)
+    )
+    SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+    doc="Streaming sliding-window counts (1-hour width, 15-minute slide): "
+    "every event lands in exactly width/slide = 4 overlapping windows. "
+    "Complete-mode bounded backfill; the oracle materializes the same 4 "
+    "windows per event arithmetically (floor(epoch/slide) - k). State is "
+    "O(active windows x types); at scale the watermark closes windows "
+    "and bounds it — the tumbling/sliding/session trio is now covered.",
+)
+def q91_streaming_sliding(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .streaming.temporal import events_stream, run_to_memory
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, "q91_streaming_sliding_out", "complete")
