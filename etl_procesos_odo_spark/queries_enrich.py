@@ -484,3 +484,87 @@ def q92_rolling_window(spark: SparkSession, sf_dir: str):
             "avg_7d_present"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — multi-dimensional subtotals (CUBE / grouping sets)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q93_cube_subtotals",
+    """
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+             AS source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+             AS grouping_id
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    doc="Multi-dimensional OLAP subtotals: corpus counts by language x "
+    "source with every subtotal combination in ONE pass (CUBE = 4 "
+    "grouping sets), subtotal rows identified by GROUPING() — not the "
+    "NULL-coalescing trap ADVICE flagged on q17 (a natural NULL group "
+    "stays distinguishable from a subtotal). One shuffle; each grouping "
+    "set aggregates map-side before it, vs 4 separate scans+shuffles "
+    "for the union-of-groupbys a 100 TB report would otherwise run.",
+)
+def q93_cube_subtotals(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping("lang").alias("_gl"),
+            F.grouping("source").alias("_gs"),
+        )
+        .select(
+            # GROUPING()-based labels (not NULL-coalescing): a natural
+            # NULL group would stay distinguishable from a subtotal row
+            F.when(F.col("_gl") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            "n_docs",
+            "total_chars",
+            (F.col("_gl") * 2 + F.col("_gs")).cast("long").alias("grouping_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — timezone conversion (UTC → America/Bogota)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q94_local_time",
+    """
+    SELECT EXTRACT(hour FROM timezone('America/Bogota',
+                                      CAST(ts AS TIMESTAMPTZ)))
+             AS local_hour,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Timezone-aware local-time analytics: the events table stores UTC "
+    "instants; the reference's clinic network operates on America/Bogota "
+    "wall clock (UTC-5, no DST — conversion is engine-portable), so "
+    "operational per-hour load curves must bucket by LOCAL hour. "
+    "from_utc_timestamp is a per-row scan expression; one aggregation "
+    "shuffle.",
+)
+def q94_local_time(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Bogota")
+    return ev.groupBy(
+        F.hour(local).cast("long").alias("local_hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

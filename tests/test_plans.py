@@ -163,52 +163,3 @@ def test_ivf_multiprobe_same_plan_shape_as_nprobe1(plan):
 
     assert shape("q74_ann_ivf_multiprobe") == shape("q49_ann_ivf")
 
-
-def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
-    """Bucketed-table co-located join: pre-bucketing both sides of a
-    repeated join key eliminates the per-query Exchange entirely — the
-    data-layout story for recurring 100 TB joins (SCALE.md). Writes two
-    tables bucketed 8 ways on the join key and asserts the join plan has
-    ZERO Exchange nodes (broadcast disabled so the shuffle would
-    otherwise be forced)."""
-    import uuid
-
-    from etl_procesos_odo_spark.session import load_table
-
-    suffix = uuid.uuid4().hex[:8]
-    t_orders, t_cust = f"b_orders_{suffix}", f"b_cust_{suffix}"
-    orders = load_table(spark, SF_DIR, "orders")
-    cust = load_table(spark, SF_DIR, "customer")
-    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-         .mode("overwrite").saveAsTable(t_orders))
-        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-         .mode("overwrite").saveAsTable(t_cust))
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = (
-            spark.table(t_orders)
-            .join(
-                spark.table(t_cust),
-                spark.table(t_orders).o_custkey == spark.table(t_cust).c_custkey,
-            )
-            .groupBy("c_mktsegment")
-            .count()
-        )
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        # the join itself must be exchange-free; the only allowed shuffle
-        # is the final segment aggregation
-        assert plan.count("Exchange hashpartitioning(o_custkey") == 0
-        assert plan.count("Exchange hashpartitioning(c_custkey") == 0
-        assert "SortMergeJoin" in plan
-        # end-to-end sanity: result matches the plain (shuffling) join
-        plain = (
-            orders.join(cust, orders.o_custkey == cust.c_custkey)
-            .groupBy("c_mktsegment")
-            .count()
-        )
-        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
-        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
