@@ -568,3 +568,76 @@ def q94_local_time(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — gaps-and-islands: longest same-type streak per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "q96_longest_streak",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rn_t AS island,
+             COUNT(*) AS streak_len, MIN(rn) AS run_start
+      FROM o GROUP BY user_id, event_type, rn - rn_t
+    )
+    SELECT user_id, event_type AS streak_type,
+           streak_len, CAST(run_start AS BIGINT) AS run_start
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY streak_len DESC, run_start)
+                      AS pick
+          FROM runs)
+    WHERE pick = 1
+    """,
+    doc="Gaps-and-islands sequence analytics: the longest consecutive "
+    "run of a single event type per user (ordered by ts, event_id; ties "
+    "pick the earliest run). The row_number-difference island id turns "
+    "an imperative scan-the-sequence loop into two windows + one "
+    "aggregate, all partitioned by user — the distributed form of "
+    "per-entity behavioral streak features for training data. No "
+    "serial pass; parallelism = #users.",
+)
+def q96_longest_streak(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_typ).alias("rn_t"),
+    )
+    runs = (
+        o.withColumn("island", F.col("rn") - F.col("rn_t"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("rn").alias("run_start"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.col("run_start")
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            "streak_len",
+            F.col("run_start").cast("long").alias("run_start"),
+        )
+    )

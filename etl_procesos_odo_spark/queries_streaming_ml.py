@@ -245,3 +245,43 @@ def q91_streaming_sliding(spark: SparkSession, sf_dir: str):
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     return run_to_memory(agg, "q91_streaming_sliding_out", "complete")
+
+
+@register(
+    "q95_stream_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value,
+           epoch(p.ts) - epoch(v.ts) AS secs_to_purchase
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'click'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join (attribution): clicks joined to the "
+    "same user's purchases within 1 hour, BOTH sides live streams with "
+    "watermarks — the hardest stateful-join shape Structured Streaming "
+    "supports, closing the streaming operator matrix (tumbling/sliding/"
+    "session windows, dedup, stream-static, stream-stream). The time "
+    "bound on both event times makes join state evictable: a buffered "
+    "click is dropped once the purchase watermark passes click_ts + "
+    "horizon. Bounded append-mode backfill vs the equivalent batch "
+    "interval self-join.",
+)
+def q95_stream_stream_join(spark: SparkSession, sf_dir: str):
+    from .streaming.temporal import attribution_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clicks = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_memory(
+        attribution_join(clicks, purchases),
+        "q95_stream_stream_join_out",
+        "append",
+    )

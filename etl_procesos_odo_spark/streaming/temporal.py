@@ -245,3 +245,53 @@ def stream_static_weighted(
             "weighted_value",
         )
     )
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join (the attribution pattern): every
+    'click' event joined to the same user's 'purchase' events that land
+    within ``horizon`` after it. Both sides carry watermarks and the join
+    condition bounds event time on both, so each side's state is
+    evictable: a buffered click can be dropped once the purchase-side
+    watermark passes click_ts + horizon. Append-mode output (the only
+    mode stream-stream inner joins support).
+
+    Scale shape: one shuffle per side keyed user_id; join state is
+    O(events inside the watermark x horizon window), independent of
+    stream length.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        (
+            F.col("purchase_ts").cast("double")
+            - F.col("click_ts").cast("double")
+        ).alias("secs_to_purchase"),
+    )
