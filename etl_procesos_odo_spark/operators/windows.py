@@ -119,3 +119,66 @@ def cumulative_sum(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def ewma_time_decay(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    tau_seconds: float = 600.0,
+) -> DataFrame:
+    """Per-key time-decayed EWMA — the data-dependent linear recurrence
+    ``ewma_i = a_i * v_i + (1 - a_i) * ewma_{i-1}`` with a *rational*
+    gap-dependent gain ``a_i = dt_i / (dt_i + tau)`` (no exp/pow: libm
+    transcendentals differ across engines in the last ulp; pure +*/
+    arithmetic is IEEE-identical everywhere). First event of a key
+    initializes ``ewma = v``.
+
+    A recurrence whose coefficient depends on the data has no
+    fixed-frame window form — this is the documented legitimate use of
+    ``applyInPandas`` (SURVEY §2.9 U2): one shuffle to co-locate each
+    key, Arrow-batched into pandas, a vectorized-ordering loop per key
+    (state is two floats), rows back out as Arrow. Parallelism = #keys;
+    per-task memory is one key's rows.
+
+    Returns (key, order_tiebreak, ewma).
+    """
+    out_schema = f"{key_col} long, {order_tiebreak} long, ewma double"
+
+    def per_key(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_t", order_tiebreak])
+        # `_t` is epoch seconds computed JVM-side (cast(ts as double),
+        # micros-exact) — converting in pandas would round ns→s
+        # differently than the oracle's epoch_us/1e6
+        ts = pdf["_t"].to_numpy()
+        v = pdf[value_col].to_numpy()
+        ewma = []
+        acc = None
+        prev_t = None
+        for t, x in zip(ts, v):
+            if acc is None:
+                acc = float(x)
+            else:
+                dt = t - prev_t
+                a = dt / (dt + tau_seconds)
+                acc = a * float(x) + (1.0 - a) * acc
+            prev_t = t
+            ewma.append(acc)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_tiebreak: pdf[order_tiebreak].to_numpy(),
+                "ewma": ewma,
+            }
+        )
+
+    return df.select(
+        key_col,
+        F.col(ts_col).cast("double").alias("_t"),
+        order_tiebreak,
+        value_col,
+    ).groupBy(key_col).applyInPandas(per_key, schema=out_schema)

@@ -641,3 +641,46 @@ def q96_longest_streak(spark: SparkSession, sf_dir: str):
             F.col("run_start").cast("long").alias("run_start"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — time-decayed EWMA (applyInPandas recurrence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q97_ewma",
+    """
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_id, value,
+             CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn, t, CAST(value AS DOUBLE) AS ewma
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn, o.t,
+             (o.t - r.t) / ((o.t - r.t) + 600.0) * o.value
+             + (1.0 - (o.t - r.t) / ((o.t - r.t) + 600.0)) * r.ewma
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+    doc="Per-user time-decayed EWMA with a gap-dependent rational gain "
+    "a = dt/(dt+600) — a data-dependent linear recurrence no fixed-frame "
+    "window can express: the documented legitimate applyInPandas case "
+    "(one shuffle to co-locate keys, Arrow batches, two floats of state "
+    "per key). No exp/pow — pure +*/ keeps it IEEE-identical across "
+    "engines; the oracle is a recursive CTE stepping the same formula. "
+    "Parallelism = #users; the behavioral-feature op (decayed activity "
+    "level) of a training-data pipeline.",
+)
+def q97_ewma(spark: SparkSession, sf_dir: str):
+    from .operators.windows import ewma_time_decay
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_time_decay(
+        ev, "user_id", "ts", "event_id", "value", tau_seconds=600.0
+    )
