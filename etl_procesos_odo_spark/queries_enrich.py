@@ -684,3 +684,93 @@ def q97_ewma(spark: SparkSession, sf_dir: str):
     return ewma_time_decay(
         ev, "user_id", "ts", "event_id", "value", tau_seconds=600.0
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — unpivot (melt): wide measures → long form
+# ---------------------------------------------------------------------------
+
+@register(
+    "q98_unpivot_measures",
+    """
+    WITH long AS (
+      SELECT l_orderkey, measure, val
+      FROM lineitem
+      UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice,
+                                   l_discount, l_tax))
+    )
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           MAX(val) AS max_val
+    FROM long GROUP BY measure
+    """,
+    doc="Unpivot/melt — the inverse of the pivot family (A12): the four "
+    "lineitem measure columns reshaped to (measure, value) long form in "
+    "one scan (each input row emits 4 narrow rows JVM-side, no shuffle), "
+    "then a per-measure decimal-exact rollup. The stay-long reshape "
+    "every wide export needs before entering the engine; Spark's "
+    "`unpivot` keeps it a single pass where the naive form is one scan "
+    "per measure.",
+)
+def q98_unpivot_measures(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias(
+            "total"
+        ),
+        F.max("val").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — per-stratum percentile-rank normalization
+# ---------------------------------------------------------------------------
+
+@register(
+    "q99_quality_percentile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({O_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS pr,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) >= 0.7
+             AS keep_top30
+    FROM t
+    """,
+    doc="Per-stratum percentile-rank normalization: a raw quality signal "
+    "(token count) becomes a comparable [0,1] rank WITHIN each language, "
+    "so one global threshold ('keep the top 30 percent per language') "
+    "works across strata with different scales — the corpus-filtering "
+    "companion to q72's rate-based rebalancing. percent_rank = "
+    "(rank-1)/(n-1): integer arithmetic + one division, engine-exact; "
+    "doc_id tiebreak makes ranks deterministic. One window shuffle per "
+    "bounded stratum.",
+)
+def q99_quality_percentile(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .llm.text_analysis import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    pr = F.percent_rank().over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pr.alias("pr"),
+        (pr >= 0.7).alias("keep_top30"),
+    )
