@@ -774,3 +774,101 @@ def q99_quality_percentile(spark: SparkSession, sf_dir: str):
         pr.alias("pr"),
         (pr >= 0.7).alias("keep_top30"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — corpus prep v3: the round-2 ops composed end-to-end
+# ---------------------------------------------------------------------------
+
+_O_DTOKENS = (
+    r"list_filter(str_split_regex(trim(text_dedup), '\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "q100_corpus_prep_v3",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {O_TOKENS} AS w FROM documents),
+    b AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(8*i + 1):(8*i + 8)], ' ') AS block
+      FROM w, UNNEST(generate_series(0, (len(w) + 7) // 8 - 1)) AS t(i)
+      WHERE len(w) > 0
+    ),
+    k AS (
+      SELECT doc_id, pos, block,
+             row_number() OVER (PARTITION BY md5(block)
+                                ORDER BY doc_id, pos) AS rn
+      FROM b
+    ),
+    kept AS (
+      SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS text_dedup
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, len({_O_DTOKENS}) AS n_tokens
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    gated AS (SELECT * FROM scored WHERE n_tokens >= 20),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS pr
+      FROM gated
+    ),
+    final AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN {o_h60("'split' || CAST(doc_id AS VARCHAR)")}
+                       / 1152921504606846976.0 < 0.8 THEN 'train'
+                  WHEN {o_h60("'split' || CAST(doc_id AS VARCHAR)")}
+                       / 1152921504606846976.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked WHERE pr >= 0.5
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM final GROUP BY split, lang
+    """,
+    doc="Corpus prep v3 — the round-2 operator families composed into one "
+    "lazy plan: block-level dedup (q82) rewrites documents with "
+    "boilerplate blocks removed, a token-count floor gates fragments, "
+    "per-language percentile ranking (q99) keeps the top half per "
+    "stratum, the deterministic hash split (q86) assigns train/val/test, "
+    "and a rollup summarizes the shipped mix. Catalyst fuses the chain; "
+    "wide stages remain exactly the block-hash shuffle, doc reassembly, "
+    "per-stratum window, and final aggregate — no barrier between "
+    "composed operators.",
+)
+def q100_corpus_prep_v3(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .llm.text_analysis import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = block_dedup(docs, "text", "doc_id", block_words=8).filter(
+        F.col("n_kept") > 0
+    )
+    scored = deduped.join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        token_count_ws(F.col("text_dedup")).alias("n_tokens"),
+    )
+    gated = scored.filter(F.col("n_tokens") >= 20)
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = gated.withColumn("pr", F.percent_rank().over(w))
+    u = hash_uniform(F.col("doc_id"), salt="split")
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    final = ranked.filter(F.col("pr") >= 0.5).withColumn("split", split)
+    return final.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

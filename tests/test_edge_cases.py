@@ -84,3 +84,75 @@ def test_approx_count_distinct_tolerance(spark):
         F.approx_count_distinct("doc_id", rsd=0.02)
     ).first()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_block_dedup_properties(spark):
+    """Structural invariants: kept-block multiset is duplicate-free
+    globally, every surviving token sequence is a subsequence of the
+    original, and counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.dedup import block_dedup
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    out = block_dedup(docs, "text", "doc_id", block_words=8)
+    rows = out.collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    seen_blocks = set()
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        assert 0 <= r["n_kept"] <= r["n_blocks"]
+        if r["text_dedup"] is None:
+            continue
+        toks = r["text_dedup"].split()
+        # surviving text is drawn from the original document's tokens
+        assert set(toks) <= set(orig[r["doc_id"]].split())
+    # global: re-running block extraction over deduped texts yields no
+    # block that appears twice anywhere (keep-first is global)
+    dd = out.filter(F.col("text_dedup").isNotNull()).select(
+        F.col("doc_id"), F.col("text_dedup").alias("text")
+    )
+    again = block_dedup(dd, "text", "doc_id", block_words=8)
+    tot = again.agg(
+        F.sum("n_blocks").alias("b"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    assert tot["b"] == tot["k"]  # nothing left to dedup
+
+
+def test_ewma_bounds_and_first_value(spark):
+    """EWMA is a convex combination: it stays inside [min, max] of the
+    values seen so far, and the first event's ewma equals its value."""
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.operators.windows import ewma_time_decay
+    from etl_procesos_odo_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = ewma_time_decay(ev, "user_id", "ts", "event_id", "value")
+    j = out.join(ev.select("event_id", "user_id", "ts", "value"),
+                 on=["user_id", "event_id"])
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    checked = j.select(
+        "ewma",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+        "value",
+    )
+    bad = checked.filter(
+        (F.col("ewma") < F.col("lo") - 1e-9)
+        | (F.col("ewma") > F.col("hi") + 1e-9)
+    ).count()
+    assert bad == 0
+    firsts = checked.filter(F.col("rn") == 1).filter(
+        F.abs(F.col("ewma") - F.col("value")) > 0
+    ).count()
+    assert firsts == 0
