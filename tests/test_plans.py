@@ -163,3 +163,33 @@ def test_ivf_multiprobe_same_plan_shape_as_nprobe1(plan):
 
     assert shape("q74_ann_ivf_multiprobe") == shape("q49_ann_ivf")
 
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q89_linear_trend", "q93_cube_subtotals", "q96_longest_streak"],
+)
+def test_round2_single_exchange_queries(plan, name):
+    """Round-2 ops that must stay single-shuffle: OLS sufficient
+    statistics partial-aggregate before their one exchange (q89), CUBE
+    expands rows then shuffles ONCE for all four grouping sets (q93),
+    and gaps-and-islands reuses the one user_id exchange for both
+    windows AND the island aggregate — hashpartitioning(user_id)
+    satisfies the (user_id, event_type) clustering requirement (q96)."""
+    p = plan(name)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_block_dedup_two_shuffles_only(plan):
+    """q82's documented shape: one shuffle on the block hash (keep-first
+    window), one on the doc id (reassembly); the join back to the id
+    spine is broadcast at this sf (SMJ at scale — either way not a third
+    mandatory exchange on the block path)."""
+    p = plan("q82_block_dedup")
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_scan_expression_ops_no_shuffle_round2(plan):
+    """q83 (PII masking) is a pure scan expression over a union — zero
+    exchanges of any kind."""
+    assert "Exchange" not in plan("q83_pii_mask")
