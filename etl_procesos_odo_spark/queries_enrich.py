@@ -122,7 +122,8 @@ def q83_pii_mask(spark: SparkSession, sf_dir: str):
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS n_distinct_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -439,7 +440,7 @@ def q89_linear_trend(spark: SparkSession, sf_dir: str):
       FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, day, n,
-           SUM(n) OVER w AS n_7d,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
            CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d_present
     FROM d
     WINDOW w AS (PARTITION BY event_type ORDER BY day_num
@@ -497,7 +498,7 @@ def q92_rolling_window(spark: SparkSession, sf_dir: str):
            CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
              AS source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
              AS grouping_id
     FROM documents
@@ -826,7 +827,7 @@ _O_DTOKENS = (
       FROM ranked WHERE pr >= 0.5
     )
     SELECT split, lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM final GROUP BY split, lang
     """,

@@ -353,7 +353,9 @@ def q78_simhash_pairs(spark: SparkSession, sf_dir: str):
              list_transform(q, x -> CAST(x AS DOUBLE) * scale) AS dv
       FROM qz
     )
-    SELECT vec_id, scale, q,
+    SELECT vec_id, scale,
+           array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+             AS q,
            CASE WHEN scale > 0 THEN
              {o_dot('v', 'dv', 'len(v)')}
              / (sqrt({o_dot('v', 'v', 'len(v)')})
@@ -372,7 +374,18 @@ def q80_quantize_int8(spark: SparkSession, sf_dir: str):
     from .llm.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "embedding", "vec_id")
+    out = quantize_int8(emb, "embedding", "vec_id")
+    # Registry projection serializes the int8 vector: the driver's pandas
+    # canonicalizer cannot hash array-typed cells, and a CSV string is the
+    # same bytes-on-the-wire contract a storage sink would use.
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
+        "recon_cos",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1089,7 +1102,7 @@ def _corpus_prep_final(threshold: float = 0.5, min_tokens: int = 30) -> str:
                FROM kept),
     labeled AS (SELECT n_tokens, {case} AS pred_lang FROM scored)
     SELECT pred_lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM labeled GROUP BY pred_lang
     """
@@ -1172,8 +1185,9 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str):
            CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
            CAST(least(n_bytes, 256) AS BIGINT) AS n_bytes_out,
            CAST(n_frames AS BIGINT) AS n_frames,
-           list_transform(generate_series(0, CAST(floor((n_frames - 1) / 3) AS BIGINT)),
-                          i -> CAST(i * 3 AS BIGINT)) AS sampled
+           array_to_string(
+             list_transform(generate_series(0, CAST(floor((n_frames - 1) / 3) AS BIGINT)),
+                            i -> CAST(i * 3 AS VARCHAR)), ',') AS sampled
     FROM m
     """,
     doc="Multimodal transform plumbing: resize (payload -> bounded-byte "
@@ -1191,4 +1205,11 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
         "doc_id", "out_w", "out_h", "n_bytes_out"
     )
     frames = sample_frames(media, 3)
-    return resized.join(frames, "doc_id")
+    # Serialize the sampled-frame index list (driver's pandas canonicalizer
+    # cannot hash array cells; see q80).
+    return resized.join(frames, "doc_id").withColumn(
+        "sampled",
+        F.array_join(
+            F.transform(F.col("sampled"), lambda x: x.cast("string")), ","
+        ),
+    )

@@ -344,8 +344,9 @@ def q54_indicadores_pipeline(spark: SparkSession, sf_dir: str):
       FROM spine s LEFT JOIN daily d USING (fecha)
     )
     SELECT CAST(date_trunc('week', fecha) AS DATE) AS semana,
-           SUM(ingresos) AS ingresos, SUM(facturado) AS facturado,
-           SUM(novedades) AS novedades,
+           CAST(SUM(ingresos) AS BIGINT) AS ingresos,
+           CAST(SUM(facturado) AS BIGINT) AS facturado,
+           CAST(SUM(novedades) AS BIGINT) AS novedades,
            CASE WHEN SUM(ingresos) = 0 THEN NULL
                 ELSE CAST(SUM(facturado) AS DOUBLE) * 100.0
                      / CAST(SUM(ingresos) AS DOUBLE) END AS pct_facturacion,

@@ -1209,8 +1209,8 @@ def q59_scalar_kit(spark: SparkSession, sf_dir: str):
       GROUP BY hora
     )
     SELECT hora, n_slots,
-           SUM(n_slots) OVER (ORDER BY hora ROWS UNBOUNDED PRECEDING)
-             AS acum_slots
+           CAST(SUM(n_slots) OVER (ORDER BY hora ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS acum_slots
     FROM per_hour
     """,
     doc="Generated-dimension composition: 5-min time-slot spine (G1, "

@@ -193,3 +193,19 @@ def test_scan_expression_ops_no_shuffle_round2(plan):
     """q83 (PII masking) is a pure scan expression over a union — zero
     exchanges of any kind."""
     assert "Exchange" not in plan("q83_pii_mask")
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Driver-canonicalizer guard (round-2 VERDICT): the external harness
+    materializes results through pandas, and Array/Map/Struct cells crash
+    its sort (``TypeError: unhashable type: 'list'`` — q80/q62 in r2).
+    Every registry query must end in a scalar-only projection: operators
+    may carry arrays internally, but the registry surface serializes them
+    (array_join / to_json). Schema-only — no job is executed."""
+    offenders = []
+    for q in registry():
+        schema = QS[q.name].spark_fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                offenders.append(f"{q.name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
