@@ -139,20 +139,28 @@ def numeric_or_default(col: Column | str, default: float = 1.0) -> Column:
 
 
 def mask_digit_runs(
-    col: Column | str, min_run: int = 4, keep_last: int = 2, token: str = "[ID]"
+    col: Column | str,
+    min_masked_digits: int = 4,
+    keep_last: int = 2,
+    token: str = "[ID]",
 ) -> Column:
     """PII-style identifier masking: replace every digit run of at least
-    ``min_run + keep_last`` digits with ``token`` followed by the run's
-    last ``keep_last`` digits ("Customer#000000042" → "Customer#[ID]42") —
-    the redact-but-keep-join-suffix pattern of training-data scrubbing.
-    Pure per-row regexp expression (scan speed, pushdown-friendly)."""
+    ``min_masked_digits + keep_last`` digits with ``token`` followed by
+    the run's last ``keep_last`` digits ("Customer#000000042" →
+    "Customer#[ID]42") — the redact-but-keep-join-suffix pattern of
+    training-data scrubbing. ``min_masked_digits`` is the minimum number
+    of digits actually hidden (a 5-digit run is untouched at the
+    defaults: only 3 would be masked). Pure per-row regexp expression
+    (scan speed, pushdown-friendly)."""
     c = F.col(col) if isinstance(col, str) else col
-    pat = r"[0-9]{%d,}([0-9]{%d})" % (min_run, keep_last)
+    pat = r"[0-9]{%d,}([0-9]{%d})" % (min_masked_digits, keep_last)
     return F.regexp_replace(c, pat, token + "$1")
 
 
-def count_digit_runs(col: Column | str, min_run: int = 4, keep_last: int = 2) -> Column:
+def count_digit_runs(
+    col: Column | str, min_masked_digits: int = 4, keep_last: int = 2
+) -> Column:
     """Companion to :func:`mask_digit_runs`: how many runs were masked."""
     c = F.col(col) if isinstance(col, str) else col
-    pat = r"[0-9]{%d,}[0-9]{%d}" % (min_run, keep_last)
+    pat = r"[0-9]{%d,}[0-9]{%d}" % (min_masked_digits, keep_last)
     return F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")

@@ -145,7 +145,11 @@ def ewma_time_decay(
 
     Returns (key, order_tiebreak, ewma).
     """
-    out_schema = f"{key_col} long, {order_tiebreak} long, ewma double"
+    # output schema mirrors the input's key/tiebreak types (a string user
+    # id or int32 key must survive the Arrow boundary unchanged)
+    key_t = df.schema[key_col].dataType.simpleString()
+    tb_t = df.schema[order_tiebreak].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, {order_tiebreak} {tb_t}, ewma double"
 
     def per_key(pdf):
         import pandas as pd

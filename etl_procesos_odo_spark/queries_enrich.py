@@ -401,8 +401,11 @@ def q89_linear_trend(spark: SparkSession, sf_dir: str):
     u = ev.select("event_type", ix.alias("ix"), iy.alias("iy"))
     s = u.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("ix").cast("double").alias("sx"),
-        F.sum("iy").cast("double").alias("sy"),
+        # decimal(38,0) accumulators: micro-unit ix is ~2.6e12 per row, so
+        # a plain BIGINT sum overflows past ~3.5M rows/group; the oracle's
+        # SUM auto-promotes to HUGEINT, so match its headroom
+        F.sum(F.col("ix").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("iy").cast("decimal(38,0)")).cast("double").alias("sy"),
         F.sum(
             F.col("ix").cast("decimal(38,0)") * F.col("iy")
         ).cast("double").alias("sxy"),

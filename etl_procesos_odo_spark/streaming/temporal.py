@@ -264,6 +264,14 @@ def attribution_join(
     Scale shape: one shuffle per side keyed user_id; join state is
     O(events inside the watermark x horizon window), independent of
     stream length.
+
+    Exactness vs the batch oracle (q95): the harness replays
+    events.parquet as a SINGLE micro-batch, so no row can arrive after
+    the watermark has passed it and the streaming result is exactly the
+    batch interval join. In a multi-batch replay with event-time disorder
+    beyond ``watermark``, the stream-stream join would (by design) drop
+    late rows the batch oracle still matches — set ``watermark`` at or
+    above the source's max disorder to keep backfills exact.
     """
     v = views.select(
         F.col("user_id"),

@@ -156,3 +156,24 @@ def test_ewma_bounds_and_first_value(spark):
         F.abs(F.col("ewma") - F.col("value")) > 0
     ).count()
     assert firsts == 0
+
+
+def test_ewma_non_long_key_types(spark):
+    """The applyInPandas output schema is derived from the input frame, so
+    a string key and an int32 tiebreak survive the Arrow boundary with
+    their types intact (round-2 advice: the schema was hard-coded long)."""
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.operators.windows import ewma_time_decay
+    from etl_procesos_odo_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("user_key"),
+        "ts",
+        F.col("event_id").cast("int").alias("seq"),
+        "value",
+    )
+    out = ewma_time_decay(ev, "user_key", "ts", "seq", "value")
+    assert dict(out.dtypes) == {"user_key": "string", "seq": "int", "ewma": "double"}
+    assert out.filter(F.col("ewma").isNull()).count() == 0
+    assert out.count() == ev.count()

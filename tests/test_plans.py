@@ -209,3 +209,29 @@ def test_no_complex_typed_output_columns(spark):
             if f.dataType.typeName() in ("array", "map", "struct"):
                 offenders.append(f"{q.name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_driver_head_curation():
+    """The external driver's correctness artifact covers only the first 50
+    registry entries (round-2 finding): pin that the curated head is
+    exactly 50 unique names, is the registry prefix, and spans every
+    operator family (one sentinel per family group)."""
+    from etl_procesos_odo_spark.registry import DRIVER_HEAD
+
+    names = [q.name for q in registry()]
+    assert len(DRIVER_HEAD) == 50 == len(set(DRIVER_HEAD))
+    assert names[:50] == list(DRIVER_HEAD)
+    sentinels = {
+        "pipelines": "q53_callcenter_demand",
+        "streaming": "q58_stateful_user_stats",
+        "ml": "q41_forecast_demand",
+        "dedup": "q32_minhash_lsh",
+        "similarity": "q74_ann_ivf_multiprobe",
+        "text": "q35_langid",
+        "enrich": "q97_ewma",
+        "packing": "q75_pack_sequences",
+        "multimodal": "q62_multimodal_transform",
+        "relational": "q02_filter_project",
+    }
+    missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
+    assert not missing, missing
