@@ -112,17 +112,43 @@ def main() -> None:
             print(f"BENCH ERROR {q.name}: {exc}", file=sys.stderr)
 
     extras = {} if wanted else skew_join_bench(spark, sf_dir)
+    if not wanted:
+        # Warm steady-state re-runs of the queries round 2 flagged as
+        # regressed: a second in-session execution strips cold-codegen /
+        # session-position noise, so round-over-round comparisons have an
+        # isolated number to read (r2 postmortem: q50/q51 "regressions"
+        # were session noise; q47/q64's was a real filter-pushdown bug,
+        # fixed and guarded by a plan test).
+        for name in (
+            "q50_partitioner_pipeline",
+            "q51_confirmaciones_pipeline",
+            "q47_dedup_clusters",
+            "q64_corpus_prep",
+        ):
+            q = next((x for x in registry() if x.name == name), None)
+            if q is None or timings.get(name, -1.0) < 0:
+                continue
+            t0 = time.perf_counter()
+            try:
+                q.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                extras[f"warm_{name}_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                print(f"BENCH ERROR warm {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Key order puts the headline total LAST: the round harness records a
+    # bounded tail of this line, so the end must carry the verdict.
     print(
         json.dumps(
             {
                 "metric": "registry_total_runtime",
-                "value": total,
                 "unit": "sec",
+                "sf": sf,
                 "queries": timings,
                 "extras": extras,
-                "sf": sf,
+                "value": total,
             }
         )
     )

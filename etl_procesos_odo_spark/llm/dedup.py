@@ -174,13 +174,16 @@ def minhash_lsh_pairs(
     sh = _persist_capped(
         # the shingle frame feeds signing AND both sides of the verify join —
         # persist so tokenize+shingle runs once, not three times (capped:
-        # the previous invocation's frame is evicted, see _persist_capped)
-        _spread(df)
-        .select(
+        # the previous invocation's frame is evicted, see _persist_capped).
+        # The empty-shingle filter goes ABOVE the persist: a filter on the
+        # projection itself gets predicate-pushed below the _spread
+        # exchange, re-evaluating the whole shingle expression
+        # single-threaded in the scan task (measured 2.5 s of q47's 6 s at
+        # sf0.1); the cache boundary pins it to the cheap cached array.
+        _spread(df).select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
         )
-        .filter(F.size("_sh") > 0)
-    )
+    ).filter(F.size("_sh") > 0)
     hashed = sh.withColumn("_base", base_hashes(F.col("_sh")))
     signed = hashed.select(
         "_id", *minhash_signature(F.col("_base"), num_hashes)

@@ -235,3 +235,23 @@ def test_driver_head_curation():
     }
     missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
     assert not missing, missing
+
+
+def test_shingle_filter_not_pushed_below_spread(spark):
+    """Round-3 perf regression guard: the empty-shingle filter in
+    minhash_lsh_pairs must evaluate against the persisted shingle array,
+    NOT be predicate-pushed below the spread exchange — pushed, it
+    re-evaluates the whole tokenize+shingle expression single-threaded in
+    the scan task (measured: 2.5 s of q47's 6 s at sf0.1, the r2
+    regression). The cache boundary is the barrier: no Filter node in the
+    physical plan may contain the shingle expression tree."""
+    import re
+
+    from etl_procesos_odo_spark.llm.dedup import minhash_lsh_pairs
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = minhash_lsh_pairs(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if re.search(r"\bFilter\b", line):
+            assert "array_distinct" not in line and "sequence(" not in line, line
