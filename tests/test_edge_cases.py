@@ -177,3 +177,31 @@ def test_ewma_non_long_key_types(spark):
     assert dict(out.dtypes) == {"user_key": "string", "seq": "int", "ewma": "double"}
     assert out.filter(F.col("ewma").isNull()).count() == 0
     assert out.count() == ev.count()
+
+
+def test_verify_all_isolate_runner_smoke(tmp_path):
+    """CI-style smoke of the canonical correctness invocation
+    (``verify_all.py --isolate``, README): run two registry queries in an
+    isolated subprocess batch at sf0.001 and check the artifact records
+    ok rows. Guards the crash-mitigation path the round harness depends
+    on (round-1 postmortem: a JVM segfault emptied CORRECTNESS_r01)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "smoke.json"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(root, "verify_all.py"),
+            "--isolate", "2", "--sf", "/root/testdata/sf0.001",
+            "--out", str(out), "--only",
+            "q02_filter_project,q30_dedup_exact",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    res = json.loads(out.read_text())
+    assert set(res) == {"q02_filter_project", "q30_dedup_exact"}
+    assert all(r["ok"] for r in res.values())

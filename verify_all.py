@@ -100,6 +100,8 @@ def main() -> int:
     ap.add_argument("--out", default="CORRECTNESS_local.json")
     ap.add_argument("--isolate", type=int, default=0, metavar="N",
                     help="run in fresh subprocesses of N queries each")
+    ap.add_argument("--only", default=None, metavar="CSV",
+                    help="restrict to these query names (smoke/CI subsets)")
     ap.add_argument("--run-batch", default=None, help="(internal) CSV of query names")
     args = ap.parse_args()
 
@@ -112,6 +114,12 @@ def main() -> int:
     from etl_procesos_odo_spark.registry import registry
 
     names = [q.name for q in registry()]
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            ap.error(f"unknown query names: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
     results: dict = {}
     if not args.isolate:
         results = run_queries(names, args.sf)
