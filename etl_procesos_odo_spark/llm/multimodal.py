@@ -148,3 +148,46 @@ def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+TRANSFORM_SCHEMA = (
+    "doc_id long, out_w long, out_h long, n_bytes_out long, "
+    "n_frames long, sampled array<long>"
+)
+
+
+def transform_media(
+    media: DataFrame, out_w: int = 32, out_h: int = 32, every_k: int = 3
+) -> DataFrame:
+    """Fused resize + frame-sample in ONE mapInPandas pass — the scale
+    shape for chained media transforms. Composing :func:`resize_images`
+    and :func:`sample_frames` as separate branches reads (and at scale,
+    shuffles) the opaque payload twice and adds a doc_id join; with real
+    multi-MB image/video blobs the payload bytes dominate all traffic,
+    so every transform that can share one decode must run in the same
+    Arrow batch pass. Stub bodies are identical to the per-op versions;
+    a codec-enabled cluster swaps them without touching the plan."""
+    import pandas as pd
+
+    target = out_w * out_h
+
+    def op(batches):
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[:target]))
+            n_frames = pdf["payload"].map(
+                lambda b: fake_decode_meta(b)[2]
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": resized.map(len).astype("int64"),
+                    "n_frames": n_frames,
+                    "sampled": n_frames.map(
+                        lambda n: list(range(0, int(n), every_k))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=TRANSFORM_SCHEMA)

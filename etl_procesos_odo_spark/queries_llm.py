@@ -1191,23 +1191,22 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str):
     FROM m
     """,
     doc="Multimodal transform plumbing: resize (payload -> bounded-byte "
-    "payload) and frame-sampling (every 3rd index) as chained mapInPandas "
-    "stages over binary columns. Decode/resize bodies are deterministic "
-    "stubs (no codecs in container); the oracle recomputes the metadata "
-    "closed-form, verifying batch shape, schema, and byte plumbing.",
+    "payload) and frame-sampling (every 3rd index) FUSED into one "
+    "mapInPandas pass over the binary column — separate branches would "
+    "read and shuffle the opaque payload twice plus a doc_id join, and "
+    "at scale payload bytes dominate all traffic. Decode/resize bodies "
+    "are deterministic stubs (no codecs in container); the oracle "
+    "recomputes the metadata closed-form, verifying batch shape, schema, "
+    "and byte plumbing.",
 )
 def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
-    from .llm.multimodal import resize_images, sample_frames
+    from .llm.multimodal import transform_media
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "text", "doc_id")
-    resized = resize_images(media, 16, 16).select(
-        "doc_id", "out_w", "out_h", "n_bytes_out"
-    )
-    frames = sample_frames(media, 3)
     # Serialize the sampled-frame index list (driver's pandas canonicalizer
     # cannot hash array cells; see q80).
-    return resized.join(frames, "doc_id").withColumn(
+    return transform_media(media, 16, 16, 3).withColumn(
         "sampled",
         F.array_join(
             F.transform(F.col("sampled"), lambda x: x.cast("string")), ","

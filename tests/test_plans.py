@@ -255,3 +255,14 @@ def test_shingle_filter_not_pushed_below_spread(spark):
     for line in p.splitlines():
         if re.search(r"\bFilter\b", line):
             assert "array_distinct" not in line and "sequence(" not in line, line
+
+
+def test_multimodal_transform_single_pass(plan):
+    """q62's fused shape: exactly ONE mapInPandas over the payload and no
+    join — the two-branch composition (resize ⋈ frames) reads and, at
+    scale, shuffles the opaque payload twice. Payload bytes dominate
+    multimodal traffic, so transforms sharing a decode must share the
+    Arrow pass."""
+    p = plan("q62_multimodal_transform")
+    assert p.count("MapInPandas") == 1, p
+    assert "Join" not in p, p
