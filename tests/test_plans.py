@@ -266,3 +266,22 @@ def test_multimodal_transform_single_pass(plan):
     p = plan("q62_multimodal_transform")
     assert p.count("MapInPandas") == 1, p
     assert "Join" not in p, p
+
+
+def test_salted_join_is_broadcast_no_cartesian(plan):
+    """q63: the salted skew join replicates the small side across salt
+    buckets and joins as ONE broadcast hash join — no cartesian product,
+    no shuffle of the big side on the (possibly skewed) raw key."""
+    p = plan("q63_salted_segments")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_asof_join_no_range_explosion(plan):
+    """q81: the backward as-of join is union + window (last quote carried
+    forward per key), NOT an inequality range join — the plan must have
+    no join node at all, so candidate-pair blow-up is impossible at any
+    scale."""
+    p = plan("q81_asof_join")
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert "Window" in p, p
