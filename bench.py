@@ -128,12 +128,16 @@ def main() -> None:
             q = next((x for x in registry() if x.name == name), None)
             if q is None or timings.get(name, -1.0) < 0:
                 continue
-            t0 = time.perf_counter()
             try:
-                q.spark_fn(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                extras[f"warm_{name}_sec"] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(2):  # best-of-2: strip GC/variance noise
+                    t0 = time.perf_counter()
+                    q.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                extras[f"warm_{name}_sec"] = round(best, 3)
             except Exception as exc:
                 print(f"BENCH ERROR warm {name}: {exc}", file=sys.stderr)
 
