@@ -510,3 +510,29 @@ def test_kmeans_step_tightens_or_holds_cells(spark):
     assert rows["n"] == emb.count()
     assert 1 <= rows["cells"] <= 8
     assert rows["mn"] is not None
+
+
+def test_transform_media_matches_composed_ops(spark):
+    """The fused single-pass transform (q62's plan shape) must return
+    exactly what the composable resize ⋈ sample_frames pipeline returns —
+    the fusion is a traffic optimization, never a semantic change."""
+    from etl_procesos_odo_spark.llm.multimodal import (
+        attach_payload,
+        resize_images,
+        sample_frames,
+        transform_media,
+    )
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = attach_payload(docs, "text", "doc_id")
+    fused = transform_media(media, 16, 16, 3)
+    composed = (
+        resize_images(media, 16, 16)
+        .select("doc_id", "out_w", "out_h", "n_bytes_out")
+        .join(sample_frames(media, 3), "doc_id")
+    )
+    cols = ["doc_id", "out_w", "out_h", "n_bytes_out", "n_frames", "sampled"]
+    a = sorted(map(tuple, fused.select(*cols).collect()))
+    b = sorted(map(tuple, composed.select(*cols).collect()))
+    assert a == b and len(a) == docs.count()
