@@ -106,7 +106,10 @@ def main() -> None:
         try:
             df = q.spark_fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            timings[q.name] = round(time.perf_counter() - t0, 3)
+            # 2-decimal precision keeps the JSON line short: the round
+            # harness records a bounded tail of bench output, so every
+            # byte saved lets more head-of-registry entries survive
+            timings[q.name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep the bench line parseable on failure
             timings[q.name] = -1.0
             print(f"BENCH ERROR {q.name}: {exc}", file=sys.stderr)
