@@ -121,6 +121,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
       the UTC session timezone.
     """
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Pin the session TZ here too (not only in get_spark): every registry
+    # query loads through this function, so a driver-provided session gets
+    # oracle-matching timestamp semantics regardless of its own defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
