@@ -429,3 +429,72 @@ def kmeans_lloyd_step(
             "cos_next",
         )
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Two-stage retrieval over int8 storage — the path q80's docstring
+    promises: candidate generation scores queries against the DEQUANTIZED
+    int8 corpus (the 4-8x smaller representation that is all a 100 TB
+    vector store keeps hot), then only the ``k * overfetch`` survivors
+    per query are re-ranked with exact full-precision cosine.
+
+    At scale the first stage reads int8 bytes instead of float64 (the
+    bandwidth win), and the expensive exact pass touches a constant
+    number of candidates per query regardless of corpus size. Zero
+    vectors (scale 0) are excluded from the candidate path — they are
+    unrankable under cosine.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) — exact cosine of the
+    final top-k, ties broken by lowest neighbor id at both stages.
+    """
+    qz = quantize_int8(corpus, vec_col, id_col).filter(F.col("scale") > 0)
+    dq = qz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(
+            F.col("q"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("dv"),
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = (
+        qv.crossJoin(dq)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            cosine(F.col("qv"), F.col("dv")).alias("q_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= k * overfetch)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1212,3 +1212,68 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
             F.transform(F.col("sampled"), lambda x: x.cast("string")), ","
         ),
     )
+
+
+@register(
+    "q101_quantized_rerank",
+    f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (
+      SELECT neighbor_id, cv,
+             list_max(list_transform(cv, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM c
+    ),
+    dq AS (
+      SELECT neighbor_id, cv,
+             list_transform(
+               list_transform(cv, x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                             AS INTEGER)),
+               x -> CAST(x AS DOUBLE) * scale) AS dv
+      FROM s WHERE scale > 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             {o_dot('qv', 'dv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('dv', 'dv', 'len(dv)')}))
+               AS q_sim
+      FROM q CROSS JOIN dq WHERE query_id <> neighbor_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, qv, cv
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY q_sim DESC, neighbor_id) AS rk
+            FROM cand)
+      WHERE rk <= 20
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """,
+    doc="Two-stage retrieval over int8 storage — the scale path q80 "
+    "documents: candidate cosine against the DEQUANTIZED int8 corpus "
+    "(the 4-8x smaller always-hot representation), exact full-precision "
+    "re-rank on only k*overfetch survivors per query. Quantization math "
+    "is bit-identical to q80's oracle-proven shape; bounded query set "
+    "(vec_id < 10) is the verification envelope, the corpus side stays "
+    "full-size.",
+)
+def q101_quantized_rerank(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import quantized_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, overfetch=4,
+    )
