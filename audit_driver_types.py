@@ -85,8 +85,17 @@ def main() -> int:
             mism = []
             for c in sorted(set(spd.columns) & set(opd.columns)):
                 sk, ok = spd[c].dtype.kind, opd[c].dtype.kind
-                if sk != ok:
-                    mism.append(f"{c}: spark {spd[c].dtype} vs oracle {opd[c].dtype}")
+                if sk == ok:
+                    continue
+                # Benign class, driver-proven in round 2 (q06/q14/q16/q21/
+                # q26 all passed): Spark DateType materializes as object
+                # (datetime.date) while DuckDB DATE becomes datetime64 —
+                # the driver's canonicalizer handles it.
+                if sk == "O" and ok == "M" and all(
+                    type(v).__name__ == "date" for v in spd[c].head(5)
+                ):
+                    continue
+                mism.append(f"{c}: spark {spd[c].dtype} vs oracle {opd[c].dtype}")
             if mism:
                 entry["kind_mismatch"] = mism
             unh = [
