@@ -285,3 +285,22 @@ def test_asof_join_no_range_explosion(plan):
     p = plan("q81_asof_join")
     assert "Join" not in p and "CartesianProduct" not in p, p
     assert "Window" in p, p
+
+
+def test_decontaminate_no_cartesian(plan):
+    """q71: the inverted-index decontamination joins are all equi-joins on
+    the shingle / id keys (broadcast at this sf, SMJ at scale) — never a
+    nested-loop or cartesian pairing of train x bench docs."""
+    p = plan("q71_decontaminate")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kmeans_assignment_broadcasts_centroids(plan):
+    """q87: the Lloyd-step assignment pairs every vector with the n_cells
+    centroid set via a BROADCAST nested-loop (build side = 8 centroid
+    rows — the documented broadcast; cost n_cells per row, never a
+    shuffled cartesian), and the centroid update shuffles once on
+    (cell, component) equi-keys."""
+    p = plan("q87_kmeans_step")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
