@@ -682,3 +682,130 @@ def block_dedup(
             "text_dedup",
         )
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous-ingestion dedup: score an incoming batch against an
+    EXISTING corpus — exact duplicates by normalized digest, near-dups by
+    MinHash-LSH — without ever pairing corpus documents with each other.
+
+    This is the shape a 100 TB training pipeline runs daily: the corpus
+    side's signatures/bands are computed once per row (in production,
+    precomputed and stored alongside the documents); the band join is
+    new×corpus only, so cost scales with batch size, not corpus².
+
+    Returns one row per new document:
+    (new_id, status, match_id, jaccard_sim) where status is 'exact_dup'
+    (digest match — lowest corpus id wins), 'near_dup' (best Jaccard ≥
+    threshold among LSH candidates; digest non-match), or 'unique'
+    (jaccard_sim null, match_id null).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+    def digests(df: DataFrame, out: str) -> DataFrame:
+        return df.select(F.col(id_col).alias(out), F.md5(norm).alias("_dg"))
+
+    exact = (
+        digests(new_batch, "new_id")
+        .join(
+            digests(corpus, "match_id").groupBy("_dg").agg(
+                F.min("match_id").alias("match_id")
+            ),
+            "_dg",
+        )
+        .select("new_id", "match_id")
+    )
+
+    def prepared(df: DataFrame, side: str) -> DataFrame:
+        sh = _spread(df).select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        return _persist_capped_tagged(sh, side).filter(F.size("_sh") > 0)
+
+    sh_new = prepared(new_batch, "inc_new")
+    sh_cor = prepared(corpus, "inc_cor")
+
+    def banded(sh: DataFrame) -> DataFrame:
+        signed = sh.withColumn("_base", base_hashes(F.col("_sh"))).select(
+            "_id", *minhash_signature(F.col("_base"), num_hashes)
+        )
+        return lsh_bands(signed, "_id", num_hashes, bands)
+
+    cand = (
+        banded(sh_new).alias("n")
+        .join(
+            banded(sh_cor).alias("c"),
+            on=[
+                F.col("n.band_idx") == F.col("c.band_idx"),
+                F.col("n.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .select(
+            F.col("n._id").alias("new_id"), F.col("c._id").alias("cand_id")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(sh_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_n")), "new_id")
+        .join(sh_cor.select(F.col("_id").alias("cand_id"), F.col("_sh").alias("sh_c")), "cand_id")
+        .select(
+            "new_id",
+            "cand_id",
+            jaccard(F.col("sh_n"), F.col("sh_c")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    wbest = Window.partitionBy("new_id").orderBy(
+        F.desc("jac"), F.col("cand_id")
+    )
+    near = (
+        scored.withColumn("_rk", F.row_number().over(wbest))
+        .filter(F.col("_rk") == 1)
+        .select("new_id", F.col("cand_id").alias("near_id"), F.col("jac"))
+    )
+    base = new_batch.select(F.col(id_col).alias("new_id"))
+    return (
+        base.join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce("match_id", "near_id").alias("match_id"),
+            F.when(F.col("match_id").isNull(), F.col("jac")).alias(
+                "jaccard_sim"
+            ),
+        )
+    )
+
+
+# incremental_dedup needs TWO live cached shingle frames in one query;
+# _persist_capped's single-slot eviction would drop the first when the
+# second registers. Tagged variant: one live frame per tag, evicted when
+# the SAME tag re-registers (lifecycle still bounded across a session).
+_LIVE_TAGGED: dict = {}
+
+
+def _persist_capped_tagged(df: DataFrame, tag: str) -> DataFrame:
+    old = _LIVE_TAGGED.pop(tag, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _LIVE_TAGGED[tag] = df.persist()
+    return df

@@ -1277,3 +1277,106 @@ def q101_quantized_rerank(spark: SparkSession, sf_dir: str):
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, overfetch=4,
     )
+
+
+def _sig_cols_sql(num_hashes: int = 12) -> str:
+    from .llm.dedup import MINHASH_P, minhash_params
+
+    return ",\n             ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"(({o_h60('s')} % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+
+def _band_selects_sql(sig_cte: str, num_hashes: int = 12, bands: int = 4) -> str:
+    rows_per = num_hashes // bands
+    return "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM {src}".format(
+            b=b,
+            src=sig_cte,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+@register(
+    "q102_incremental_dedup",
+    rf"""
+    WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+    nd AS (SELECT doc_id AS new_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dg
+           FROM newb),
+    cd AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dg,
+                  MIN(doc_id) AS match_id
+           FROM corpus GROUP BY 1),
+    exact AS (SELECT new_id, match_id FROM nd JOIN cd USING (dg)),
+    nw AS (SELECT doc_id, {O_TOKENS} AS w FROM newb),
+    nf AS (SELECT doc_id, {O_SHINGLES} AS sh FROM nw
+           WHERE len({O_SHINGLES}) > 0),
+    cw AS (SELECT doc_id, {O_TOKENS} AS w FROM corpus),
+    cf AS (SELECT doc_id, {O_SHINGLES} AS sh FROM cw
+           WHERE len({O_SHINGLES}) > 0),
+    nsig AS (SELECT doc_id, sh, {_sig_cols_sql()} FROM nf),
+    csig AS (SELECT doc_id, sh, {_sig_cols_sql()} FROM cf),
+    nband AS (
+      {_band_selects_sql('nsig')}
+    ),
+    cband AS (
+      {_band_selects_sql('csig')}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
+      FROM nband n JOIN cband c
+        ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+    ),
+    j AS (
+      SELECT new_id, cand_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+      FROM cand JOIN nf a ON a.doc_id = new_id JOIN cf b ON b.doc_id = cand_id
+    ),
+    near AS (
+      SELECT new_id, cand_id AS near_id, jac
+      FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                         ORDER BY jac DESC, cand_id) AS rk
+            FROM j WHERE jac >= 0.5)
+      WHERE rk = 1
+    )
+    SELECT b.doc_id AS new_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.match_id, n.near_id) AS match_id,
+           CASE WHEN e.match_id IS NULL THEN n.jac END AS jaccard_sim
+    FROM newb b
+    LEFT JOIN exact e ON e.new_id = b.doc_id
+    LEFT JOIN near n ON n.new_id = b.doc_id
+    """,
+    doc="Continuous-ingestion dedup — the daily-batch shape a 100 TB "
+    "training pipeline runs: an incoming batch (doc_id % 10 = 7 stands "
+    "in for today's crawl) scored against the existing corpus. Exact "
+    "duplicates via normalized-digest join (lowest corpus id wins); "
+    "near-dups via MinHash-LSH banding joined new x corpus ONLY (cost "
+    "scales with batch size, never corpus^2; corpus signatures are "
+    "precomputable). Verdict per new doc: exact_dup / near_dup (best "
+    "Jaccard >= 0.5, deterministic tie-break) / unique.",
+)
+def q102_incremental_dedup(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+        "text",
+        "doc_id",
+        k=3,
+        num_hashes=12,
+        bands=4,
+        threshold=0.5,
+    )

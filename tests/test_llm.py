@@ -536,3 +536,37 @@ def test_transform_media_matches_composed_ops(spark):
     a = sorted(map(tuple, fused.select(*cols).collect()))
     b = sorted(map(tuple, composed.select(*cols).collect()))
     assert a == b and len(a) == docs.count()
+
+
+def test_incremental_dedup_statuses(spark):
+    """All three verdicts on a synthetic batch: exact_dup (normalized
+    digest match beats its jaccard-1.0 LSH candidacy), near_dup (one
+    token changed), unique (disjoint shingles). The generated documents
+    table has no exact duplicates, so q102's oracle exercises only
+    near_dup/unique — this pins the exact path."""
+    from etl_procesos_odo_spark.llm.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "completely different corpus text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha  beta GAMMA delta epsilon zeta"),  # == doc 1 after lower+ws-collapse
+            (11, "one two three four five six EIGHT"),
+            (12, "nothing shares any shingle with corpus docs"),
+        ],
+        "doc_id long, text string",
+    )
+    # normalized digest lowers + collapses whitespace, so doc 10 IS exact
+    out = {
+        r["new_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(new, corpus, "text", "doc_id").collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11][0] == "near_dup" and out[11][1] == 2
+    assert out[12] == ("unique", None)
