@@ -90,9 +90,13 @@ def main() -> int:
                 # Benign class, driver-proven in round 2 (q06/q14/q16/q21/
                 # q26 all passed): Spark DateType materializes as object
                 # (datetime.date) while DuckDB DATE becomes datetime64 —
-                # the driver's canonicalizer handles it.
-                if sk == "O" and ok == "M" and all(
-                    type(v).__name__ == "date" for v in spd[c].head(5)
+                # the driver's canonicalizer handles it. Checked over the
+                # FULL column and only when at least one non-null value
+                # exists: head(5)-only was vacuously true on empty frames
+                # and blind to later non-date cells.
+                nonnull = [v for v in spd[c] if v is not None]
+                if sk == "O" and ok == "M" and nonnull and all(
+                    type(v).__name__ == "date" for v in nonnull
                 ):
                     continue
                 mism.append(f"{c}: spark {spd[c].dtype} vs oracle {opd[c].dtype}")

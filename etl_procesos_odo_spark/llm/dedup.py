@@ -76,19 +76,45 @@ MINHASH_P = (1 << 31) - 1
 # Persist-lifecycle cap: registry queries hand lazy frames to a driver that
 # collects them and moves on, so an operator-internal persist can never be
 # unpersisted by its own caller at the right moment. Instead each new
-# pipeline invocation evicts the previous invocation's cached frame —
-# bounding a long session (67-query correctness run, bench loops, pytest)
-# to at most ONE live cached shingle frame instead of one per invocation.
+# pipeline invocation evicts the previous invocation's cached frame(s) —
+# bounding a long session (100-query correctness run, bench loops, pytest)
+# to at most ONE live cached shingle frame (TWO for incremental_dedup,
+# which needs both sides alive at once — see _persist_capped_tagged)
+# instead of one per invocation.
 _LIVE_PERSISTS: list = []
+_LIVE_TAGGED: dict = {}
+
+
+def _unpersist_quiet(frame) -> None:
+    try:
+        frame.unpersist()
+    except Exception:
+        pass  # session of the old frame may already be stopped
 
 
 def _persist_capped(df: DataFrame) -> DataFrame:
     while _LIVE_PERSISTS:
-        try:
-            _LIVE_PERSISTS.pop().unpersist()
-        except Exception:
-            pass  # session of the old frame may already be stopped
+        _unpersist_quiet(_LIVE_PERSISTS.pop())
+    # a fresh (non-incremental) dedup invocation also retires any tagged
+    # frames a previous incremental_dedup left alive, so a long mixed run
+    # never holds more than this invocation's caches
+    for tag in list(_LIVE_TAGGED):
+        _unpersist_quiet(_LIVE_TAGGED.pop(tag))
     _LIVE_PERSISTS.append(df.persist())
+    return df
+
+
+def _persist_capped_tagged(df: DataFrame, tag: str) -> DataFrame:
+    """Tagged persist slot: one live frame per tag, evicted when the SAME
+    tag re-registers (incremental_dedup needs its two shingle frames to
+    coexist, so cross-tag eviction must not happen here); the untagged
+    single slot is retired because a new invocation has begun."""
+    while _LIVE_PERSISTS:
+        _unpersist_quiet(_LIVE_PERSISTS.pop())
+    old = _LIVE_TAGGED.pop(tag, None)
+    if old is not None:
+        _unpersist_quiet(old)
+    _LIVE_TAGGED[tag] = df.persist()
     return df
 
 
@@ -791,21 +817,3 @@ def incremental_dedup(
             ),
         )
     )
-
-
-# incremental_dedup needs TWO live cached shingle frames in one query;
-# _persist_capped's single-slot eviction would drop the first when the
-# second registers. Tagged variant: one live frame per tag, evicted when
-# the SAME tag re-registers (lifecycle still bounded across a session).
-_LIVE_TAGGED: dict = {}
-
-
-def _persist_capped_tagged(df: DataFrame, tag: str) -> DataFrame:
-    old = _LIVE_TAGGED.pop(tag, None)
-    if old is not None:
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _LIVE_TAGGED[tag] = df.persist()
-    return df

@@ -453,6 +453,14 @@ def quantized_rerank_topk(
 
     Returns (query_id, neighbor_id, cos_sim, rank) — exact cosine of the
     final top-k, ties broken by lowest neighbor id at both stages.
+
+    Cross-engine note: the stage-1 shortlist boundary rides on float
+    cosine values computed independently per engine, so a near-tie at
+    rank k*overfetch can admit different candidates; ``overfetch`` is the
+    buffer against that. The registry oracle (q101) is GENERATED from the
+    same (k, overfetch) constants it passes here, so the verified
+    envelope always matches the call — change the constants there, not
+    the SQL.
     """
     qz = quantize_int8(corpus, vec_col, id_col).filter(F.col("scale") > 0)
     dq = qz.select(

@@ -1214,6 +1214,14 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
     )
 
 
+# q101 parameters — the oracle SQL below is GENERATED from these, so the
+# Spark call and the DuckDB check can never drift (ADVICE r3: a hand-edited
+# rk<=20/rk<=5 would silently stop covering other k/overfetch choices).
+_Q101_K = 5
+_Q101_OVERFETCH = 4
+_Q101_NQUERIES = 10
+
+
 @register(
     "q101_quantized_rerank",
     f"""
@@ -1233,7 +1241,7 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
       FROM s WHERE scale > 0
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id < 10),
+          WHERE vec_id < {_Q101_NQUERIES}),
     cand AS (
       SELECT query_id, neighbor_id, qv, cv,
              {o_dot('qv', 'dv')}
@@ -1246,7 +1254,7 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY q_sim DESC, neighbor_id) AS rk
             FROM cand)
-      WHERE rk <= 20
+      WHERE rk <= {_Q101_K * _Q101_OVERFETCH}
     ),
     rr AS (
       SELECT query_id, neighbor_id,
@@ -1259,7 +1267,7 @@ def q62_multimodal_transform(spark: SparkSession, sf_dir: str):
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos_sim DESC, neighbor_id) AS rk
           FROM rr)
-    WHERE rk <= 5
+    WHERE rk <= {_Q101_K}
     """,
     doc="Two-stage retrieval over int8 storage — the scale path q80 "
     "documents: candidate cosine against the DEQUANTIZED int8 corpus "
@@ -1274,8 +1282,8 @@ def q101_quantized_rerank(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_rerank_topk(
-        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, overfetch=4,
+        emb, emb.filter(F.col("vec_id") < _Q101_NQUERIES), "vec_id", "embedding",
+        k=_Q101_K, overfetch=_Q101_OVERFETCH,
     )
 
 

@@ -102,6 +102,12 @@ def registry() -> list[QueryDef]:
     from . import queries_enrich  # noqa: F401
 
     by_name = {q.name: q for q in _REGISTRY}
+    missing = [n for n in DRIVER_HEAD if n not in by_name]
+    if missing:
+        raise KeyError(
+            "DRIVER_HEAD names with no @register match (renamed or removed "
+            f"query?): {missing}"
+        )
     head = [by_name[n] for n in DRIVER_HEAD]
     rest = [q for q in _REGISTRY if q.name not in set(DRIVER_HEAD)]
     return head + rest
