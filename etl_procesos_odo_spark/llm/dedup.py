@@ -719,6 +719,7 @@ def incremental_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    corpus_band_cap: int | None = 1000,
 ) -> DataFrame:
     """Continuous-ingestion dedup: score an incoming batch against an
     EXISTING corpus — exact duplicates by normalized digest, near-dups by
@@ -728,6 +729,17 @@ def incremental_dedup(
     side's signatures/bands are computed once per row (in production,
     precomputed and stored alongside the documents); the band join is
     new×corpus only, so cost scales with batch size, not corpus².
+
+    ``corpus_band_cap`` is the hot-band skew guard (same hazard class as
+    ``decontaminate``'s df cap): a boilerplate-heavy corpus can put
+    millions of corpus docs behind ONE (band_idx, band_hash) key, turning
+    the band join's fan-out into batch × millions for that key. The cap
+    keeps only the ``corpus_band_cap`` lowest-id corpus docs per band
+    bucket — deterministic (min-k by id, so reruns and both engines agree)
+    and rank-preserving for exact duplicates (the digest path is uncapped;
+    near-dup recall degrades only inside a bucket that ALREADY holds
+    ``cap`` near-identical candidates, where the retained low-id docs are
+    interchangeable evidence). ``None`` disables the guard.
 
     Returns one row per new document:
     (new_id, status, match_id, jaccard_sim) where status is 'exact_dup'
@@ -767,10 +779,21 @@ def incremental_dedup(
         )
         return lsh_bands(signed, "_id", num_hashes, bands)
 
+    corpus_bands = banded(sh_cor)
+    if corpus_band_cap is not None:
+        from pyspark.sql import Window as _W
+
+        wcap = _W.partitionBy("band_idx", "band_hash").orderBy("_id")
+        corpus_bands = (
+            corpus_bands.withColumn("_bk", F.row_number().over(wcap))
+            .filter(F.col("_bk") <= corpus_band_cap)
+            .drop("_bk")
+        )
+
     cand = (
         banded(sh_new).alias("n")
         .join(
-            banded(sh_cor).alias("c"),
+            corpus_bands.alias("c"),
             on=[
                 F.col("n.band_idx") == F.col("c.band_idx"),
                 F.col("n.band_hash") == F.col("c.band_hash"),

@@ -1311,6 +1311,11 @@ def _band_selects_sql(sig_cte: str, num_hashes: int = 12, bands: int = 4) -> str
     )
 
 
+# q102 corpus-side hot-band cap — oracle generated from the same constant
+# the Spark call passes, so the skew guard itself is oracle-covered.
+_Q102_BAND_CAP = 1000
+
+
 @register(
     "q102_incremental_dedup",
     rf"""
@@ -1334,8 +1339,15 @@ def _band_selects_sql(sig_cte: str, num_hashes: int = 12, bands: int = 4) -> str
     nband AS (
       {_band_selects_sql('nsig')}
     ),
-    cband AS (
+    cband0 AS (
       {_band_selects_sql('csig')}
+    ),
+    cband AS (
+      SELECT doc_id, band_idx, band_hash
+      FROM (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+                                         ORDER BY doc_id) AS bk
+            FROM cband0)
+      WHERE bk <= {_Q102_BAND_CAP}
     ),
     cand AS (
       SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
@@ -1371,8 +1383,11 @@ def _band_selects_sql(sig_cte: str, num_hashes: int = 12, bands: int = 4) -> str
     "duplicates via normalized-digest join (lowest corpus id wins); "
     "near-dups via MinHash-LSH banding joined new x corpus ONLY (cost "
     "scales with batch size, never corpus^2; corpus signatures are "
-    "precomputable). Verdict per new doc: exact_dup / near_dup (best "
-    "Jaccard >= 0.5, deterministic tie-break) / unique.",
+    "precomputable). Corpus-side hot-band cap (min-1000-ids per band "
+    "bucket, mirrored in this oracle) bounds the join fan-out when "
+    "boilerplate puts millions of corpus docs behind one band key. "
+    "Verdict per new doc: exact_dup / near_dup (best Jaccard >= 0.5, "
+    "deterministic tie-break) / unique.",
 )
 def q102_incremental_dedup(spark: SparkSession, sf_dir: str):
     from .llm.dedup import incremental_dedup
@@ -1387,4 +1402,5 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str):
         num_hashes=12,
         bands=4,
         threshold=0.5,
+        corpus_band_cap=_Q102_BAND_CAP,
     )

@@ -570,3 +570,61 @@ def test_incremental_dedup_statuses(spark):
     assert out[10] == ("exact_dup", 1)
     assert out[11][0] == "near_dup" and out[11][1] == 2
     assert out[12] == ("unique", None)
+
+
+def test_incremental_dedup_hot_band_cap(spark):
+    """Adversarial skew: 40 corpus docs share one band (identical text ⇒
+    identical signature ⇒ all 4 bands collide). With corpus_band_cap=8
+    the band join sees ≤ cap corpus rows per (band_idx, band_hash) —
+    bounded fan-out — while verdicts survive: the capped bucket keeps its
+    LOWEST-id docs, so the best (min-id) match is still found, and the
+    exact-digest path is uncapped by design."""
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm import dedup as D
+
+    hot = [(i, "the same boilerplate sentence repeated everywhere online")
+           for i in range(100, 140)]
+    corpus = spark.createDataFrame(
+        hot + [(2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the same boilerplate sentence repeated everywhere online today"),
+         (11, "one two three four five six eight")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["new_id"]: (r["status"], r["match_id"])
+        for r in D.incremental_dedup(
+            new, corpus, "text", "doc_id", corpus_band_cap=8
+        ).collect()
+    }
+    # doc 10 is a near-dup of the hot cluster; min-id retention makes 100
+    # the deterministic best match even though 32 cluster members were
+    # dropped from the bucket
+    assert out[10] == ("near_dup", 100)
+    assert out[11] == ("near_dup", 2)
+
+    # the capped corpus band frame itself is bounded: rebuild the banding
+    # exactly as the operator does and assert no bucket exceeds the cap
+    sh = D._spread(corpus).select(
+        F.col("doc_id").alias("_id"), D.shingles(F.col("text"), 3).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    signed = sh.withColumn("_base", D.base_hashes(F.col("_sh"))).select(
+        "_id", *D.minhash_signature(F.col("_base"), 12)
+    )
+    banded = D.lsh_bands(signed, "_id", 12, 4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+    capped = (
+        banded.withColumn("_bk", F.row_number().over(w))
+        .filter(F.col("_bk") <= 8)
+        .drop("_bk")
+    )
+    sizes = capped.groupBy("band_idx", "band_hash").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 8
+    # and the uncapped frame really was hot (sanity that the test bites)
+    raw_sizes = banded.groupBy("band_idx", "band_hash").count()
+    assert raw_sizes.agg(F.max("count")).collect()[0][0] == 40
