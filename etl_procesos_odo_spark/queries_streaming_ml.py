@@ -77,6 +77,39 @@ def q41_forecast_demand(spark: SparkSession, sf_dir: str):
     return forecast_grid(spark, model)
 
 
+@register(
+    "q104_demand_features",
+    """
+    WITH k AS (
+      SELECT CAST(ts AS DATE) AS fecha, CAST(hour(ts) AS BIGINT) AS hora
+      FROM events
+    ),
+    d AS (SELECT fecha, hora, COUNT(*) AS n FROM k GROUP BY 1, 2)
+    SELECT fecha, hora,
+           CAST(isodow(fecha) - 1 AS BIGINT) AS dia_semana,
+           CAST(month(fecha) AS BIGINT) AS mes,
+           CAST(day(fecha) AS BIGINT) AS dia_mes,
+           CAST(floor((day(fecha) - 1) / 7) + 1 AS BIGINT) AS semana_mes,
+           CAST(n AS DOUBLE) AS demanda
+    FROM d
+    """,
+    doc="The q41 forecaster's feature build as its own hard-oracle surface "
+    "(U3 feature half, app_calculo_necesidad_recepción_call_center.py:"
+    "553-618): hourly demand counts keyed by (date, hour) with calendar "
+    "features — weekday Monday=0 (F21), month, day-of-month, "
+    "week-of-month (F21 closed form). Splitting this out leaves only the "
+    "genuinely non-SQL-expressible model fit/predict on the rows-only "
+    "contract path. One count aggregation; every feature is a per-row "
+    "scan expression over the group key.",
+)
+def q104_demand_features(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .ml.forecast import demand_features
+    from .registry import load_table
+
+    return demand_features(load_table(spark, sf_dir, "events"))
+
+
 _SESSION_ORACLE = """
     WITH t AS (
       SELECT user_id, event_id, ts, value,
