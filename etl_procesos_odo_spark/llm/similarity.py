@@ -431,6 +431,79 @@ def kmeans_lloyd_step(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with k-means, then prune
+    near-duplicate vectors WITHIN each cluster by pairwise cosine — the
+    embedding-level complement to lexical MinHash dedup, catching
+    paraphrases that share no shingles.
+
+    Composition of proven pieces: the cluster assignment is one
+    :func:`kmeans_lloyd_step` (broadcast centroids, integer micro-unit
+    means — q87's oracle-exact shape); the prune rule is deterministic —
+    a vector is ``pruned`` iff a LOWER-id vector in the same cluster has
+    cosine ≥ ``threshold`` with it (keep-lowest-id, the same convention
+    every dedup op here uses), with ``dup_of`` = the best such neighbor
+    (max cosine, ties to lowest id).
+
+    Scale shape: NO cross-cluster pairs ever form — the pair join is an
+    equi-join on the cluster id, so the quadratic term is bounded per
+    cluster, and ``n_cells`` is the knob that keeps clusters at ~constant
+    size as the corpus grows (production: n_cells ≈ N/5k, the SemDeDup
+    paper's regime; the assignment stays a broadcast because centroids
+    are still ≪ data). Zero vectors have null cosine and are never
+    pruned.
+
+    Returns (id, cell, status 'kept'|'pruned', dup_of, max_cos).
+    """
+    assign = kmeans_lloyd_step(corpus, id_col, vec_col, n_cells)
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    m = (
+        assign.select(F.col(id_col).alias("_id"), F.col("cell_next").alias("cell"))
+        .join(v, "_id")
+    )
+    a = m.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cell")
+    b = m.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cs")
+        )
+        .filter(F.col("cs") >= threshold)
+    )
+    wbest = Window.partitionBy("id_b").orderBy(F.desc("cs"), F.col("id_a"))
+    dup = (
+        pairs.withColumn("_rk", F.row_number().over(wbest))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("id_b").alias("_id"),
+            F.col("id_a").alias("dup_of"),
+            F.col("cs").alias("max_cos"),
+        )
+    )
+    return (
+        m.select("_id", "cell")
+        .join(dup, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("dup_of").isNotNull(), F.lit("pruned"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "dup_of",
+            "max_cos",
+        )
+    )
+
+
 def quantized_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

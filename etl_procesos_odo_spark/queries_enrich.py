@@ -237,11 +237,17 @@ def q86_train_split(spark: SparkSession, sf_dir: str):
 # q87 — k-means (Lloyd) refinement of the IVF coarse quantizer
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(n_cells: int = 8) -> str:
-    cos0 = (
-        f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
-        f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
-    )
+_KMEANS_COS0 = (
+    f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
+    f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
+)
+
+
+def _kmeans_ctes(n_cells: int = 8) -> str:
+    """Shared CTE chain for the Lloyd step (q87) and its semantic-dedup
+    composition (q103): seed centroids → assignment → exact integer-
+    micro-unit means → refined centroids ``c1``."""
+    cos0 = _KMEANS_COS0
     return f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
@@ -266,7 +272,12 @@ def _kmeans_oracle(n_cells: int = 8) -> str:
                / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
       FROM comp GROUP BY 1, 2
     ),
-    c1 AS (SELECT cell, list(m ORDER BY pos) AS centv FROM means GROUP BY cell),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centv FROM means GROUP BY cell)"""
+
+
+def _kmeans_oracle(n_cells: int = 8) -> str:
+    cos0 = _KMEANS_COS0
+    return f"""{_kmeans_ctes(n_cells)},
     s1 AS (
       SELECT a.vec_id, a.cell_init, c.cell, {cos0} AS cs
       FROM (SELECT vec_id, cell_init, v FROM a0) a CROSS JOIN c1 c
@@ -298,6 +309,83 @@ def _kmeans_oracle(n_cells: int = 8) -> str:
 def q87_kmeans_step(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd_step(emb, "vec_id", "embedding", n_cells=8)
+
+
+# ---------------------------------------------------------------------------
+# q103 — semantic dedup (k-means cells + within-cell cosine prune)
+# ---------------------------------------------------------------------------
+
+# Oracle generated from the same constants the Spark call uses. The
+# synthetic embeddings are near-orthogonal random vectors (max within-
+# cluster cosine ~0.51 at sf0.01), so the production-style 0.85+ threshold
+# would never fire; 0.3 exercises kept AND pruned verdicts here.
+_Q103_N_CELLS = 8
+_Q103_THRESHOLD = 0.3
+
+
+def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
+    cos0 = _KMEANS_COS0
+    cosp = (
+        f"{o_dot('va', 'vb', 'len(va)')} / (sqrt({o_dot('va', 'va', 'len(va)')}) "
+        f"* sqrt({o_dot('vb', 'vb', 'len(vb)')}))"
+    )
+    return f"""{_kmeans_ctes(n_cells)},
+    s1 AS (
+      SELECT a.vec_id, a.v, c.cell, {cos0} AS cs
+      FROM (SELECT vec_id, v FROM a0) a CROSS JOIN c1 c
+    ),
+    a1 AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s1)
+      WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, {cosp} AS cs FROM pairs
+    ),
+    dup AS (
+      SELECT id_b, id_a AS dup_of, cs AS max_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY id_b
+                                         ORDER BY cs DESC, id_a) AS rk
+            FROM scored WHERE cs >= {threshold})
+      WHERE rk = 1
+    )
+    SELECT a1.vec_id,
+           CAST(a1.cell AS BIGINT) AS cell,
+           CASE WHEN d.dup_of IS NOT NULL THEN 'pruned' ELSE 'kept' END
+             AS status,
+           d.dup_of, d.max_cos
+    FROM a1 LEFT JOIN dup d ON d.id_b = a1.vec_id
+    """
+
+
+@register(
+    "q103_semantic_dedup",
+    _semantic_dedup_oracle(_Q103_N_CELLS, _Q103_THRESHOLD),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): one k-means "
+    "Lloyd step (q87's oracle-exact broadcast-centroid shape) clusters "
+    "the embedding space, then vectors are pruned iff a LOWER-id vector "
+    "in the SAME cluster has cosine >= threshold (0.3 here so the "
+    "near-orthogonal synthetic embeddings exercise both verdicts; "
+    "production uses ~0.95) — the embedding-level "
+    "complement to lexical MinHash dedup, catching paraphrases with no "
+    "shared shingles. No cross-cluster pairs ever form (plan-tested "
+    "equi-join on the cell id); n_cells is the knob that keeps the "
+    "per-cluster quadratic bounded as the corpus grows.",
+)
+def q103_semantic_dedup(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        n_cells=_Q103_N_CELLS, threshold=_Q103_THRESHOLD,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -572,6 +572,34 @@ def test_incremental_dedup_statuses(spark):
     assert out[12] == ("unique", None)
 
 
+def test_semantic_dedup_prunes_within_cluster(spark):
+    """Two orthogonal clusters seeded by vecs 0/1; each has one
+    near-duplicate member. The near-dups are pruned with dup_of = the
+    lower-id original; originals stay kept; pruning never crosses the
+    cluster boundary (v4 is cosine-close to nothing in ITS cluster)."""
+    from etl_procesos_odo_spark.llm.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # seed cell 0
+        (1, [0.0, 1.0, 0.0]),     # seed cell 1
+        (2, [1.0, 0.05, 0.0]),    # near-dup of 0, cell 0
+        (3, [0.05, 1.0, 0.0]),    # near-dup of 1, cell 1
+        (4, [0.0, 0.7, 0.7]),     # cell 1 but cos(4,1)=0.7/0.99 < 0.95
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert out[0] == ("kept", None)
+    assert out[1] == ("kept", None)
+    assert out[2] == ("pruned", 0)
+    assert out[3] == ("pruned", 1)
+    assert out[4] == ("kept", None)
+
+
 def test_incremental_dedup_hot_band_cap(spark):
     """Adversarial skew: 40 corpus docs share one band (identical text ⇒
     identical signature ⇒ all 4 bands collide). With corpus_band_cap=8

