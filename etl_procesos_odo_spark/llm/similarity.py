@@ -431,6 +431,104 @@ def kmeans_lloyd_step(
     )
 
 
+def quantized_rerank_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    overfetch: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`quantized_rerank_topk` for UNBOUNDED query batches: stage-1
+    candidate generation routes through IVF cells instead of scanning the
+    whole int8 corpus per query. The exact-scan variant is the right
+    baseline when the query set is small (its stage 1 is a single pass
+    over the always-hot int8 bytes); at a large query batch its
+    queries × corpus candidate stage dominates, and this variant cuts it
+    to ~nprobe/n_cells of that by pairing each query only with the
+    posting lists of its nearest cells (q74's IVF machinery over the
+    DEQUANTIZED int8 vectors).
+
+    Scale shape: centroids (first ``n_cells`` corpus vectors by id — the
+    same deterministic coarse quantizer as :func:`ivf_topk`) broadcast to
+    both assignments; posting lists hash-partition on the cell id; the
+    candidate join is an equi-join on cell keys — the full query × corpus
+    pairing never forms (plan-tested). Stage 2 re-ranks the
+    ``k * overfetch`` survivors per query in full precision, unchanged.
+
+    With ``nprobe == n_cells`` every cell is probed, the candidate set
+    equals the exact-scan variant's, and the output is identical — the
+    equivalence the unit test pins. Returns (query_id, neighbor_id,
+    cos_sim, rank).
+    """
+    qz = quantize_int8(corpus, vec_col, id_col).filter(F.col("scale") > 0)
+    dq = qz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(
+            F.col("q"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("dv"),
+    )
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            idc, vc, "cell", cosine(F.col(vc), F.col("centv")).alias("_cs")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= probes)
+            .drop("_cs", "_rk")
+        )
+
+    posting = assign(dq, "neighbor_id", "dv", probes=1)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = assign(qv, "query_id", "qv", probes=nprobe)
+    cand = (
+        qcells.join(posting, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            cosine(F.col("qv"), F.col("dv")).alias("q_sim"),
+        )
+        # a corpus vector sits in exactly one cell, but nprobe>1 queries
+        # can reach it through ties only via distinct cells — candidate
+        # rows are already unique per (query, neighbor)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= k * overfetch)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -572,6 +572,50 @@ def test_incremental_dedup_statuses(spark):
     assert out[12] == ("unique", None)
 
 
+def test_quantized_rerank_ivf_full_probe_equals_exact(spark):
+    """nprobe == n_cells probes every cell, so the IVF variant's stage-1
+    candidate set equals the exact-scan variant's (every non-zero corpus
+    vector lives in exactly one — probed — cell) and the outputs must be
+    identical row-for-row. With nprobe=1 the result is a subset-ranked
+    approximation but every cos_sim it reports is still the exact
+    full-precision cosine."""
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.similarity import (
+        quantized_rerank_topk,
+        quantized_rerank_topk_ivf,
+    )
+    from etl_procesos_odo_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sorted(map(tuple, quantized_rerank_topk(
+        emb, q, "vec_id", "embedding", k=5, overfetch=4
+    ).collect()))
+    ivf = sorted(map(tuple, quantized_rerank_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, overfetch=4, n_cells=4, nprobe=4
+    ).collect()))
+    assert ivf == exact and len(ivf) == 8 * 5
+
+    narrow = quantized_rerank_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, overfetch=4, n_cells=4, nprobe=1
+    )
+    got = narrow.collect()
+    assert len(got) == 8 * 5
+    from etl_procesos_odo_spark.llm.similarity import cosine
+
+    chk = (
+        narrow.alias("n")
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("qv")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("cv")), "neighbor_id")
+        .select((F.abs(F.col("cos_sim") - cosine(F.col("qv"), F.col("cv")))
+                 < 1e-12).alias("ok"))
+    )
+    assert all(r["ok"] for r in chk.collect())
+
+
 def test_semantic_dedup_prunes_within_cluster(spark):
     """Two orthogonal clusters seeded by vecs 0/1; each has one
     near-duplicate member. The near-dups are pruned with dup_of = the

@@ -295,6 +295,26 @@ def test_decontaminate_no_cartesian(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_quantized_rerank_ivf_no_full_crossjoin(spark):
+    """The large-batch rerank variant: stage 1 must pair queries with
+    posting lists via an EQUI-join on the cell id — the query x corpus
+    cross join of the exact-scan baseline must not appear. The only
+    nested-loop joins are the two broadcast centroid assignments
+    (build side = n_cells rows)."""
+    from etl_procesos_odo_spark.llm.similarity import quantized_rerank_topk_ivf
+    from etl_procesos_odo_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = quantized_rerank_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, overfetch=4, n_cells=8, nprobe=2,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 2, p
+
+
 def test_semantic_dedup_no_cross_cluster_pairs(plan):
     """q103: the only nested-loop joins are the BROADCAST centroid
     assignments inherited from the Lloyd step (build side = n_cells
