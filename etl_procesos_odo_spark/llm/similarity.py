@@ -562,18 +562,44 @@ def semantic_dedup(
     Returns (id, cell, status 'kept'|'pruned', dup_of, max_cos).
     """
     assign = kmeans_lloyd_step(corpus, id_col, vec_col, n_cells)
-    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # per-vector norm computed ONCE here, not per pair: the pair stage is
+    # the quadratic term, so hoisting sqrt(|v|²) out of it cuts its fold
+    # work 3× (dot only, vs dot + both norms). cos value is bit-identical:
+    # sqrt(norm2(v)) does not depend on which row pairs it.
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(norm2(F.col(vec_col))).alias("_nrm"),
+    )
     m = (
         assign.select(F.col(id_col).alias("_id"), F.col("cell_next").alias("cell"))
         .join(v, "_id")
     )
-    a = m.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cell")
-    b = m.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cell")
+    # the assignment frame feeds BOTH pair sides and the final verdict
+    # join; uncached, each branch re-runs the whole Lloyd chain (observed:
+    # 18 embedding scans, 9 centroid broadcasts in the physical plan).
+    # Cache it once — capped lifecycle shared with the dedup ops. At
+    # 100 TB this materialization is the (id, cell, vec, norm) assignment
+    # table a production pipeline would persist to storage anyway.
+    from .dedup import _persist_capped
+
+    m = _persist_capped(m)
+    a = m.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"), "cell",
+    )
+    b = m.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"), "cell",
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cs")
+            "id_a",
+            "id_b",
+            (dot_double(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cs"),
         )
         .filter(F.col("cs") >= threshold)
     )

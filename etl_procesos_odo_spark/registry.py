@@ -63,18 +63,21 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q40_streaming_hourly", "q43_streaming_dedup", "q69_streaming_sessionize",
     "q58_stateful_user_stats", "q90_stream_static_join",
     "q91_streaming_sliding", "q95_stream_stream_join",
-    # ML
-    "q41_forecast_demand",
+    # ML (q104 = q41's feature half with a hard oracle; r4 head swap)
+    "q41_forecast_demand", "q104_demand_features",
     # round-2 driver-hash fixes (HUGEINT oracle cast; serialized arrays)
     "q60_slot_spine_load", "q80_quantize_int8", "q62_multimodal_transform",
-    # dedup family: exact, MinHash-LSH, exact-first LSH, SimHash pairs,
-    # big-star CC, block-level, decontamination
-    "q30_dedup_exact", "q32_minhash_lsh", "q67_minhash_lsh_collapsed",
+    # dedup family: exact, exact-first LSH (wraps the q32 band pipeline),
+    # SimHash pairs, big-star CC, block-level, decontamination, semantic
+    # (r4 head swaps: q32 -> q103 — q32's exact shape runs inside q67 and
+    # q102; q68 -> q104 — LSH-ANN still evidenced by q39/q48 back-half
+    # rows + r3 driver row for q68)
+    "q30_dedup_exact", "q103_semantic_dedup", "q67_minhash_lsh_collapsed",
     "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q82_block_dedup",
     "q71_decontaminate",
-    # similarity: brute-force baseline (also S4 sampled scan), multi-probe
-    # LSH + IVF, k-means step
-    "q34_cosine_topk", "q68_ann_multiprobe", "q74_ann_ivf_multiprobe",
+    # similarity: brute-force baseline (also S4 sampled scan), IVF
+    # multi-probe, k-means step
+    "q34_cosine_topk", "q74_ann_ivf_multiprobe",
     "q87_kmeans_step",
     # text analysis
     "q35_langid", "q38_fingerprint", "q73_repetition_metrics",

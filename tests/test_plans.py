@@ -225,7 +225,9 @@ def test_driver_head_curation():
         "pipelines": "q53_callcenter_demand",
         "streaming": "q58_stateful_user_stats",
         "ml": "q41_forecast_demand",
-        "dedup": "q32_minhash_lsh",
+        "ml_features_oracle": "q104_demand_features",
+        "dedup": "q30_dedup_exact",
+        "semantic_dedup": "q103_semantic_dedup",
         "similarity": "q74_ann_ivf_multiprobe",
         "text": "q35_langid",
         "enrich": "q97_ewma",

@@ -151,11 +151,21 @@ def main() -> int:
                                          + p1.stderr[-300:],
                             }
 
+    out = results
+    if args.only and os.path.exists(args.out):
+        # subset runs MERGE into the existing artifact instead of
+        # replacing a full-registry census with a handful of rows
+        try:
+            with open(args.out) as f:
+                out = json.load(f)
+        except Exception:
+            out = {}
+        out.update(results)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump(out, f, indent=1, sort_keys=True)
     n_ok = sum(1 for r in results.values() if r.get("ok"))
     bad = [k for k, r in results.items() if not r.get("ok")]
-    print(f"{n_ok}/{len(results)} ok -> {args.out}")
+    print(f"{n_ok}/{len(results)} ok -> {args.out} ({len(out)} entries)")
     if bad:
         print("FAILED:", ", ".join(bad))
     return 0 if not bad else 1
