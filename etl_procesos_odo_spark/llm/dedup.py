@@ -840,3 +840,56 @@ def incremental_dedup(
             ),
         )
     )
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (connected
+    components over the MinHash-LSH pair graph, same semantics as
+    ``dedup_clusters``) reduced to ONE kept representative per cluster —
+    the highest-``score_col`` member (ties to the lowest id), not the
+    arbitrary min-id doc. This is the corpus-prep policy that keeps the
+    cleanest copy of each boilerplate family instead of whichever copy
+    crawled first.
+
+    Returns (cluster_id, keep_id, keep_score, n_members) — one row per
+    cluster, singletons included (n_members = 1, keep_id = doc_id).
+
+    Scale shape: the CC stage shuffles only pair-graph nodes (<< corpus);
+    the argmax is a single groupBy on cluster_id with a max_by-style
+    struct-max — no window sort over the full corpus, and the score join
+    touches two columns of the original table.
+    """
+    clusters = dedup_clusters(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    scored = clusters.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        ),
+        on="doc_id",
+    )
+    # argmax via struct ordering: (score, -doc_id) max == highest score,
+    # lowest id on ties — one shuffle, partial-aggregated map-side
+    best = F.max(
+        F.struct(F.col("_score"), (-F.col("doc_id")).alias("_negid"))
+    ).alias("_best")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("_best._negid")).alias("keep_id"),
+            F.col("_best._score").alias("keep_score"),
+            "n_members",
+        )
+    )

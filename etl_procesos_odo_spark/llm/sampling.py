@@ -12,7 +12,7 @@ expression at scan speed, no shuffle, no RNG state to coordinate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import hash60
@@ -43,3 +43,91 @@ def hash_sample(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def source_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    order_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-domain quota cap: keep at most ``quota`` rows per ``group_col``,
+    preferring the highest ``order_col`` (ties broken by lowest id) — the
+    C4/RefinedWeb-style guard against a handful of boilerplate-heavy
+    domains dominating a crawl-scale training mix.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY domain)`` sorts
+    EVERY domain's rows, but at crawl scale the long tail of domains is
+    already under quota — only the head needs ranking. So: one cheap
+    per-domain count (partial-agg shuffle on a low-cardinality key), rows
+    in under-quota domains pass through unranked, and only over-quota
+    domains pay the window sort. The count table is one row per domain —
+    broadcast back, no extra wide shuffle on the data. Semantics are
+    IDENTICAL to the single-window form (and the oracle states it that
+    way); the split is purely a cost optimization.
+    """
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    tagged = df.join(F.broadcast(cnt), on=group_col)
+    under = tagged.filter(F.col("_gn") <= quota).drop("_gn")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.col(id_col)
+    )
+    over = (
+        tagged.filter(F.col("_gn") > quota)
+        .drop("_gn")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+    return under.unionByName(over)
+
+
+def mix_rebalance(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: Column | str,
+    targets: dict[str, float],
+    salt: str = "mix1",
+) -> DataFrame:
+    """Training-mix rebalancing: derive per-stratum sampling rates so the
+    EXPECTED sampled weight (e.g. token count) hits the target shares,
+    then apply the deterministic hash sample at those rates.
+
+    Rates are downsampling-only: with per-stratum totals ``T_s`` and
+    target shares ``p_s``, the feasibility constant ``C = min_s T_s/p_s``
+    is the largest total sampled weight reachable without upsampling any
+    stratum; ``rate_s = p_s * C / T_s`` (== 1 for the binding stratum).
+    Strata absent from ``targets`` are dropped (share 0).
+
+    Scale shape: one partial-aggregated shuffle on the (tiny-cardinality)
+    stratum key to get ``T_s``, a 1-row global min, and the rate table —
+    rows = len(targets) — broadcast back onto the scan; the keep/drop
+    decision is then a pure per-row expression (md5 uniform vs rate), so
+    the pass over the corpus is scan-speed and reproducible across runs,
+    retries, and engines. Float discipline: ``T_s`` is an exact BIGINT
+    sum; ``C`` and rates are single-division doubles evaluated in the
+    same order as the oracle SQL, so the boundary is bit-identical.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = df.withColumn("_w", wcol.cast("long"))
+    totals = base.groupBy(strata_col).agg(F.sum("_w").alias("_t"))
+    tgt = df.sparkSession.createDataFrame(
+        sorted(targets.items()), [strata_col, "_share"]
+    )
+    joined = totals.join(F.broadcast(tgt), on=strata_col)
+    cmin = joined.select(
+        F.min(F.col("_t").cast("double") / F.col("_share")).alias("_c")
+    )
+    rates = joined.crossJoin(F.broadcast(cmin)).select(
+        strata_col,
+        (F.col("_share") * F.col("_c") / F.col("_t").cast("double")).alias(
+            "rate"
+        ),
+    )
+    return (
+        base.join(F.broadcast(rates), on=strata_col)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("rate"))
+        .drop("_w")
+    )

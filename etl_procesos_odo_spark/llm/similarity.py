@@ -703,3 +703,51 @@ def quantized_rerank_topk(
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Recall@k evaluation of the IVF index against exact search — the
+    quality gate every ANN deployment needs before trusting an index at
+    100 TB: run ``ivf_topk`` and brute-force ``cosine_topk`` over the
+    same (bounded) query panel and report per-query overlap.
+
+    Returns (query_id, n_exact, n_hits, recall): ``n_exact`` is the exact
+    top-k size (== k unless the corpus is smaller), ``n_hits`` how many
+    of those the index returned, ``recall = n_hits / n_exact``.
+
+    Scale shape: the brute-force arm is the expensive one and exists
+    ONLY for the evaluation panel — a fixed small query sample, so the
+    crossJoin side is bounded by design (panel x corpus, one pass). The
+    index arm is the production plan unchanged. The hit join keys on
+    (query_id, neighbor_id) — panel-sized, trivially small. Both arms
+    use the same deterministic tie-breaks, so recall is reproducible
+    run-to-run and engine-to-engine (oracle-checkable).
+    """
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        corpus, queries, id_col, vec_col, n_cells=n_cells, k=k, nprobe=nprobe
+    ).select("query_id", F.col("neighbor_id").alias("ann_id"))
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["ann_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "ann_id")
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("ann_id").alias("n_hits"),
+        (
+            F.count("ann_id").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

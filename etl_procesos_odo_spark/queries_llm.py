@@ -1404,3 +1404,253 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str):
         threshold=0.5,
         corpus_band_cap=_Q102_BAND_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: corpus-governance operators — per-domain quotas, exact heavy
+# hitters via bounded-memory sketches, ANN quality evaluation, canonical
+# doc selection, and training-mix rebalancing.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q105_source_quota",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+    doc="Per-domain quota cap (C4/RefinedWeb-style): keep at most 10 "
+    "docs per source, preferring the longest (ties to lowest id) — stops "
+    "boilerplate-heavy domains from dominating the training mix. The "
+    "Spark plan ranks ONLY over-quota domains: a per-domain count is "
+    "broadcast back and the under-quota long tail passes through without "
+    "a window sort (semantically identical to this oracle's single "
+    "window; the split is pure cost).",
+)
+def q105_source_quota(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import source_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quota(
+        docs.select("doc_id", "source", "n_chars"),
+        group_col="source",
+        quota=10,
+        order_col="n_chars",
+        id_col="doc_id",
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "q106_heavy_hitters",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) >= CEIL(0.15 * (SELECT COUNT(*) FROM events))
+    """,
+    doc="Exact heavy hitters (all keys in >= 15% of rows) via the "
+    "sketch-then-verify pattern: per-partition Misra-Gries summaries "
+    "(fixed 14-counter memory regardless of rows or distinct keys; "
+    "pigeonhole guarantees the union of summaries is a superset of the "
+    "true heavy hitters under ANY partition layout) generate candidates, "
+    "then an exact recount of candidates only — the wide aggregation "
+    "never shuffles the full key space. Output is exact, so sketch "
+    "nondeterminism cannot change it; this oracle is plain GROUP BY "
+    "HAVING.",
+)
+def q106_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", theta=0.15)
+
+
+def _recall_oracle(n_cells: int = 16, k: int = 5, nprobe: int = 2) -> str:
+    cos = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
+    )
+    assign_cos = (
+        f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
+        f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    xq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    xc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+    xdots AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM xq CROSS JOIN xc WHERE query_id <> neighbor_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM xdots)
+      WHERE rk <= {k}
+    ),
+    cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cell, {assign_cos} AS cs
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, v, cell, rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM scored)
+      WHERE rk <= {nprobe}
+    ),
+    aq AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg WHERE vec_id < 10),
+    ap AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg WHERE rk = 1),
+    adots AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM aq JOIN ap USING (cell) WHERE query_id <> neighbor_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM adots)
+      WHERE rk <= {k}
+    )
+    SELECT ex.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(ann.query_id) AS n_hits,
+           CAST(COUNT(ann.query_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM ex LEFT JOIN ann
+      ON ann.query_id = ex.query_id AND ann.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register(
+    "q107_ann_recall",
+    _recall_oracle(),
+    doc="Recall@5 of the IVF index (16 cells, nprobe=2 — q74's exact "
+    "configuration) against brute-force cosine over a 10-query evaluation "
+    "panel: the quality gate an ANN deployment needs before serving. The "
+    "brute-force arm is bounded by the panel size by design; the index "
+    "arm is the production plan unchanged; the hit join keys on "
+    "(query_id, neighbor_id) pairs — panel x k rows. Deterministic "
+    "tie-breaks on both arms make recall reproducible across engines.",
+)
+def q107_ann_recall(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5, nprobe=2
+    )
+
+
+_KEEP_BEST_FINAL = """
+    , pairs AS (SELECT id_a, id_b FROM j WHERE jaccard_sim >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM scored)
+    WHERE rk = 1
+    """
+
+
+@register(
+    "q108_cluster_keep_best",
+    _minhash_oracle(final_select=_KEEP_BEST_FINAL, recursive=True),
+    doc="Canonical-document selection: q47's near-dup connected "
+    "components reduced to one kept doc per cluster — the HIGHEST-quality "
+    "member (here n_chars, ties to lowest id), the corpus-prep policy "
+    "that keeps the cleanest copy of each boilerplate family rather than "
+    "whichever crawled first. Spark side: CC over pair-graph nodes only, "
+    "then a partial-aggregated struct-max argmax per cluster_id — no "
+    "window sort over the corpus. Oracle: recursive min-reachability CTE "
+    "+ per-cluster rank.",
+)
+def q108_cluster_keep_best(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import cluster_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_keep_best(
+        docs, "text", "doc_id", "n_chars",
+        k=3, num_hashes=12, bands=4, threshold=0.5,
+    )
+
+
+_MIX_TARGETS = {"de": 0.2, "en": 0.4, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def _mix_oracle(targets: dict[str, float], salt: str = "mix1") -> str:
+    values = ", ".join(
+        f"('{lang}', CAST({share} AS DOUBLE))"
+        for lang, share in sorted(targets.items())
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    agg AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS t
+            FROM tok GROUP BY lang),
+    tgt AS (SELECT * FROM (VALUES {values}) tt(lang, share)),
+    j AS (SELECT agg.lang, agg.t, tgt.share
+          FROM agg JOIN tgt ON agg.lang = tgt.lang),
+    cmin AS (SELECT MIN(CAST(t AS DOUBLE) / share) AS cval FROM j),
+    rates AS (
+      SELECT lang, share * (SELECT cval FROM cmin) / CAST(t AS DOUBLE) AS rate
+      FROM j
+    )
+    SELECT tok.doc_id, tok.lang, tok.n_tokens, r.rate
+    FROM tok JOIN rates r ON tok.lang = r.lang
+    WHERE CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) / 1152921504606846976.0 < r.rate
+    """
+
+
+@register(
+    "q109_mix_rebalance",
+    _mix_oracle(_MIX_TARGETS),
+    doc="Training-mix rebalancing: derive per-language sampling rates so "
+    "the EXPECTED sampled token mass hits target shares (en 40%, de/es "
+    "20%, fr/zh 10%), downsampling-only (the binding stratum keeps rate "
+    "1), then apply the deterministic md5 sample at those rates. One "
+    "partial-agg shuffle on the tiny language key, a 1-row feasibility "
+    "min, a broadcast rate join, and a scan-speed per-row keep/drop — "
+    "reproducible across runs, retries, and engines. Exact BIGINT token "
+    "totals and single-division double rates keep the sample boundary "
+    "bit-identical to this oracle.",
+)
+def q109_mix_rebalance(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import mix_rebalance
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return mix_rebalance(
+        base, "doc_id", "lang", "n_tokens", _MIX_TARGETS, salt="mix1"
+    ).select("doc_id", "lang", "n_tokens", "rate")

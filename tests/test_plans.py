@@ -344,3 +344,30 @@ def test_kmeans_assignment_broadcasts_centroids(plan):
     p = plan("q87_kmeans_step")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_source_quota_count_join_broadcast_no_extra_wide_shuffle(plan):
+    """q105: the per-domain count table (one row per domain) must come
+    back as a BROADCAST join on both branches — a shuffled join here
+    would re-shuffle the full corpus twice just to read a tiny count."""
+    p = plan("q105_source_quota")
+    assert p.count("BroadcastHashJoin") == 2, p  # under- and over-quota arms
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_heavy_hitters_candidate_join_is_broadcast_semi(plan):
+    """q106: the exact-verify pass must filter the corpus with a BROADCAST
+    left-semi join on the tiny candidate set — shuffling the corpus
+    against candidates would defeat the sketch's whole purpose."""
+    p = plan("q106_heavy_hitters")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_mix_rebalance_rate_join_is_broadcast_scan_filter(plan):
+    """q109: the derived rate table (one row per language) joins back as a
+    broadcast, keeping the corpus pass a scan-side filter; the only wide
+    shuffle is the partial-agg token total on the language key."""
+    p = plan("q109_mix_rebalance")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
