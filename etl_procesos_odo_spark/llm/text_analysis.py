@@ -150,3 +150,90 @@ def fingerprint(col: Column | str, mod: int = 2**31) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + tok_hash(t)) % F.lit(mod),
     )
+
+
+def bm25_topk(
+    df,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+):
+    """BM25 keyword retrieval over the corpus for a fixed query-term set —
+    the lexical-search complement to the embedding ANN path (the other
+    half of a hybrid retrieval stack).
+
+    Uses the RATIONAL idf variant ``(N - df + 0.5) / (df + 0.5)`` instead
+    of the textbook ``ln(...)`` of it: every score is then built from
+    exact integer counts by IEEE-exact ``+ * /`` only (natural log is not
+    correctly-rounded-guaranteed across engines, which would break
+    bit-level oracle parity). Rank order per term is unchanged (ln is
+    monotone); only the inter-term mixing weights differ — documented
+    divergence, deterministic everywhere.
+
+    Scale shape: NO explode and NO per-doc shuffle — each term's tf is a
+    per-row ``size(filter(tokens, = term))`` array expression, so the tf
+    pass runs at scan speed (for a handful of query terms, re-scanning
+    the token array per term is far cheaper than exploding the corpus
+    into one row per token). Corpus stats (N, Σdl, per-term df) are ONE
+    fused 1-row tree-aggregate broadcast onto the scoring frame. The
+    tokenizer materializes once behind a spread-repartition barrier
+    (q73's rationale: collapsed projections re-inline the tokenizer into
+    every tf/dl reference). The final top-k is orderBy+limit — Spark
+    plans TakeOrderedAndProject: per-partition heap top-k merged on one
+    reducer, never a global sort.
+
+    Returns (doc_id, <tf_term...>, dl, score) for the top-k docs, score
+    ties broken by lowest doc id.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).repartition(sc.defaultParallelism, F.col("doc_id"))
+    def _tf(term: str):
+        # NB: a 2-param lambda (even `t=t` defaulted) would be read by
+        # F.filter as (element, index) — build the predicate via closure
+        return F.size(F.filter("w", lambda x: x == F.lit(term))).cast("long")
+
+    feat = toks.select(
+        "doc_id",
+        *[_tf(t).alias(f"tf_{t}") for t in terms],
+        F.size("w").cast("long").alias("dl"),
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    any_hit = None
+    for t in terms:
+        cond = F.col(f"tf_{t}") > 0
+        any_hit = cond if any_hit is None else (any_hit | cond)
+    scored = feat.filter(any_hit).crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    den_norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for t in terms:  # fixed summation order — bit-identical to the oracle
+        idf = (
+            F.col("n_docs").cast("double")
+            - F.col(f"df_{t}").cast("double")
+            + F.lit(0.5)
+        ) / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        tf_d = F.col(f"tf_{t}").cast("double")
+        part = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * den_norm))
+        score = score + part
+    return (
+        scored.select(
+            "doc_id", *[f"tf_{t}" for t in terms], "dl",
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(topk)
+    )

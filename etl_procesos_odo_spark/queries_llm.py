@@ -1654,3 +1654,92 @@ def q109_mix_rebalance(spark: SparkSession, sf_dir: str):
     return mix_rebalance(
         base, "doc_id", "lang", "n_tokens", _MIX_TARGETS, salt="mix1"
     ).select("doc_id", "lang", "n_tokens", "rate")
+
+
+_BM25_TERMS = ["vector", "stream", "filter"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_oracle(
+    terms: list[str], k1: float, b: float, topk: int
+) -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    den_norm = (
+        f"(CAST({1.0 - b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)"
+        f" * (CAST(dl AS DOUBLE) / {avgdl}))"
+    )
+    parts = []
+    for t in terms:
+        idf = (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE))"
+            f" / (CAST(df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        )
+        part = (
+            f"({idf} * ((CAST(tf_{t} AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))"
+            f" / (CAST(tf_{t} AS DOUBLE) + CAST({k1!r} AS DOUBLE)"
+            f" * {den_norm})))"
+        )
+        parts.append(part)
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(parts)
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (
+      SELECT doc_id,
+             {tf_cols}
+      FROM toks WHERE term IN ({in_list}) GROUP BY doc_id
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+    cs AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+           FROM dl),
+    dfs AS (SELECT
+             {df_cols}
+            FROM tf),
+    scored AS (
+      SELECT tf.doc_id, {tf_out}, dl.dl, cs.n_docs, cs.sum_dl, dfs.*
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs CROSS JOIN dfs
+    )
+    SELECT doc_id, {tf_out}, dl, {score} AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q110_bm25_search",
+    _bm25_oracle(_BM25_TERMS, _BM25_K1, _BM25_B, _BM25_TOPK),
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query-term "
+    "set — the lexical half of a hybrid retrieval stack next to the ANN "
+    "path (q34/q74). Rational-idf variant ((N-df+.5)/(df+.5), no ln) so "
+    "every score is exact-integer counts composed by IEEE-exact + * / "
+    "only — bit-identical across engines (ln is not correctly-rounded-"
+    "guaranteed; rank order per term is unchanged, inter-term weights "
+    "diverge from textbook BM25 — documented). Plan: no explode, no "
+    "per-doc shuffle — each tf is a per-row size(filter(tokens)) array "
+    "expression at scan speed; corpus stats (N, sum dl, per-term df) are "
+    "ONE fused broadcast 1-row aggregate; top-k is "
+    "TakeOrderedAndProject (per-partition heaps, no global sort). "
+    "Oracle generated from the same constants.",
+)
+def q110_bm25_search(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "text", "doc_id", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    )

@@ -75,24 +75,32 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q30_dedup_exact", "q103_semantic_dedup", "q67_minhash_lsh_collapsed",
     "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q82_block_dedup",
     "q71_decontaminate",
-    # similarity: brute-force baseline (also S4 sampled scan), IVF
-    # multi-probe, k-means step
-    "q34_cosine_topk", "q74_ann_ivf_multiprobe",
+    # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
+    # sampled scan, S4 — AND the q74 IVF arm; r4 swap q34 -> q107, which
+    # strictly widens what the row exercises; q34 stays green in the
+    # back-half full-registry runs), IVF multi-probe, k-means step
+    "q107_ann_recall", "q74_ann_ivf_multiprobe",
     "q87_kmeans_step",
     # text analysis
     "q35_langid", "q38_fingerprint", "q73_repetition_metrics",
     # enrichment
     "q83_pii_mask", "q84_json_extract", "q85_token_rarity",
     "q88_corpus_quantiles", "q97_ewma",
-    # splits / packing
-    "q72_hash_sample", "q86_train_split", "q75_pack_sequences",
+    # splits / packing / governance (r4 swap q86 -> q109: both are
+    # hash-uniform deterministic samples, but q109 adds the derived-rate
+    # aggregate + broadcast stage on top of q72's primitive; q86 stays
+    # green in the back-half full-registry runs)
+    "q72_hash_sample", "q109_mix_rebalance", "q75_pack_sequences",
     "q76_chunk_documents",
     # multimodal + capstone
     "q42_multimodal_features", "q100_corpus_prep_v3",
     # relational §2 family representatives (filters P2-P7; Pareto A6/A13;
     # top-N W4/W6/X7; set ops J7/X1-X3; scalar kit F9/F17/F19/F24;
     # salted skew join; as-of join)
-    "q02_filter_project", "q12_pareto_brands", "q13_top_customers",
+    # (r4 swap q13 -> q106: top-N/W4/W6/X7 stay evidenced by q12's
+    # ranked Pareto head + back-half q13; q106 adds the sketch-then-verify
+    # heavy-hitter family, a new-in-r4 scale pattern with no other row)
+    "q02_filter_project", "q12_pareto_brands", "q106_heavy_hitters",
     "q18_set_ops", "q59_scalar_kit", "q63_salted_segments", "q81_asof_join",
 )
 

@@ -371,3 +371,16 @@ def test_mix_rebalance_rate_join_is_broadcast_scan_filter(plan):
     p = plan("q109_mix_rebalance")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bm25_no_explode_and_takeordered(plan):
+    """q110: tf's are per-row array expressions — the plan must contain
+    NO Generate (explode) node and no per-doc aggregation shuffle beyond
+    the single spread barrier + 1-row stats aggregate; the final top-k
+    must plan as TakeOrderedAndProject — per-partition heaps, never a
+    global sort."""
+    p = plan("q110_bm25_search", "formatted")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Generate" not in p, p  # no explode of the corpus
+    assert "vector" in p, p  # term literals inlined as array filters
+    assert "CartesianProduct" not in p, p
