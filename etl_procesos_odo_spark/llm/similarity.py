@@ -751,3 +751,86 @@ def ann_recall(
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """Multi-round Lloyd training — the full IVF-quantizer build that
+    ``kmeans_lloyd_step`` (q87) proves one iteration of: a fixed number
+    of assign → exact-integer-micro-unit-mean rounds from the
+    deterministic seed centroids (first ``n_cells`` vectors by id).
+
+    Returns (id, cell_init, cell_final, cos_final): the seed assignment,
+    the assignment after ``rounds`` refinements, and the cosine to the
+    final centroid.
+
+    Scale shape per round (identical to q87, looped): assignment
+    broadcasts ``n_cells`` centroids (narrow map + per-row argmax);
+    the centroid update shuffles (cell, component) keys so no reducer
+    holds a whole cell. Each round ends in a ``localCheckpoint`` on the
+    (tiny) centroid frame — n_cells × dim values — truncating lineage so
+    the plan stays flat instead of compounding ``rounds`` deep (the CC
+    loop's rationale). A fixed round count, not a convergence test,
+    keeps the whole build deterministic and oracle-expressible (the
+    registry oracle unrolls the same rounds as chained CTEs). Cells that
+    lose every member simply drop out of later rounds — identical
+    semantics in both engines.
+    """
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cents = v.filter(F.col("_id") < n_cells).select(
+        F.col("_id").alias("cell"), F.col("_v").alias("centv")
+    )
+
+    def nearest(cent_df: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "_id", "_v", "cell",
+            cosine(F.col("_v"), F.col("centv")).alias("_cs"),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def micro_means(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "cell", F.posexplode(F.col("_v")).alias("pos", "x")
+        )
+        return (
+            comp.groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("x").cast("double") * 1e6).cast("long")
+                    ).cast("double")
+                    / (F.count("*") * F.lit(1000000)).cast("double")
+                ).alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centv")
+            )
+        )
+
+    a = nearest(cents)
+    init = a.select("_id", F.col("cell").alias("cell_init"))
+    for _ in range(rounds):
+        cents = micro_means(a).localCheckpoint(eager=False)
+        a = nearest(cents)
+    return init.join(
+        a.select("_id", "cell", F.col("_cs").alias("cos_final")), on="_id"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("cell_init").cast("long").alias("cell_init"),
+        F.col("cell").cast("long").alias("cell_final"),
+        "cos_final",
+    )

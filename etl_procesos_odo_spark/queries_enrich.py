@@ -964,3 +964,81 @@ def q100_corpus_prep_v3(spark: SparkSession, sf_dir: str):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — multi-round k-means training (q87's Lloyd step iterated)
+# ---------------------------------------------------------------------------
+
+def _kmeans_train_oracle(n_cells: int = 8, rounds: int = 3) -> str:
+    """Unrolled Lloyd training: the same assign → integer-micro-unit-mean
+    chain as q87, repeated ``rounds`` times as chained CTEs generated
+    from the constants the Spark call uses."""
+    cos0 = _KMEANS_COS0
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    s0 AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c0 c
+    ),
+    a0 AS (
+      SELECT vec_id, v, cell, cs
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s0)
+      WHERE rk = 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""comp{r} AS (
+      SELECT cell, i - 1 AS pos, CAST(v[i] AS DOUBLE) AS x
+      FROM a{r - 1}, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    mn{r} AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
+      FROM comp{r} GROUP BY 1, 2
+    ),
+    c{r} AS (SELECT cell, list(m ORDER BY pos) AS centv FROM mn{r} GROUP BY cell),
+    s{r} AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c{r} c
+    ),
+    a{r} AS (
+      SELECT vec_id, v, cell, cs
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s{r})
+      WHERE rk = 1
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT a0.vec_id,
+           CAST(a0.cell AS BIGINT) AS cell_init,
+           CAST(a{rounds}.cell AS BIGINT) AS cell_final,
+           a{rounds}.cs AS cos_final
+    FROM a0 JOIN a{rounds} ON a{rounds}.vec_id = a0.vec_id
+    """
+
+
+@register(
+    "q111_kmeans_train",
+    _kmeans_train_oracle(n_cells=8, rounds=3),
+    doc="Full IVF-quantizer training: q87's Lloyd step iterated 3 fixed "
+    "rounds from the deterministic seed centroids — assignment broadcasts "
+    "8 centroids per round, the centroid update shuffles (cell, "
+    "component) keys, and each round's (tiny) centroid frame is "
+    "localCheckpoint-truncated so the plan stays flat (the CC-loop "
+    "rationale). Fixed round count, not a convergence test: "
+    "deterministic, and the oracle unrolls the identical rounds as "
+    "chained CTEs from the same constants. Integer micro-unit means "
+    "keep every round's centroids bit-identical across engines.",
+)
+def q111_kmeans_train(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(emb, "vec_id", "embedding", n_cells=8, rounds=3)

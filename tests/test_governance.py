@@ -226,3 +226,30 @@ def test_mix_rebalance_deterministic(spark):
          mix_rebalance(docs.repartition(13), "doc_id", "lang", "w",
                        targets).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# k-means training
+# ---------------------------------------------------------------------------
+
+def test_kmeans_train_zero_rounds_is_seed_assignment(spark):
+    """rounds=0 must reduce to the seed assignment: cell_final ==
+    cell_init for every vector (pins the loop wiring — an off-by-one
+    would refine once)."""
+    from etl_procesos_odo_spark.llm.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_train(emb, n_cells=4, rounds=0).collect()
+    assert len(out) == emb.count()
+    assert all(r["cell_init"] == r["cell_final"] for r in out)
+
+
+def test_kmeans_train_round3_differs_from_seed_somewhere(spark):
+    """Sanity that training bites: after 3 rounds at least one vector
+    moved cells (the synthetic embeddings are random, so refined
+    centroids reassign some boundary vectors)."""
+    from etl_procesos_odo_spark.llm.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_train(emb, n_cells=4, rounds=3).collect()
+    assert any(r["cell_init"] != r["cell_final"] for r in out)

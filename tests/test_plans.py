@@ -384,3 +384,12 @@ def test_bm25_no_explode_and_takeordered(plan):
     assert "Generate" not in p, p  # no explode of the corpus
     assert "vector" in p, p  # term literals inlined as array filters
     assert "CartesianProduct" not in p, p
+
+
+def test_kmeans_train_broadcasts_every_round(plan):
+    """q111: all four assignment passes (seed + 3 refined) must broadcast
+    the tiny centroid frame — a shuffled join on any round would move the
+    corpus once per round."""
+    p = plan("q111_kmeans_train")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") >= 2, p
