@@ -253,3 +253,45 @@ def test_kmeans_train_round3_differs_from_seed_somewhere(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = kmeans_train(emb, n_cells=4, rounds=3).collect()
     assert any(r["cell_init"] != r["cell_final"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# property-based: the MG kernel guarantee under random streams/splits
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                  max_size=400),
+    counters=st.integers(min_value=2, max_value=20),
+    n_batches=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_misra_gries_no_false_negatives_property(keys, counters, n_batches,
+                                                 data):
+    """For ANY stream, ANY batch split, and ANY counter budget c: every key
+    with frequency > n/(c+1) must survive in the kernel's summary — the
+    theorem the two-pass exactness rests on (false positives are fine,
+    they die in the recount)."""
+    n = len(keys)
+    cuts = sorted(
+        data.draw(st.lists(st.integers(min_value=0, max_value=n),
+                           min_size=n_batches - 1, max_size=n_batches - 1))
+    )
+    bounds = [0, *cuts, n]
+    batches = [
+        pd.DataFrame({"k": keys[bounds[i]:bounds[i + 1]]})
+        for i in range(len(bounds) - 1)
+    ]
+    out = list(_misra_gries_partition(iter(batches), "k", counters))
+    got = set(out[0]["k"])
+    assert len(got) <= counters
+    from collections import Counter
+
+    freq = Counter(keys)
+    must_survive = {k for k, c in freq.items() if c > n / (counters + 1)}
+    assert must_survive <= got, (freq, counters, got)
