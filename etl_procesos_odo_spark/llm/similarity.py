@@ -834,3 +834,98 @@ def kmeans_train(
         F.col("cell").cast("long").alias("cell_final"),
         "cos_final",
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 8,
+    pool: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): fuse a LEXICAL ranking (shingle Jaccard against the query
+    document) with a SEMANTIC ranking (embedding cosine) as
+    ``score = 1/(rrf_k + rank_lex) + 1/(rrf_k + rank_vec)`` — the
+    standard way modern retrieval stacks combine BM25/keyword and vector
+    arms without score calibration (only RANKS cross the arms, so the
+    incomparable score scales never mix).
+
+    The harness tables align ids: ``embeddings.vec_id`` is the embedding
+    of ``documents.doc_id``, so a query id < ``n_queries`` selects the
+    same query entity on both arms. Each arm ranks its top ``pool``
+    candidates per query (ties to lowest doc id), the fusion is a FULL
+    OUTER join on (query_id, doc_id) — a doc found by only one arm
+    contributes only that arm's term — and the final top ``k`` re-ranks
+    by RRF score.
+
+    Determinism/oracle: ranks are integers; each RRF term is one double
+    division; the two-term sum has a fixed order — bit-identical across
+    engines. Scale shape: both arms are bounded-query-panel passes (the
+    evaluation/serving pattern: panel × corpus, one pass each, LSH/IVF
+    are the drop-in scale paths); the fusion join keys on panel-sized
+    (query, doc) pairs.
+    """
+    from .dedup import jaccard, shingles
+
+    # Spread + materialize the shingle projection BEFORE the pair join:
+    # without the barrier, Catalyst evaluates the whole tokenize/shingle
+    # tree inside the (often single-partition) scan task feeding the
+    # nested-loop join — the q64 lesson; measured 20x on this arm at
+    # sf0.1 (10 s -> 0.5 s). localCheckpoint doubles as the pushdown
+    # barrier so the size filter cannot sink below the exchange.
+    sc = docs.sparkSession.sparkContext
+    sh = (
+        docs.select(
+            F.col("doc_id"), shingles(F.col("text"), shingle_k).alias("sh")
+        )
+        .repartition(sc.defaultParallelism, F.col("doc_id"))
+        .localCheckpoint(eager=False)
+        .filter(F.size("sh") > 0)
+    )
+    qsh = sh.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    lex_scored = (
+        qsh.crossJoin(sh)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            jaccard(F.col("qsh"), F.col("sh")).alias("jac"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("jac"), F.col("doc_id")
+    )
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank_lex") <= pool)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+    vec = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=pool
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
+    )
+    fused = lex.join(vec, on=["query_id", "doc_id"], how="full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")).cast("double"),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec")).cast("double"),
+        F.lit(0.0),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc_id")
+    )
+    return (
+        fused.select("query_id", "doc_id", "rank_lex", "rank_vec",
+                     score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1743,3 +1743,86 @@ def q110_bm25_search(spark: SparkSession, sf_dir: str):
         docs, "text", "doc_id", _BM25_TERMS,
         k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
     )
+
+
+def _rrf_oracle(
+    n_queries: int = 8, pool: int = 20, k: int = 10, rrf_k: int = 60
+) -> str:
+    cos = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    shin AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    f AS (SELECT * FROM shin WHERE len(sh) > 0),
+    q AS (SELECT doc_id AS query_id, sh AS qsh FROM f WHERE doc_id < {n_queries}),
+    lexs AS (
+      SELECT query_id, f.doc_id,
+             CAST(len(list_intersect(qsh, sh)) AS DOUBLE)
+               / CAST(len(list_distinct(qsh || sh)) AS DOUBLE) AS jac
+      FROM q CROSS JOIN f WHERE query_id <> f.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_lex
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY jac DESC, doc_id) AS rk
+            FROM lexs)
+      WHERE rk <= {pool}
+    ),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+    vc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+    vdots AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM vq CROSS JOIN vc WHERE query_id <> neighbor_id
+    ),
+    vec AS (
+      SELECT query_id, neighbor_id AS doc_id, CAST(rk AS BIGINT) AS rank_vec
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM vdots)
+      WHERE rk <= {pool}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             COALESCE(CAST(1.0 AS DOUBLE)
+                        / CAST({rrf_k} + l.rank_lex AS DOUBLE),
+                      CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST({rrf_k} + v.rank_vec AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM lex l FULL JOIN vec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rank_lex, rank_vec, rrf_score,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q112_hybrid_rrf",
+    _rrf_oracle(),
+    doc="Hybrid retrieval capstone: Reciprocal Rank Fusion (Cormack et "
+    "al. SIGIR'09) of the lexical arm (3-shingle Jaccard vs the query "
+    "document, q31's primitive) and the semantic arm (embedding cosine, "
+    "q34's primitive) — score = 1/(60+rank_lex) + 1/(60+rank_vec), only "
+    "RANKS cross the arms so incomparable score scales never mix. Both "
+    "arms rank a top-20 pool per query over an 8-query panel; the fusion "
+    "is a FULL OUTER join on (query_id, doc_id); top-10 by RRF score. "
+    "Integer ranks + fixed-order two-term double sum keep it "
+    "bit-identical across engines. Scale: bounded-panel passes; LSH/IVF "
+    "(q32/q74) are the drop-in scale paths per arm.",
+)
+def q112_hybrid_rrf(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(docs, emb, n_queries=8, pool=20, k=10, rrf_k=60)

@@ -295,3 +295,40 @@ def test_misra_gries_no_false_negatives_property(keys, counters, n_batches,
     freq = Counter(keys)
     must_survive = {k for k, c in freq.items() if c > n / (counters + 1)}
     assert must_survive <= got, (freq, counters, got)
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF retrieval
+# ---------------------------------------------------------------------------
+
+def test_hybrid_rrf_score_decomposition(spark):
+    """Every output row's rrf_score must equal the recomputed two-term
+    sum from its own ranks (nulls contribute 0), and per-query ranks must
+    be 1..k with no gaps."""
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hybrid_rrf_topk(docs, emb, n_queries=5, pool=10, k=5).collect()
+    per_query: dict[int, list[int]] = {}
+    for r in out:
+        want = (0.0 if r["rank_lex"] is None else 1.0 / (60 + r["rank_lex"])) + (
+            0.0 if r["rank_vec"] is None else 1.0 / (60 + r["rank_vec"])
+        )
+        assert r["rrf_score"] == want
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hybrid_rrf_both_arms_beat_single_arm(spark):
+    """A doc ranked #1 by BOTH arms must be fused rank 1 (RRF dominance:
+    1/61 + 1/61 is the maximum achievable score)."""
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hybrid_rrf_topk(docs, emb, n_queries=5, pool=10, k=5).collect()
+    for r in out:
+        if r["rank_lex"] == 1 and r["rank_vec"] == 1:
+            assert r["rank"] == 1
