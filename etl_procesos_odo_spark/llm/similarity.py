@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import spread_small_input as _spread
+
 
 def dot_double(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double precision."""
@@ -57,7 +59,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    # spread the (often single-file) corpus scan so the pairwise cosine
+    # evaluates across the cluster, not in one scan task (no-op at scale)
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -113,7 +117,9 @@ def lsh_bucket_topk(
     recall/latency trade the brute-force path can't make at scale.
     Returns (query_id, neighbor_id, bucket, cos_sim, rank)."""
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    # sign the corpus across the cluster (single-file scans sign in one
+    # task otherwise; projections are not pushed below the repartition)
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
@@ -171,7 +177,9 @@ def lsh_bucket_topk_multiprobe(
     if probe not in (1, 2):
         raise ValueError("probe must be 1 or 2 (flip-one-bit multiprobe)")
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    # sign the corpus across the cluster (single-file scans sign in one
+    # task otherwise; projections are not pushed below the repartition)
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
@@ -235,7 +243,7 @@ def cosine_neardup_pairs(
     cross-bucket pairs are missed; more planes/tables raise it).
     """
     planes = hyperplanes(dim, n_planes, seed)
-    s = corpus.select(
+    s = _spread(corpus).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
@@ -299,7 +307,10 @@ def ivf_topk(
             .drop("_cs", "_rk")
         )
 
-    posting = assign(corpus, "neighbor_id", "cv")
+    # assignment cosines evaluate before the window exchange, in the
+    # scan task — spread the (often single-file) corpus so they
+    # parallelize (no-op at scale)
+    posting = assign(_spread(corpus), "neighbor_id", "cv")
     qcells = assign(queries, "query_id", "qv", probes=nprobe)
     scored = (
         qcells.join(posting, on="cell")
@@ -379,7 +390,10 @@ def kmeans_lloyd_step(
     cents = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
     )
-    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # spread the scan: assignment cosines otherwise evaluate in one task
+    v = _spread(corpus).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
 
     def nearest(cent_df: DataFrame, out: str) -> DataFrame:
         scored = v.crossJoin(F.broadcast(cent_df)).select(
@@ -781,7 +795,10 @@ def kmeans_train(
     lose every member simply drop out of later rounds — identical
     semantics in both engines.
     """
-    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # spread the scan once; every round's assignment reuses it
+    v = _spread(corpus).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     cents = v.filter(F.col("_id") < n_cells).select(
         F.col("_id").alias("cell"), F.col("_v").alias("centv")
     )
