@@ -318,3 +318,52 @@ def q95_stream_stream_join(spark: SparkSession, sf_dir: str):
         "q95_stream_stream_join_out",
         "append",
     )
+
+
+@register(
+    "q113_streaming_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT *,
+                 CAST(SUM(n) OVER (PARTITION BY window_start) AS BIGINT)
+                   AS window_total
+          FROM c)
+    SELECT window_start, event_type, n, window_total
+    FROM t WHERE n >= CEIL(0.3 * window_total)
+    """,
+    doc="Streaming windowed heavy hitters: the real-time form of q106's "
+    "governance gate — tumbling 1-hour counts per event_type via "
+    "readStream -> window() -> complete-mode memory sink (q40's exact "
+    "streaming plan), then the per-window share gate (n >= ceil(0.3 x "
+    "window total)) runs on the sink output, i.e. the serving-layer "
+    "read a monitoring dashboard would issue. Streaming state is "
+    "bounded by (hours x event types); the gate itself is a window "
+    "function over the (tiny) aggregated result, never the raw stream. "
+    "Oracle: the equivalent batch aggregation + share filter.",
+)
+def q113_streaming_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = events_stream(spark, sf_dir)
+    counts = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    batch = run_to_memory(counts, "q113_hh_out", "complete")
+    wt = Window.partitionBy("window_start")
+    return (
+        batch.withColumn("window_total", F.sum("n").over(wt))
+        .filter(
+            F.col("n")
+            >= F.ceil(F.lit(0.3) * F.col("window_total").cast("double"))
+        )
+        .select("window_start", "event_type", "n", "window_total")
+    )
