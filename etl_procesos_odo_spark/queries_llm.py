@@ -1826,3 +1826,124 @@ def q112_hybrid_rrf(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_rrf_topk(docs, emb, n_queries=8, pool=20, k=10, rrf_k=60)
+
+
+@register(
+    "q114_profile_events",
+    r"""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(event_id) AS nn_event_id,
+             COUNT(DISTINCT event_id) AS nd_event_id,
+             CAST(MIN(event_id) AS VARCHAR) AS mn_event_id,
+             CAST(MAX(event_id) AS VARCHAR) AS mx_event_id,
+             COUNT(*) - COUNT(user_id) AS nn_user_id,
+             COUNT(DISTINCT user_id) AS nd_user_id,
+             CAST(MIN(user_id) AS VARCHAR) AS mn_user_id,
+             CAST(MAX(user_id) AS VARCHAR) AS mx_user_id,
+             COUNT(*) - COUNT(event_type) AS nn_event_type,
+             COUNT(DISTINCT event_type) AS nd_event_type,
+             MIN(event_type) AS mn_event_type,
+             MAX(event_type) AS mx_event_type,
+             COUNT(*) - COUNT(ts) AS nn_ts,
+             COUNT(DISTINCT ts) AS nd_ts,
+             CAST(MIN(epoch_us(ts)) AS VARCHAR) AS mn_ts,
+             CAST(MAX(epoch_us(ts)) AS VARCHAR) AS mx_ts
+      FROM events
+    )
+    SELECT 'event_id' AS col_name, n_rows, nn_event_id AS n_nulls,
+           nd_event_id AS n_distinct, mn_event_id AS min_repr,
+           mx_event_id AS max_repr FROM a
+    UNION ALL
+    SELECT 'event_type', n_rows, nn_event_type, nd_event_type,
+           mn_event_type, mx_event_type FROM a
+    UNION ALL
+    SELECT 'ts', n_rows, nn_ts, nd_ts, mn_ts, mx_ts FROM a
+    UNION ALL
+    SELECT 'user_id', n_rows, nn_user_id, nd_user_id, mn_user_id,
+           mx_user_id FROM a
+    """,
+    doc="One-pass dataset profiler — the schema-audit read a pipeline "
+    "runs before trusting a new drop: per column (id, type, timestamp, "
+    "user) the row count, null count, EXACT distinct count, and min/max "
+    "in a cross-engine-stable representation (integers and epoch-micros "
+    "as strings; never float/timestamp formatting, which differs between "
+    "engines). All 16 aggregates fuse into ONE aggregation pass (Spark "
+    "plans multi-distinct via Expand — a documented 4x row expansion "
+    "behind one shuffle; at deploy scale the documented knob is "
+    "approx_count_distinct, traded here for oracle-exactness), then a "
+    "4-row stack of the single result row.",
+)
+def q114_profile_events(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_id")).alias("nn_event_id"),
+        F.countDistinct("event_id").alias("nd_event_id"),
+        F.min("event_id").cast("string").alias("mn_event_id"),
+        F.max("event_id").cast("string").alias("mx_event_id"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("nn_user_id"),
+        F.countDistinct("user_id").alias("nd_user_id"),
+        F.min("user_id").cast("string").alias("mn_user_id"),
+        F.max("user_id").cast("string").alias("mx_user_id"),
+        (F.count(F.lit(1)) - F.count("event_type")).alias("nn_event_type"),
+        F.countDistinct("event_type").alias("nd_event_type"),
+        F.min("event_type").alias("mn_event_type"),
+        F.max("event_type").alias("mx_event_type"),
+        (F.count(F.lit(1)) - F.count("ts")).alias("nn_ts"),
+        F.countDistinct("ts").alias("nd_ts"),
+        F.min(F.unix_micros("ts")).cast("string").alias("mn_ts"),
+        F.max(F.unix_micros("ts")).cast("string").alias("mx_ts"),
+    )
+    return a.select(
+        F.expr(
+            "stack(4, "
+            "'event_id', nn_event_id, nd_event_id, mn_event_id, mx_event_id, "
+            "'event_type', nn_event_type, nd_event_type, mn_event_type, mx_event_type, "
+            "'ts', nn_ts, nd_ts, mn_ts, mx_ts, "
+            "'user_id', nn_user_id, nd_user_id, mn_user_id, mx_user_id) "
+            "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
+             "max_repr")
+
+
+@register(
+    "q115_source_dedup_report",
+    r"""
+    WITH d AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dg
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT dg) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT dg) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM d GROUP BY source
+    """,
+    doc="Per-source dedup-rate governance report: exact-digest duplicate "
+    "share per domain (q30's normalization) — the curation dashboard "
+    "that tells you WHICH feeds are boilerplate mills before you spend "
+    "cluster time deduping them. One groupBy on (source) with an exact "
+    "distinct over digests; dup_frac is a single integer-exact double "
+    "division.",
+)
+def q115_source_dedup_report(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    dg = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    return (
+        docs.select("source", dg.alias("dg"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("dg").alias("n_unique"),
+            (
+                (F.count(F.lit(1)) - F.countDistinct("dg")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -332,3 +332,22 @@ def test_hybrid_rrf_both_arms_beat_single_arm(spark):
     for r in out:
         if r["rank_lex"] == 1 and r["rank_vec"] == 1:
             assert r["rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# profiler / dedup report sanity
+# ---------------------------------------------------------------------------
+
+def test_profile_events_shape_and_invariants(spark):
+    from etl_procesos_odo_spark.registry import registry
+
+    q = {x.name: x for x in registry()}["q114_profile_events"]
+    rows = {r["col_name"]: r for r in
+            q.spark_fn(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"event_id", "event_type", "ts", "user_id"}
+    n = rows["event_id"]["n_rows"]
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+    assert rows["event_id"]["n_distinct"] == n  # primary key
