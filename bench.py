@@ -127,6 +127,10 @@ def main() -> None:
             "q51_confirmaciones_pipeline",
             "q47_dedup_clusters",
             "q64_corpus_prep",
+            # round-4 capstones: CC composition + two-arm retrieval pay
+            # heavy first-light codegen; the warm number is the honest one
+            "q108_cluster_keep_best",
+            "q112_hybrid_rrf",
         ):
             q = next((x for x in registry() if x.name == name), None)
             if q is None or timings.get(name, -1.0) < 0:

@@ -1042,3 +1042,94 @@ def q111_kmeans_train(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_train(emb, "vec_id", "embedding", n_cells=8, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# q116 — ordered funnel analysis (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q116_funnel",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN rn END)
+                      OVER (PARTITION BY user_id) AS v_rn FROM r),
+    c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND value > 150
+                             AND rn > v_rn THEN rn END)
+                      OVER (PARTITION BY user_id) AS c_rn FROM v),
+    p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                             AND rn > c_rn THEN rn END)
+                      OVER (PARTITION BY user_id) AS p_rn FROM c),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN p_rn IS NOT NULL THEN 3
+                      WHEN c_rn IS NOT NULL THEN 2
+                      WHEN v_rn IS NOT NULL THEN 1 ELSE 0 END) AS reached
+      FROM p GROUP BY user_id
+    )
+    SELECT reached, COUNT(*) AS n_users FROM u GROUP BY reached
+    """,
+    doc="Ordered funnel analysis: how many users completed view -> "
+    "high-value click (> 150) -> high-value purchase (> 150) IN "
+    "SEQUENCE (each later stage strictly after the "
+    "earlier one in the user's (ts, event_id) order) — the event-"
+    "sequence-mining primitive behind conversion and curriculum "
+    "analyses. Three chained per-user window minima share ONE exchange "
+    "(all partition by user_id; each stage's first-match rank gates the "
+    "next), then a per-user verdict and a tiny rollup. No per-user "
+    "arrays are collected: state per row is three ranks, so a user with "
+    "millions of events costs the same window sort the per-user ordering "
+    "already requires.",
+)
+def q116_funnel(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    v = r.withColumn(
+        "v_rn",
+        F.min(F.when(F.col("event_type") == "view", F.col("rn"))).over(wu),
+    )
+    c = v.withColumn(
+        "c_rn",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("value") > 150)
+                & (F.col("rn") > F.col("v_rn")),
+                F.col("rn"),
+            )
+        ).over(wu),
+    )
+    p = c.withColumn(
+        "p_rn",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150)
+                & (F.col("rn") > F.col("c_rn")),
+                F.col("rn"),
+            )
+        ).over(wu),
+    )
+    reached = (
+        F.when(F.col("p_rn").isNotNull(), F.lit(3))
+        .when(F.col("c_rn").isNotNull(), F.lit(2))
+        .when(F.col("v_rn").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    u = p.groupBy("user_id").agg(F.max(reached).alias("reached"))
+    return u.groupBy("reached").agg(F.count(F.lit(1)).alias("n_users"))

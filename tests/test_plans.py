@@ -439,3 +439,12 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
         for name in ("t_bucket_orders", "t_bucket_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_funnel_chained_windows_share_one_user_exchange(plan):
+    """q116: the three stage-gate windows, the per-user verdict aggregate,
+    and the row_number ordering must all ride ONE hashpartitioning
+    (user_id) exchange; the only other exchange is the tiny final rollup
+    on the 4-value reached key."""
+    p = plan("q116_funnel")
+    assert p.count("Exchange hashpartitioning") == 2, p
