@@ -1947,3 +1947,67 @@ def q115_source_dedup_report(spark: SparkSession, sf_dir: str):
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "q117_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    dots AS (
+      SELECT anchor_id, cand_id,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM q CROSS JOIN c WHERE anchor_id <> cand_id
+    ),
+    band AS (
+      SELECT * FROM dots WHERE cos_sim >= 0.05 AND cos_sim < 0.25
+    )
+    SELECT anchor_id, cand_id AS negative_id, cos_sim,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rk
+          FROM band)
+    WHERE rk <= 5
+    """,
+    doc="Contrastive hard-negative mining: for each anchor, the top-5 "
+    "MOST-similar candidates inside the (0.05, 0.25) cosine band — "
+    "similar enough to be informative negatives for embedding training, "
+    "below the near-dup zone that would make them false negatives "
+    "(SimCLR/DPR-style curriculum). Same bounded-panel scan shape as "
+    "q34 with the band filter applied before the per-anchor rank; at "
+    "scale the candidate generation routes through IVF/LSH (q74/q39) "
+    "exactly as the top-k path does. The band edges sit on cosine "
+    "values computed identically in both engines, so membership is "
+    "bit-deterministic.",
+)
+def q117_hard_negatives(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import cosine, _spread
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    )
+    c = _spread(emb).select(
+        F.col("vec_id").alias("negative_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= 0.05) & (F.col("cos_sim") < 0.25))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
