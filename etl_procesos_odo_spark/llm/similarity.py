@@ -946,3 +946,127 @@ def hybrid_rrf_topk(
         .withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_lo: float = 0.05,
+    band_hi: float = 0.25,
+    n: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining (exact scan): for each anchor the
+    ``n`` MOST-similar candidates inside the cosine band
+    ``[band_lo, band_hi)`` — similar enough to be informative negatives
+    for embedding training, below the near-dup zone that would make them
+    false negatives (SimCLR/DPR-style curriculum mining).
+
+    This is the bounded-anchor-panel baseline (q34's scan shape): one
+    anchors × corpus pass, band filter BEFORE the per-anchor rank so the
+    window sorts only in-band rows. For unbounded anchor batches use
+    :func:`hard_negatives_topk_ivf`, which routes candidate generation
+    through IVF cells. Returns (anchor_id, negative_id, cos_sim, rank);
+    ties broken by lowest candidate id.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("qv")
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .filter(
+            (F.col("cos_sim") >= band_lo) & (F.col("cos_sim") < band_hi)
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def hard_negatives_topk_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_lo: float = 0.05,
+    band_hi: float = 0.25,
+    n: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """:func:`hard_negatives_topk` for UNBOUNDED anchor batches: candidate
+    generation routes through IVF cells (the ``quantized_rerank_topk_ivf``
+    pattern) instead of scanning the whole corpus per anchor — the
+    anchors × corpus pairing never forms (plan-tested: the only
+    nested-loop joins are the two broadcast centroid assignments, build
+    side = ``n_cells`` rows).
+
+    The coarse quantizer is :func:`ivf_topk`'s deterministic one (first
+    ``n_cells`` corpus vectors by id; production would
+    :func:`kmeans_train` them). Corpus vectors live in exactly one cell;
+    each anchor probes its ``nprobe`` nearest cells. Because the target
+    band is MID-similarity (not the nearest-neighbor zone top-k ANN
+    probes for), ``nprobe`` should sit higher than an ANN top-k default —
+    the band population concentrates in middle-ranked cells, and the
+    recall knob is the usual nprobe/n_cells trade. With
+    ``nprobe == n_cells`` every cell is probed and the output is
+    IDENTICAL to the exact scan (the equivalence the unit test pins).
+
+    Scale shape: centroids broadcast; posting lists hash-partition on the
+    cell id; the candidate join is an equi-join on cell keys; the band
+    filter prunes before the per-anchor rank window. Returns
+    (anchor_id, negative_id, cos_sim, rank).
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    )
+
+    def assign(df: DataFrame, idal: str, val: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(idal),
+            F.col(vec_col).alias(val),
+            "cell",
+            cosine(F.col(vec_col), F.col("centv")).alias("_cs"),
+        )
+        w = Window.partitionBy(idal).orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= probes)
+            .drop("_cs", "_rk")
+        )
+
+    posting = assign(_spread(corpus), "negative_id", "cv", probes=1)
+    acells = assign(anchors, "anchor_id", "qv", probes=nprobe)
+    scored = (
+        acells.join(posting, on="cell")
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .filter(
+            (F.col("cos_sim") >= band_lo) & (F.col("cos_sim") < band_hi)
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )

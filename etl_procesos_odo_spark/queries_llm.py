@@ -1984,30 +1984,88 @@ def q115_source_dedup_report(spark: SparkSession, sf_dir: str):
     "bit-deterministic.",
 )
 def q117_hard_negatives(spark: SparkSession, sf_dir: str):
-    from .llm.similarity import cosine, _spread
-    from pyspark.sql import Window
+    from .llm.similarity import hard_negatives_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    return hard_negatives_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        band_lo=0.05,
+        band_hi=0.25,
+        n=5,
     )
-    c = _spread(emb).select(
-        F.col("vec_id").alias("negative_id"), F.col("embedding").alias("cv")
+
+
+def _hard_neg_ivf_oracle(
+    n_cells: int = 8,
+    nprobe: int = 4,
+    band_lo: float = 0.05,
+    band_hi: float = 0.25,
+    n: int = 5,
+) -> str:
+    cos = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
     )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("anchor_id") != F.col("negative_id"))
-        .select(
-            "anchor_id",
-            "negative_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
-        .filter((F.col("cos_sim") >= 0.05) & (F.col("cos_sim") < 0.25))
+    assign_cos = (
+        f"{o_dot('v', 'centv', 'len(v)')} / (sqrt({o_dot('v', 'v', 'len(v)')}) "
+        f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_sim"), F.col("negative_id")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cell, {assign_cos} AS cs
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, v, cell, rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM scored)
+      WHERE rk <= {nprobe}
+    ),
+    q AS (SELECT vec_id AS anchor_id, v AS qv, cell FROM asg
+          WHERE vec_id < 10 AND rk <= {nprobe}),
+    p AS (SELECT vec_id AS negative_id, v AS cv, cell FROM asg WHERE rk = 1),
+    dots AS (
+      SELECT anchor_id, negative_id, {cos} AS cos_sim
+      FROM q JOIN p USING (cell) WHERE anchor_id <> negative_id
+    ),
+    band AS (
+      SELECT * FROM dots WHERE cos_sim >= {band_lo} AND cos_sim < {band_hi}
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+    SELECT anchor_id, negative_id, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, negative_id) AS rk
+          FROM band)
+    WHERE rk <= {n}
+    """
+
+
+@register(
+    "q118_hard_negatives_ivf",
+    _hard_neg_ivf_oracle(),
+    doc="q117's scale path: hard-negative candidate generation routed "
+    "through IVF cells (the quantized_rerank_topk_ivf pattern) so the "
+    "anchors x corpus pairing never forms — centroids broadcast, corpus "
+    "posting lists live in exactly one cell, each anchor probes its 4 "
+    "nearest of 8 cells, exact cosine + the (0.05, 0.25) band filter run "
+    "only on cell-local candidates before the per-anchor top-5 rank. "
+    "nprobe sits higher than an ANN top-k default because the target "
+    "band is MID-similarity (middle-ranked cells hold it); "
+    "nprobe == n_cells reproduces q117 exactly (unit-tested identity).",
+)
+def q118_hard_negatives_ivf(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import hard_negatives_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        band_lo=0.05,
+        band_hi=0.25,
+        n=5,
+        n_cells=8,
+        nprobe=4,
     )

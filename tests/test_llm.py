@@ -700,3 +700,70 @@ def test_incremental_dedup_hot_band_cap(spark):
     # and the uncapped frame really was hot (sanity that the test bites)
     raw_sizes = banded.groupBy("band_idx", "band_hash").count()
     assert raw_sizes.agg(F.max("count")).collect()[0][0] == 40
+
+
+def test_hard_negatives_band_and_determinism(spark):
+    """q117: every mined negative's cosine sits inside [0.05, 0.25), at
+    most n per anchor, rank is 1..n dense in cos_sim-desc order, and the
+    result is bit-stable run-to-run (seedless — pure expressions)."""
+    from etl_procesos_odo_spark.llm.similarity import hard_negatives_topk
+    from etl_procesos_odo_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    out = hard_negatives_topk(
+        emb, anchors, band_lo=0.05, band_hi=0.25, n=5
+    )
+    rows = out.collect()
+    assert rows, "band should be populated at sf0.001"
+    assert all(0.05 <= r["cos_sim"] < 0.25 for r in rows)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for recs in per_anchor.values():
+        recs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+        assert len(recs) <= 5
+        sims = [r["cos_sim"] for r in recs]
+        assert sims == sorted(sims, reverse=True)
+    again = sorted(map(tuple, out.collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact(spark):
+    """q118: with nprobe == n_cells every cell is probed, the candidate
+    set equals the exact scan's (each corpus vector lives in exactly one
+    probed cell), and the IVF-routed output must be identical
+    row-for-row. With nprobe < n_cells the result is a subset whose
+    cos_sim values are still exact and in-band."""
+    from etl_procesos_odo_spark.llm.similarity import (
+        hard_negatives_topk,
+        hard_negatives_topk_ivf,
+    )
+    from etl_procesos_odo_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    exact = sorted(map(tuple, hard_negatives_topk(
+        emb, anchors, band_lo=0.05, band_hi=0.25, n=5
+    ).collect()))
+    full_probe = sorted(map(tuple, hard_negatives_topk_ivf(
+        emb, anchors, band_lo=0.05, band_hi=0.25, n=5,
+        n_cells=4, nprobe=4,
+    ).collect()))
+    assert full_probe == exact and exact
+
+    narrow = hard_negatives_topk_ivf(
+        emb, anchors, band_lo=0.05, band_hi=0.25, n=5,
+        n_cells=4, nprobe=2,
+    ).collect()
+    assert all(0.05 <= r["cos_sim"] < 0.25 for r in narrow)
+    exact_pairs = {(r[0], r[1]) for r in exact}
+    # every narrow-probe candidate the exact scan also banded keeps the
+    # identical cosine (the IVF route changes WHICH pairs form, never
+    # the score of a pair that forms)
+    exact_sims = {(r[0], r[1]): r[2] for r in exact}
+    for r in narrow:
+        key = (r["anchor_id"], r["negative_id"])
+        if key in exact_pairs:
+            assert abs(exact_sims[key] - r["cos_sim"]) < 1e-15

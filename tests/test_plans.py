@@ -448,3 +448,23 @@ def test_funnel_chained_windows_share_one_user_exchange(plan):
     on the 4-value reached key."""
     p = plan("q116_funnel")
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_hard_negatives_ivf_no_full_crossjoin(spark):
+    """q118: candidate generation pairs anchors with posting lists via an
+    EQUI-join on the cell id — the anchors x corpus cross join of the
+    exact-scan baseline (q117) must not appear. The only nested-loop
+    joins are the two broadcast centroid assignments (build side =
+    n_cells rows)."""
+    from etl_procesos_odo_spark.llm.similarity import hard_negatives_topk_ivf
+    from etl_procesos_odo_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = hard_negatives_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10),
+        band_lo=0.05, band_hi=0.25, n=5, n_cells=8, nprobe=4,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 2, p
