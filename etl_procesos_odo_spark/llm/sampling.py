@@ -65,10 +65,17 @@ def source_quota(
     domains pay the window sort. The count table is one row per domain —
     broadcast back, no extra wide shuffle on the data. Semantics are
     IDENTICAL to the single-window form (and the oracle states it that
-    way); the split is purely a cost optimization.
+    way); the split is purely a cost optimization. The count join is
+    null-SAFE: a NULL group key forms one partition under the window
+    form, so it must survive the split form too (a plain equi-join
+    would silently drop NULL-keyed rows).
     """
-    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    tagged = df.join(F.broadcast(cnt), on=group_col)
+    cnt = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_gn")
+    ).withColumnRenamed(group_col, "_gk")
+    tagged = df.join(
+        F.broadcast(cnt), df[group_col].eqNullSafe(F.col("_gk"))
+    ).drop("_gk")
     under = tagged.filter(F.col("_gn") <= quota).drop("_gn")
     w = Window.partitionBy(group_col).orderBy(
         F.desc(order_col), F.col(id_col)

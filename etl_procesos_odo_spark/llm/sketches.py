@@ -80,12 +80,27 @@ def heavy_hitters(
 
     The result is EXACT and partition-invariant — false positives from
     pass 1 are removed by the recount, false negatives cannot occur.
+
+    NULL keys: pandas ``value_counts`` silently drops NaN/None, so a
+    null key could never become an MG candidate (and the semi-join would
+    not match it) — yet the plain ``GROUP BY ... HAVING`` oracle keeps a
+    NULL group. Nulls are therefore counted in a separate exact branch
+    (they're one group — no sketch needed) and the NULL row is emitted
+    whenever it crosses the same threshold.
     """
     if not 0.0 < theta <= 1.0:
         raise ValueError(f"theta must be in (0, 1], got {theta}")
+    if slack < 1.0:
+        raise ValueError(
+            "slack must be >= 1.0 — the superset guarantee needs "
+            f"counters >= 1/theta, got slack={slack}"
+        )
     counters = max(1, math.ceil(slack / theta))
     keyed = df.select(key_col)
-    n_total = keyed.count()
+    tot = keyed.agg(
+        F.count(F.lit(1)).alias("n"), F.count(key_col).alias("nn")
+    ).collect()[0]
+    n_total, null_cnt = tot["n"], tot["n"] - tot["nn"]
     threshold = math.ceil(theta * n_total)
 
     field = keyed.schema[key_col]
@@ -94,9 +109,15 @@ def heavy_hitters(
         schema=f"{key_col} {field.dataType.simpleString()}",
     ).distinct()
 
-    return (
+    out = (
         keyed.join(F.broadcast(cands), on=key_col, how="left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+    if null_cnt >= threshold:
+        null_row = df.sparkSession.createDataFrame(
+            [(None, null_cnt)], schema=out.schema
+        )
+        out = out.unionByName(null_row)
+    return out

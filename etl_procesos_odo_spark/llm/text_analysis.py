@@ -190,6 +190,9 @@ def bm25_topk(
     """
     from pyspark.sql import functions as F
 
+    if not terms:
+        raise ValueError("terms must be non-empty")
+
     sc = df.sparkSession.sparkContext
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")

@@ -767,3 +767,56 @@ def test_hard_negatives_ivf_full_probe_equals_exact(spark):
         key = (r["anchor_id"], r["negative_id"])
         if key in exact_pairs:
             assert abs(exact_sims[key] - r["cos_sim"]) < 1e-15
+
+
+def test_heavy_hitters_null_keys_and_slack_guard(spark):
+    """ADVICE r4: (a) a NULL-keyed heavy hitter must be emitted — the
+    plain GROUP BY/HAVING oracle keeps a NULL group that the MG sketch
+    path (pandas value_counts drops NaN) structurally cannot produce;
+    (b) slack < 1 voids the superset guarantee and must raise."""
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.llm.sketches import heavy_hitters
+
+    rows = [(None,)] * 40 + [("a",)] * 40 + [("b",)] * 5 + [
+        (f"t{i}",) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", theta=0.2).collect()}
+    assert got == {None: 40, "a": 40}
+
+    # below-threshold nulls stay out
+    df2 = spark.createDataFrame(
+        [(None,)] * 2 + [("a",)] * 48, "k string"
+    ).repartition(4)
+    got2 = {r["k"]: r["cnt"] for r in heavy_hitters(df2, "k", theta=0.2).collect()}
+    assert got2 == {"a": 48}
+
+    with _pytest.raises(ValueError, match="slack"):
+        heavy_hitters(df, "k", theta=0.5, slack=0.5)
+
+
+def test_source_quota_null_group_kept(spark):
+    """ADVICE r4: a NULL group key forms one partition under the
+    single-window oracle form — the split (count-join) form must keep it
+    too (null-safe join), capped at the quota like any other group."""
+    from etl_procesos_odo_spark.llm.sampling import source_quota
+
+    rows = [(None, i, i) for i in range(5)] + [("x", 10 + i, 10 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, "src string, score long, id long")
+    out = source_quota(df, "src", quota=3, order_col="score", id_col="id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["src"], set()).add(r["id"])
+    assert by_src[None] == {2, 3, 4}   # top-3 by score within the NULL group
+    assert by_src["x"] == {10, 11}
+
+
+def test_bm25_empty_terms_raises(spark):
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.llm.text_analysis import bm25_topk
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="terms"):
+        bm25_topk(df, "text", "doc_id", terms=[])
