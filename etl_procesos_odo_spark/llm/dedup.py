@@ -710,6 +710,67 @@ def block_dedup(
     )
 
 
+def band_min_k(banded: DataFrame, cap: int) -> DataFrame:
+    """Bounded-memory min-k per (band_idx, band_hash) bucket — the
+    scale-safe form of "keep the ``cap`` lowest-id rows per bucket".
+
+    The naive form (``row_number() OVER (PARTITION BY band ORDER BY id)``)
+    shuffle-sorts EVERY bucket in full — a boilerplate bucket holding
+    millions of ids pays a million-row sort to keep 1000. This form never
+    sorts the raw frame:
+
+    1. Map-side (Arrow-batched ``mapInPandas``, no shuffle): each input
+       partition keeps at most ``cap`` smallest ids per bucket it has
+       seen — per-bucket state is bounded at ``cap`` regardless of how
+       many rows the partition holds, and a hot bucket is trimmed BEFORE
+       anything shuffles.
+    2. Merge: surviving partials (≤ cap × n_partitions rows per bucket,
+       independent of data volume) group-by the bucket key; the only
+       sort is ``array_sort`` over that bounded survivor array, sliced
+       to ``cap`` and exploded back to rows.
+
+    The result set is IDENTICAL to the window form (min-k by id is
+    deterministic), so oracles that state the cap as ``row_number``
+    verify it unchanged — plan-tested to contain no Window node.
+
+    Expects/returns columns (_id, band_idx, band_hash).
+    """
+    import pandas as pd
+
+    def part_mink(batches):
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat((acc, pdf))
+            # one partition-local trim per batch: per-bucket state can
+            # never exceed cap rows between batches
+            acc = (
+                cur.sort_values("_id", kind="stable")
+                .groupby(["band_idx", "band_hash"], sort=False)
+                .head(cap)
+            )
+        yield acc if acc is not None else pd.DataFrame(
+            {"_id": [], "band_idx": [], "band_hash": []}
+        )
+
+    proj = banded.select("_id", "band_idx", "band_hash")
+    partials = proj.mapInPandas(
+        part_mink,
+        schema=", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in proj.schema
+        ),
+    )
+    return (
+        partials.groupBy("band_idx", "band_hash")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_id")), 1, cap).alias("_ids")
+        )
+        .select(
+            "band_idx", "band_hash", F.explode("_ids").alias("_id")
+        )
+        .select("_id", "band_idx", "band_hash")
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,
@@ -781,14 +842,10 @@ def incremental_dedup(
 
     corpus_bands = banded(sh_cor)
     if corpus_band_cap is not None:
-        from pyspark.sql import Window as _W
-
-        wcap = _W.partitionBy("band_idx", "band_hash").orderBy("_id")
-        corpus_bands = (
-            corpus_bands.withColumn("_bk", F.row_number().over(wcap))
-            .filter(F.col("_bk") <= corpus_band_cap)
-            .drop("_bk")
-        )
+        # bounded-memory min-k (identical result set to the row_number
+        # window form, but hot buckets trim map-side and nothing sorts
+        # the raw band frame — see band_min_k)
+        corpus_bands = band_min_k(corpus_bands, corpus_band_cap)
 
     cand = (
         banded(sh_new).alias("n")

@@ -160,3 +160,64 @@ def pareto(
         )
         .drop("_rk", "_dec")
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass dataset profiler (q114's engine surface, generalized):
+    per column the row count, null count, distinct count, and min/max in
+    a cross-engine-stable string representation (integers and
+    epoch-micros as strings — never float/timestamp formatting, which
+    differs between engines).
+
+    ``exact`` is the 100 TB knob: True fuses ``countDistinct`` per column
+    into one aggregation pass (Spark plans multi-distinct via Expand — a
+    documented len(cols)x row expansion behind one shuffle; the
+    oracle-parity mode). False swaps in ``approx_count_distinct``
+    (HyperLogLog++, relative error ``rsd``) — no Expand, one partial-agg
+    pass at scan speed, the deploy-scale default where an exact distinct
+    of a billion-key column would shuffle every key for a dashboard
+    number. Everything else (nulls, min/max, row count) is identical and
+    exact in both modes.
+
+    Returns one row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_repr, max_repr), ordered by col_name via the stack order.
+    """
+    from pyspark.sql.types import TimestampType
+
+    nd = (
+        (lambda c: F.countDistinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+
+    def repr_col(c: str) -> Column:
+        if isinstance(df.schema[c].dataType, TimestampType):
+            return F.unix_micros(F.col(c))
+        return F.col(c)
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sorted(cols):
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            nd(c).alias(f"nd_{c}"),
+            F.min(repr_col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(repr_col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    a = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in sorted(cols)
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )

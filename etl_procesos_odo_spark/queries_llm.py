@@ -2049,38 +2049,12 @@ def q112_hybrid_rrf(spark: SparkSession, sf_dir: str):
     "4-row stack of the single result row.",
 )
 def q114_profile_events(spark: SparkSession, sf_dir: str):
+    from .operators.aggregates import profile_columns
+
     ev = load_table(spark, sf_dir, "events")
-    a = ev.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("event_id")).alias("nn_event_id"),
-        F.countDistinct("event_id").alias("nd_event_id"),
-        F.min("event_id").cast("string").alias("mn_event_id"),
-        F.max("event_id").cast("string").alias("mx_event_id"),
-        (F.count(F.lit(1)) - F.count("user_id")).alias("nn_user_id"),
-        F.countDistinct("user_id").alias("nd_user_id"),
-        F.min("user_id").cast("string").alias("mn_user_id"),
-        F.max("user_id").cast("string").alias("mx_user_id"),
-        (F.count(F.lit(1)) - F.count("event_type")).alias("nn_event_type"),
-        F.countDistinct("event_type").alias("nd_event_type"),
-        F.min("event_type").alias("mn_event_type"),
-        F.max("event_type").alias("mx_event_type"),
-        (F.count(F.lit(1)) - F.count("ts")).alias("nn_ts"),
-        F.countDistinct("ts").alias("nd_ts"),
-        F.min(F.unix_micros("ts")).cast("string").alias("mn_ts"),
-        F.max(F.unix_micros("ts")).cast("string").alias("mx_ts"),
+    return profile_columns(
+        ev, ["event_id", "event_type", "ts", "user_id"], exact=True
     )
-    return a.select(
-        F.expr(
-            "stack(4, "
-            "'event_id', nn_event_id, nd_event_id, mn_event_id, mx_event_id, "
-            "'event_type', nn_event_type, nd_event_type, mn_event_type, mx_event_type, "
-            "'ts', nn_ts, nd_ts, mn_ts, mx_ts, "
-            "'user_id', nn_user_id, nd_user_id, mn_user_id, mx_user_id) "
-            "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
-        ),
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
-             "max_repr")
 
 
 @register(

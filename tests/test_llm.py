@@ -867,3 +867,67 @@ def test_hybrid_rrf_lsh_parity_on_planted_neardups(spark):
     # carry a lexical rank BETTER than a scan-pool doc with higher jaccard
     assert lsh[1]["rank_lex"] <= scan[1]["rank_lex"]
     assert lsh[2]["rank_lex"] <= scan[2]["rank_lex"]
+
+
+def test_band_min_k_equals_window_form(spark):
+    """band_min_k's result set must be IDENTICAL to the row_number
+    window form on adversarially skewed buckets (one hot bucket spanning
+    partitions, several cold ones), including under repartitioning —
+    min-k by id is partition-invariant."""
+    import random as _r
+
+    from pyspark.sql import Window
+
+    from etl_procesos_odo_spark.llm.dedup import band_min_k
+
+    rng = _r.Random(11)
+    rows = [(i, 0, "hot") for i in range(200)] + [
+        (1000 + i, rng.randint(0, 3), f"cold{rng.randint(0, 5)}")
+        for i in range(60)
+    ]
+    banded = spark.createDataFrame(
+        rows, "_id long, band_idx int, band_hash string"
+    ).repartition(7)
+
+    got = sorted(map(tuple, band_min_k(banded, 10).collect()))
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+    want = sorted(map(tuple, (
+        banded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .drop("_rk")
+    ).collect()))
+    assert got == want
+    # the hot bucket really was trimmed to the cap
+    hot = [t for t in got if t[2] == "hot"]
+    assert len(hot) == 10 and {t[0] for t in hot} == set(range(10))
+
+
+def test_profile_columns_exact_knob(spark):
+    """profile_columns(exact=True) is bit-identical to q114's fused
+    exact profile; exact=False (approx_count_distinct / HLL++) keeps the
+    schema and every exact column (nulls, min/max, n_rows) identical,
+    with n_distinct within the advertised relative error."""
+    from etl_procesos_odo_spark.operators.aggregates import profile_columns
+    from etl_procesos_odo_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cols = ["event_id", "event_type", "ts", "user_id"]
+    exact = {r["col_name"]: r.asDict() for r in
+             profile_columns(ev, cols, exact=True).collect()}
+    approx_df = profile_columns(ev, cols, exact=False, rsd=0.05)
+    assert approx_df.columns == ["col_name", "n_rows", "n_nulls",
+                                 "n_distinct", "min_repr", "max_repr"]
+    approx = {r["col_name"]: r.asDict() for r in approx_df.collect()}
+    assert set(exact) == set(approx) == set(cols)
+    for c in cols:
+        e, a = exact[c], approx[c]
+        for f in ("n_rows", "n_nulls", "min_repr", "max_repr"):
+            assert e[f] == a[f], (c, f, e[f], a[f])
+        if e["n_distinct"]:
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert rel < 0.15, (c, e["n_distinct"], a["n_distinct"])
+
+    # the approx plan must not pay the multi-distinct Expand
+    pe = profile_columns(ev, cols, exact=True)._jdf.queryExecution().executedPlan().toString()
+    pa = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in pe and "Expand" not in pa

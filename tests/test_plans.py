@@ -507,3 +507,17 @@ def test_hybrid_rrf_fully_routed_no_corpus_nested_loop(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastNestedLoopJoin") == 2, p
+
+
+def test_band_min_k_no_window_sort(spark):
+    """The hot-band cap must not plan a per-bucket window sort of the
+    raw band frame: map-side Arrow trim + bounded survivor merge only —
+    no Window node anywhere in the capped plan."""
+    from etl_procesos_odo_spark.llm.dedup import band_min_k
+
+    banded = spark.createDataFrame(
+        [(i, 0, "h") for i in range(50)], "_id long, band_idx int, band_hash string"
+    )
+    p = band_min_k(banded, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
