@@ -145,3 +145,52 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join with an equality key — the
+    attribution / enrichment-window primitive ("every view within the
+    hour before this user's purchase"). Spark plans a naive
+    ``p.ts BETWEEN i.start AND i.end`` predicate as a nested-loop join
+    (with the equality key: an equi-join whose per-key pairing is still
+    quadratic); this form stays an EQUI-join end to end, the standard
+    time-binning rewrite:
+
+    - each interval explodes to every ``bin_seconds`` bucket it overlaps
+      (``sequence(floor(start/w), floor(end/w))`` — for intervals no
+      longer than the bin width that's ≤ 2 rows);
+    - each point maps to its single bucket;
+    - the join keys on (equality key, bucket) — hash-partitioned, AQE /
+      salting applicable like any equi-join — and the exact BETWEEN
+      predicate filters within the bucket's co-located candidates.
+
+    A point lives in exactly one bucket, so a qualifying (point,
+    interval) pair forms exactly once — no dedup pass. Pick
+    ``bin_seconds`` ≈ the typical interval length: shorter bins explode
+    intervals wider; longer bins pack more false candidates per bucket.
+    Both sides' non-key columns pass through.
+    """
+    def to_bin(c: str):
+        # micros-exact epoch -> floor to bin index; deterministic and
+        # mirrored verbatim by the oracle's floor(epoch(ts) / w)
+        return F.floor(F.col(c).cast("double") / F.lit(bin_seconds)).cast(
+            "long"
+        )
+
+    p = points.withColumn("_bin", to_bin(point_ts))
+    i = intervals.withColumn(
+        "_bin", F.explode(F.sequence(to_bin(start_ts), to_bin(end_ts)))
+    )
+    joined = p.join(i, on=[on, "_bin"]).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bin")

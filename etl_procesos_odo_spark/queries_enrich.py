@@ -1133,3 +1133,57 @@ def q116_funnel(spark: SparkSession, sf_dir: str):
     )
     u = p.groupBy("user_id").agg(F.max(reached).alias("reached"))
     return u.groupBy("reached").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q121 — point-in-interval range join via time binning (attribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q121_attribution_range_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+          FROM events WHERE event_type = 'view')
+    SELECT v.user_id, view_id, purchase_id,
+           epoch_us(p_ts) - epoch_us(v_ts) AS micros_before
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts
+    """,
+    doc="Batch attribution via point-in-interval range join: every view "
+    "within the hour BEFORE the same user's purchase (the batch analog "
+    "of q95's stream-stream interval join). Spark plans a naive BETWEEN "
+    "predicate as a nested-loop pairing; range_join_binned rewrites it "
+    "to a pure EQUI-join on (user_id, hour-bucket) — intervals explode "
+    "to <= 2 bucket rows (window length == bin width), points map to "
+    "one bucket, the exact BETWEEN filters co-located candidates, and a "
+    "qualifying pair forms exactly once (no dedup pass). Plan-tested: "
+    "no CartesianProduct / BroadcastNestedLoopJoin; the join is "
+    "hash-partitioned and AQE/salting-compatible like any equi-join.",
+)
+def q121_attribution_range_join(spark: SparkSession, sf_dir: str):
+    from .operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    return range_join_binned(
+        views, purchases,
+        on="user_id", point_ts="v_ts", start_ts="w_start", end_ts="p_ts",
+        bin_seconds=3600,
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_before"),
+    )

@@ -2217,3 +2217,82 @@ def q118_hard_negatives_ivf(spark: SparkSession, sf_dir: str):
         n_cells=8,
         nprobe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — CCNet-style corpus-LM quality buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_ccnet_quality_buckets",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {O_TOKENS} AS w FROM documents),
+    f AS (SELECT * FROM w WHERE len(w) > 0),
+    tok AS (SELECT doc_id, lang, unnest(w) AS t FROM f),
+    tf AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT COUNT(*) AS total_toks FROM tok),
+    ds AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(cnt) AS sum_cnt
+      FROM tok JOIN tf USING (t) GROUP BY doc_id, lang
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens,
+             (CAST(sum_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               / CAST(total_toks AS DOUBLE) AS score
+      FROM ds CROSS JOIN tot
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY score DESC, doc_id) AS BIGINT)
+             AS bucket
+    FROM scored
+    """,
+    doc="CCNet-style quality bucketing (Wenzek et al. 2020): score every "
+    "document by its mean token corpus-frequency under a unigram LM "
+    "trained ON THE CORPUS ITSELF, then split each language into "
+    "head/middle/tail thirds (bucket 1 = most-fluent/common register, "
+    "3 = rare/noisy tail — CCNet's crawl-curation signal). Divergence "
+    "from the paper, documented: mean token PROBABILITY instead of "
+    "log-perplexity — natural log is not correctly-rounded-guaranteed "
+    "across engines (q110's rational-idf rationale); the bucket signal "
+    "survives, built from exact integer counts and two fixed-order "
+    "double divisions. Scale shape: token counting is the standard "
+    "explode + partial-agg shuffle on the token key; the score join "
+    "shuffles on the token key too — stopword keys are hot, which is "
+    "AQE skew-join's case (or salt via q63's machinery); the 1-row "
+    "total broadcasts; per-language thirds are one window over "
+    "doc-level rows (row count = corpus docs, not tokens).",
+)
+def q122_ccnet_quality_buckets(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") > 0)
+    tok = f.select("doc_id", "lang", F.explode("w").alias("t"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total_toks"))
+    ds = (
+        tok.join(tf, on="t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+    )
+    scored = ds.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (F.col("sum_cnt").cast("double") / F.col("n_tokens").cast("double"))
+            / F.col("total_toks").cast("double")
+        ).alias("score"),
+    )
+    wb = Window.partitionBy("lang").orderBy(F.desc("score"), F.col("doc_id"))
+    return scored.withColumn(
+        "bucket", F.ntile(3).over(wb).cast("long")
+    )

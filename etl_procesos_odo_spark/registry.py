@@ -54,9 +54,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # full-registry run (see README).
 DRIVER_HEAD: tuple[str, ...] = (
     # §3 reference pipelines
+    # (r5 swap q55 -> q116: q55's date-filter/join/weighted-agg families
+    # stay evidenced by q50-q54/q57 head rows; q55 stays green in the
+    # back-half full-registry runs. q116 is the ordered-funnel family,
+    # new in r4 with no driver-row class.)
     "q50_partitioner_pipeline", "q51_confirmaciones_pipeline",
     "q52_recursos_pipeline", "q53_callcenter_demand",
-    "q54_indicadores_pipeline", "q55_facturacion_pipeline",
+    "q54_indicadores_pipeline", "q116_funnel",
     "q57_narrative_verdicts",
     # streaming (one per family: tumbling, dedup, session, stateful,
     # stream-static, sliding, stream-stream)
@@ -83,8 +87,13 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q87_kmeans_step",
     # text analysis
     "q35_langid", "q38_fingerprint", "q73_repetition_metrics",
-    # enrichment
-    "q83_pii_mask", "q84_json_extract", "q85_token_rarity",
+    # enrichment + retrieval
+    # (r5 swap q85 -> q110: q85's token-rarity idf shape runs INSIDE
+    # q110's per-term df/idf stats, so the row strictly widens — BM25
+    # adds the fused corpus-stats broadcast + top-k heap, the lexical
+    # half of the retrieval stack with no prior driver-row class; q85
+    # stays green in the back-half full-registry runs.)
+    "q83_pii_mask", "q84_json_extract", "q110_bm25_search",
     "q88_corpus_quantiles", "q97_ewma",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
@@ -100,7 +109,12 @@ DRIVER_HEAD: tuple[str, ...] = (
     # (r4 swap q13 -> q106: top-N/W4/W6/X7 stay evidenced by q12's
     # ranked Pareto head + back-half q13; q106 adds the sketch-then-verify
     # heavy-hitter family, a new-in-r4 scale pattern with no other row)
-    "q02_filter_project", "q12_pareto_brands", "q106_heavy_hitters",
+    # (r5 swap q02 -> q120: q02's P2-P7 filter/projection shapes run
+    # inside the q50/q51/q53/q54 pipeline head rows; q02 stays green in
+    # the back-half full-registry runs. q120 is the fully-routed hybrid
+    # retrieval — LSH-banded lexical arm + IVF vector arm + RRF fusion —
+    # the round-5 scale capstone with no other driver row.)
+    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q106_heavy_hitters",
     "q18_set_ops", "q59_scalar_kit", "q63_salted_segments", "q81_asof_join",
 )
 

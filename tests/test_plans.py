@@ -521,3 +521,15 @@ def test_band_min_k_no_window_sort(spark):
     p = band_min_k(banded, 5)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in p, p
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
+def test_range_join_binned_is_equi_join(plan):
+    """q121: the binned range join must plan as a hash/sort-merge
+    EQUI-join on (key, bucket) — never the nested-loop pairing Spark
+    gives a naive ts BETWEEN start AND end predicate."""
+    p = plan("q121_attribution_range_join")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    import re as _re
+
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
