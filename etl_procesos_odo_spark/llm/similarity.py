@@ -272,6 +272,7 @@ def ivf_topk(
     n_cells: int = 16,
     k: int = 5,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (here: the first ``n_cells``
     corpus vectors by id — deterministic, so the oracle can reproduce it;
@@ -288,9 +289,18 @@ def ivf_topk(
     union of cell keys on the query side: the posting-list join, the
     partitioning, and the plan shape are unchanged (the recall knob does
     not re-architect the query).
+
+    ``centroids``: an optional (cell, centv) frame — e.g. the output of
+    :func:`kmeans_train_centroids` — replacing the deterministic
+    first-``n_cells`` coarse quantizer (q123 wires the trained table in;
+    the plan shape is identical, only the broadcast build side changes).
     """
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+        )
     )
 
     def assign(df: DataFrame, idal: str, val: str, probes: int = 1) -> DataFrame:
@@ -851,6 +861,72 @@ def kmeans_train(
         F.col("cell").cast("long").alias("cell_final"),
         "cos_final",
     )
+
+
+def kmeans_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """The TRAINED centroid table :func:`kmeans_train` refines — (cell,
+    centv) after ``rounds`` assign → integer-micro-unit-mean iterations
+    from the deterministic seed (first ``n_cells`` vectors by id). This
+    is the artifact the IVF index is built against in production
+    (``ivf_topk(..., centroids=...)`` — q123 closes the "production
+    would k-means these" loop the ivf_topk docstring promises). Same
+    per-round scale shape and localCheckpoint lineage truncation as
+    ``kmeans_train``; cells that lose every member drop out — identical
+    semantics in both engines."""
+    v = _spread(corpus).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    cents = v.filter(F.col("_id") < n_cells).select(
+        F.col("_id").alias("cell"), F.col("_v").alias("centv")
+    )
+
+    def nearest(cent_df: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "_id", "_v", "cell",
+            cosine(F.col("_v"), F.col("centv")).alias("_cs"),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def micro_means(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "cell", F.posexplode(F.col("_v")).alias("pos", "x")
+        )
+        return (
+            comp.groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("x").cast("double") * 1e6).cast("long")
+                    ).cast("double")
+                    / (F.count("*") * F.lit(1000000)).cast("double")
+                ).alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centv")
+            )
+        )
+
+    a = nearest(cents)
+    for i in range(rounds):
+        cents = micro_means(a).localCheckpoint(eager=False)
+        if i < rounds - 1:  # the last round's re-assignment feeds nothing
+            a = nearest(cents)
+    return cents
 
 
 def hybrid_rrf_topk(

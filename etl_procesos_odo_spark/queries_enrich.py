@@ -1187,3 +1187,113 @@ def q121_attribution_range_join(spark: SparkSession, sf_dir: str):
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — IVF ANN over TRAINED centroids (kmeans_train -> ivf_topk)
+# ---------------------------------------------------------------------------
+
+def _ivf_trained_oracle(
+    n_cells: int = 8, rounds: int = 2, k: int = 5, nprobe: int = 2
+) -> str:
+    """q111's unrolled Lloyd chain up to the trained centroid table
+    c{rounds}, then q49/q74's IVF assignment + cell-local top-k against
+    it — generated from the same constants the Spark call uses."""
+    cos0 = _KMEANS_COS0
+    cos_q = (
+        f"{o_dot('qv', 'cv')} / (sqrt({o_dot('qv', 'qv')}) "
+        f"* sqrt({o_dot('cv', 'cv', 'len(cv)')}))"
+    )
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < {n_cells}),
+    s0 AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c0 c
+    ),
+    a0 AS (
+      SELECT vec_id, v, cell, cs
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s0)
+      WHERE rk = 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""comp{r} AS (
+      SELECT cell, i - 1 AS pos, CAST(v[i] AS DOUBLE) AS x
+      FROM a{r - 1}, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    mn{r} AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 1000000 AS DOUBLE) AS m
+      FROM comp{r} GROUP BY 1, 2
+    ),
+    c{r} AS (SELECT cell, list(m ORDER BY pos) AS centv FROM mn{r} GROUP BY cell)""")
+        if r < rounds:
+            ctes.append(f"""s{r} AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c{r} c
+    ),
+    a{r} AS (
+      SELECT vec_id, v, cell, cs
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM s{r})
+      WHERE rk = 1
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    tscored AS (
+      SELECT e.vec_id, e.v, c.cell, {cos0} AS cs
+      FROM e CROSS JOIN c{rounds} c
+    ),
+    tasg AS (
+      SELECT vec_id, v, cell, rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cell) AS rk
+            FROM tscored)
+      WHERE rk <= {nprobe}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM tasg
+          WHERE vec_id < 10),
+    p AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM tasg WHERE rk = 1),
+    dots AS (
+      SELECT query_id, neighbor_id, q.cell AS cell, {cos_q} AS cos_sim
+      FROM q JOIN p USING (cell) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell, cos_sim,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM dots)
+    WHERE rk <= {k}
+    """
+
+
+@register(
+    "q123_ann_ivf_trained",
+    _ivf_trained_oracle(n_cells=8, rounds=2, k=5, nprobe=2),
+    doc="The production IVF loop closed: q111's k-means training "
+    "produces the centroid table, q74's IVF search runs against it — "
+    "kmeans_train_centroids feeds ivf_topk(centroids=...). Plan shape "
+    "identical to q49/q74 (broadcast trained centroids, cell-keyed "
+    "posting-list equi-join, nprobe=2 union of cell keys); the seed-id "
+    "quantizer the earlier rows use is the documented stand-in, this "
+    "row retires it end-to-end. Integer micro-unit centroid means keep "
+    "the trained table bit-identical across engines, so even the "
+    "cell-boundary assignments agree exactly.",
+)
+def q123_ann_ivf_trained(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import ivf_topk, kmeans_train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train_centroids(
+        emb, "vec_id", "embedding", n_cells=8, rounds=2
+    )
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_cells=8, k=5, nprobe=2, centroids=cents,
+    ).withColumn("cell", F.col("cell").cast("long"))

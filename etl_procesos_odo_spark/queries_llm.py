@@ -2296,3 +2296,58 @@ def q122_ccnet_quality_buckets(spark: SparkSession, sf_dir: str):
     return scored.withColumn(
         "bucket", F.ntile(3).over(wb).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — vocab induction: BPE-style adjacent-pair statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q124_bpe_pair_counts",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                            i -> w[i] || ' ' || w[i+1]) AS g2
+      FROM w
+    ),
+    p AS (SELECT unnest(g2) AS pair FROM g),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+          FROM c)
+    WHERE rk <= 50
+    """,
+    doc="Vocab induction statistics — the counting pass of one BPE merge "
+    "step (Sennrich et al. 2016): corpus-wide adjacent token-pair "
+    "frequencies, top-50 by count (ties alphabetical). The pair arrays "
+    "build as per-row array expressions at scan speed (q73's bigram "
+    "machinery); only then does ONE explode feed the pair-key "
+    "partial-agg shuffle — the merge-step candidate table a distributed "
+    "tokenizer trainer recomputes per iteration. The final top-k is "
+    "orderBy+limit (TakeOrderedAndProject: per-partition heap, one "
+    "reducer merge — never a global sort).",
+)
+def q124_bpe_pair_counts(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = F.expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    pairs = (
+        docs.select(tokens(F.col("text")).alias("w"))
+        .select(g2.alias("g2"))
+        .select(F.explode("g2").alias("pair"))
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    # heap top-k FIRST (TakeOrderedAndProject over the full pair table),
+    # THEN rank the 50 survivors — the global window never sees more
+    # than k rows, so no single reducer sorts the whole vocabulary
+    top = c.orderBy(F.desc("cnt"), F.col("pair")).limit(50)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("cnt"), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))

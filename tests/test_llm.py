@@ -1004,3 +1004,35 @@ def test_ccnet_buckets_rank_common_register_first(spark):
     assert out[0][0] == 1 and out[3][0] in (1, 2)   # common docs at the head
     assert out[2][0] == 3                            # rare doc in the tail
     assert out[0][1] > out[1][1] > out[2][1]         # score strictly ordered
+
+
+def test_ivf_trained_centroids_shape_and_routing(spark):
+    """q123: kmeans_train_centroids returns (cell, centv) with <= n_cells
+    rows and dim-length arrays; ivf_topk(centroids=...) returns exact
+    cosines, and its assignment agrees with kmeans_train's cell_final
+    (same trained table, same argmax)."""
+    from etl_procesos_odo_spark.llm.similarity import (
+        ivf_topk,
+        kmeans_train,
+        kmeans_train_centroids,
+    )
+    from etl_procesos_odo_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_train_centroids(emb, n_cells=4, rounds=2)
+    crows = cents.collect()
+    assert 1 <= len(crows) <= 4
+    assert all(len(r["centv"]) == 64 for r in crows)
+
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        n_cells=4, k=3, nprobe=1, centroids=cents,
+    )
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+
+    # nprobe=1 query cells == kmeans_train's final assignment of those ids
+    trained = {r["vec_id"]: r["cell_final"]
+               for r in kmeans_train(emb, n_cells=4, rounds=2).collect()}
+    for r in rows:
+        assert trained[r["query_id"]] == r["cell"]

@@ -533,3 +533,11 @@ def test_range_join_binned_is_equi_join(plan):
     import re as _re
 
     assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
+def test_bpe_pair_topk_is_heap_not_global_sort(plan):
+    """q124: the top-50 over the pair table must plan as
+    TakeOrderedAndProject (per-partition heap + one bounded merge); the
+    only Window sort permitted is over the 50 survivors."""
+    p = plan("q124_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p, p
