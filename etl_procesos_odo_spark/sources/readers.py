@@ -123,3 +123,44 @@ def read_excel(path: str, spark: SparkSession, sheet_name=0, skiprows: int = 0):
     if isinstance(out, dict):
         return {k: spark.createDataFrame(v) for k, v in out.items()}
     return spark.createDataFrame(out)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSON-lines scan — the interchange format LLM corpora actually ship
+    as (one JSON document per line; gzip/zstd splittable-per-file). Runs
+    PERMISSIVE: a malformed line lands whole in ``corrupt_col`` instead
+    of failing the 100 TB read, so the pipeline can quarantine-and-count
+    bad records (filter ``corrupt_col IS NOT NULL``) rather than rerun.
+
+    Pass an explicit ``schema`` at scale — inference is a full extra
+    pass; the corrupt column is appended to it automatically. Column
+    pruning and filter pushdown apply as with any Spark JSON source.
+    Caveat (Spark UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN):
+    a query referencing ONLY ``corrupt_col`` must cache/materialize the
+    frame first — quarantine counts should select a data column too.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """JSON-lines sink: one JSON object per line, one file per partition
+    (repartition first to control file count/size at scale)."""
+    df.write.mode("overwrite").option("compression", compression).json(path)

@@ -81,3 +81,43 @@ def test_excel_roundtrip_when_libs_present(spark, tmp_path):
     both = read_excel(xls, spark, sheet_name=None)
     assert set(both) == {"uno", "dos"}
     assert both["dos"].collect()[0]["c"] == 3.5
+
+
+def test_jsonl_round_trip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL read/write: schema-first read, PERMISSIVE corrupt-line
+    quarantine (bad line captured whole, good rows parsed), round-trip
+    through the gzip sink."""
+    from etl_procesos_odo_spark.sources.readers import read_jsonl, write_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "hola mundo", "lang": "es"}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 3, "text": "bonjour", "lang": "fr"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string, lang string"
+    )
+    # Spark disallows lazily querying ONLY the corrupt column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # documented pattern is to materialize/cache first
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 3
+    assert sorted(r["doc_id"] for r in good) == [1, 2, 3]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+    out = tmp_path / "out"
+    good_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in good],
+        "doc_id long, text string, lang string",
+    )
+    write_jsonl(good_df, str(out))
+    back = read_jsonl(
+        spark, str(out), schema="doc_id long, text string, lang string"
+    )
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        (1, "hello world"), (2, "hola mundo"), (3, "bonjour"),
+    ]
