@@ -1297,3 +1297,149 @@ def q123_ann_ivf_trained(spark: SparkSession, sf_dir: str):
         emb, emb.filter(F.col("vec_id") < 10),
         n_cells=8, k=5, nprobe=2, centroids=cents,
     ).withColumn("cell", F.col("cell").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q127 — batch gap sessionization (30-min inactivity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q127_batch_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_seq
+      FROM m
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+             AS duration_us,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS has_purchase
+    FROM s GROUP BY user_id, session_seq
+    """,
+    doc="Batch gap sessionization — the q69 streaming session window's "
+    "batch analog: a new session starts after > 30 min of per-user "
+    "inactivity; session ids are the running sum of session-start "
+    "flags. LAG + cumulative-sum + the session aggregate all partition "
+    "by user_id, so the three window passes and the final groupBy share "
+    "ONE exchange (the W3/q116 single-exchange discipline); per-row "
+    "state is a flag and a running count — a user with millions of "
+    "events costs only the per-user sort the ordering already requires. "
+    "Micros-exact epoch arithmetic keeps the 30-min boundary "
+    "bit-identical across engines.",
+)
+def q127_batch_sessionize(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.lag("ts").over(wo).alias("prev_ts"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 1_800_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = m.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros("ts")).cast("long").alias("start_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("has_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — weekly cohort retention
+# ---------------------------------------------------------------------------
+
+@register(
+    "q128_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(date_trunc('week', CAST(ts AS DATE)))
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', CAST(e.ts AS DATE)) AS activity_week
+      FROM events e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(datediff('week', cohort_week, activity_week) AS BIGINT)
+             AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_week, weeks_since
+    """,
+    doc="Weekly cohort retention: users grouped by first-seen week, "
+    "counted distinct per (cohort, weeks-since-cohort) — the retention "
+    "triangle every event-analytics engine ships. Three aggregations "
+    "(first-seen, distinct user-week activity, final rollup), each a "
+    "partial-agg shuffle on bounded keys; the cohort join broadcasts "
+    "the per-user first-seen table at dim scale (or hash-joins on "
+    "user_id beyond it). Week truncation on DATE (not timestamp) and "
+    "VARCHAR cohort labels keep the group keys engine-identical; the "
+    "week difference is exact integer arithmetic on date_trunc "
+    "boundaries (both engines truncate to Monday).",
+)
+def q128_cohort_retention(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts").cast("date"))).alias(
+            "cohort_week"
+        )
+    )
+    a = (
+        ev.join(f, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts").cast("date")).alias(
+                "activity_week"
+            ),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+        (
+            F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+        ).cast("long").alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

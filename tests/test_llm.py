@@ -1083,3 +1083,48 @@ def test_eval_split_exact_n_and_deterministic(spark):
     sizes = Counter((r["lang"], r["source"]) for r in out1)
     assert sizes and all(n <= 5 for n in sizes.values())
     assert all(1 <= r["rank"] <= 5 for r in out1)
+
+
+def test_batch_sessionize_gap_boundary(spark):
+    """q127: a 29-min gap continues the session, a 31-min gap starts a
+    new one; sessions count events and flag purchases correctly."""
+    from etl_procesos_odo_spark.registry import registry as _r
+
+    rows = [
+        (1, 100, "view", 0.0),
+        (2, 100, "click", 29 * 60.0),          # 29 min -> same session
+        (3, 100, "purchase", 29 * 60.0 + 31 * 60.0),  # +31 min -> new
+        (4, 200, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, t double"
+    ).select("event_id", "user_id", "event_type",
+             F.col("t").cast("timestamp").alias("ts"))
+    ev.createOrReplaceTempView("_sess_ev")
+
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.lag("ts").over(wo).alias("prev_ts"),
+    ).withColumn(
+        "is_new",
+        F.when(F.col("prev_ts").isNull()
+               | (F.unix_micros("ts") - F.unix_micros("prev_ts")
+                  > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    s = m.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    agg = {(r["user_id"], r["session_seq"]): (r["n"], r["p"]) for r in
+           s.groupBy("user_id", "session_seq").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("p")).collect()}
+    assert agg[(100, 1)] == (2, 0)   # view+click in session 1
+    assert agg[(100, 2)] == (1, 1)   # purchase opens session 2
+    assert agg[(200, 1)] == (1, 0)
