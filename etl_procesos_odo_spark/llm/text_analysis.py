@@ -240,3 +240,42 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(topk)
     )
+
+
+def corpus_quantiles(
+    docs,
+    exact: bool = True,
+    accuracy: int = 10000,
+):
+    """q88's engine surface with the 100 TB knob as a code path: per-
+    language length-distribution stats. ``exact=True`` uses
+    ``percentile`` (linear interpolation — matches DuckDB
+    ``quantile_cont`` bit-exactly; buffers each group's values, the
+    oracle-parity mode). ``exact=False`` swaps in
+    ``percentile_approx`` — a mergeable sketch whose partial
+    aggregates combine map-side, bounded memory per group at any
+    cardinality; rank error ≤ 1/``accuracy``. Nulls/min-max/count
+    behavior identical in both modes.
+    """
+    from pyspark.sql import functions as F
+
+    def q(col, p, alias):
+        if exact:
+            return F.percentile(F.col(col), F.lit(p)).alias(alias)
+        return F.percentile_approx(
+            F.col(col), F.lit(p), F.lit(accuracy)
+        ).cast("double").alias(alias)
+
+    t = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("nc"),
+        token_count_ws(F.col("text")).cast("double").alias("nt"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        q("nc", 0.5, "chars_p50"),
+        q("nc", 0.9, "chars_p90"),
+        q("nc", 0.99, "chars_p99"),
+        q("nt", 0.5, "tokens_p50"),
+        q("nt", 0.9, "tokens_p90"),
+    )

@@ -417,22 +417,10 @@ def q103_semantic_dedup(spark: SparkSession, sf_dir: str):
     "query shape, documented accuracy trade.",
 )
 def q88_corpus_quantiles(spark: SparkSession, sf_dir: str):
-    from .llm.text_analysis import token_count_ws
+    from .llm.text_analysis import corpus_quantiles
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "lang",
-        F.col("n_chars").cast("double").alias("nc"),
-        token_count_ws(F.col("text")).cast("double").alias("nt"),
-    )
-    return t.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.percentile(F.col("nc"), F.lit(0.5)).alias("chars_p50"),
-        F.percentile(F.col("nc"), F.lit(0.9)).alias("chars_p90"),
-        F.percentile(F.col("nc"), F.lit(0.99)).alias("chars_p99"),
-        F.percentile(F.col("nt"), F.lit(0.5)).alias("tokens_p50"),
-        F.percentile(F.col("nt"), F.lit(0.9)).alias("tokens_p90"),
-    )
+    return corpus_quantiles(docs, exact=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1128,3 +1128,26 @@ def test_batch_sessionize_gap_boundary(spark):
     assert agg[(100, 1)] == (2, 0)   # view+click in session 1
     assert agg[(100, 2)] == (1, 1)   # purchase opens session 2
     assert agg[(200, 1)] == (1, 0)
+
+
+def test_corpus_quantiles_exact_knob(spark):
+    """q88's scale knob: exact=False (percentile_approx sketch) keeps
+    the schema and exact columns identical and lands every quantile
+    within the sketch's rank-error envelope of the exact value."""
+    from etl_procesos_odo_spark.llm.text_analysis import corpus_quantiles
+    from etl_procesos_odo_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r["lang"]: r.asDict() for r in
+             corpus_quantiles(docs, exact=True).collect()}
+    approx = {r["lang"]: r.asDict() for r in
+              corpus_quantiles(docs, exact=False).collect()}
+    assert set(exact) == set(approx)
+    qcols = ["chars_p50", "chars_p90", "chars_p99", "tokens_p50", "tokens_p90"]
+    for lang in exact:
+        assert exact[lang]["n_docs"] == approx[lang]["n_docs"]
+        for c in qcols:
+            e, a = exact[lang][c], approx[lang][c]
+            # approx returns an actual sample near the requested rank;
+            # tolerance: 15% relative on these smooth distributions
+            assert a == a and abs(a - e) <= max(0.15 * abs(e), 2.0), (lang, c, e, a)
