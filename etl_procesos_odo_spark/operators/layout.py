@@ -1,0 +1,92 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+A 100 TB table queried by more than one dimension (user AND time, key
+AND date) can only be range-partitioned on one of them — the other
+dimension's filters then touch every file. Z-ordering interleaves the
+bits of several normalized dimensions into one sort key, so sorting by
+it co-locates rows that are close in EVERY dimension: each parquet
+file's min/max spans stay narrow on all interleaved columns at once,
+and row-group/file pruning works for filters on any of them (the
+layout Delta/Iceberg expose as OPTIMIZE ZORDER BY; Morton 1966).
+
+Everything here is exact integer expression arithmetic — engine-
+identical, so the z-values themselves are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_to_bits(
+    col: Column, lo: float, hi: float, bits: int
+) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear scaling over the
+    PROVIDED [lo, hi] domain (pass stats from a prior 1-row agg or
+    catalog metadata — keeping the domain explicit keeps the expression
+    pure and both engines identical). Values outside clamp to the
+    edges; the scale factor is one double multiply, floored to integer.
+    """
+    span = hi - lo
+    scaled = F.floor(
+        (
+            F.least(F.greatest(col.cast("double"), F.lit(float(lo))),
+                    F.lit(float(hi)))
+            - F.lit(float(lo))
+        )
+        / F.lit(span)
+        * F.lit(float((1 << bits) - 1))
+    ).cast("long")
+    return scaled
+
+
+def zorder_key(dims: Sequence[Column], bits: int = 16) -> Column:
+    """Morton interleave of pre-normalized integer dims (each already in
+    [0, 2^bits)): output bit (b * ndims + i) = bit b of dims[i]. Pure
+    shift/mask/sum — total output bits = bits * len(dims) must stay
+    <= 63 (long)."""
+    ndims = len(dims)
+    if bits * ndims > 63:
+        raise ValueError(
+            f"bits * ndims = {bits * ndims} exceeds a signed long"
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, d in enumerate(dims):
+            out = out + (
+                F.shiftleft(
+                    F.shiftright(d.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * ndims + i,
+                )
+            )
+    return out
+
+
+def zorder_file_spans(
+    df: DataFrame,
+    key: Column,
+    span_cols: Sequence[str],
+    n_files: int,
+) -> DataFrame:
+    """Layout-quality probe: sort by ``key``, slice into ``n_files``
+    equal ranges ("files"), and report each file's min/max span per
+    ``span_cols`` — the exact statistics parquet footers would carry.
+    A filter on a column prunes every file whose [min, max] misses it,
+    so narrower spans == more pruning. Used by the layout test to show
+    z-order beats single-column order on the non-leading dimension."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key.asc(), *[F.col(c) for c in span_cols])
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    total = df.count()
+    per = max(1, -(-total // n_files))
+    binned = ranked.withColumn(
+        "_file", ((F.col("_rn") - 1) / F.lit(per)).cast("long")
+    )
+    aggs = []
+    for c in span_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return binned.groupBy("_file").agg(*aggs)

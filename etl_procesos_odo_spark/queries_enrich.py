@@ -1431,3 +1431,60 @@ def q128_cohort_retention(spark: SparkSession, sf_dir: str):
             F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
         ).cast("long").alias("weeks_since"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q129 — Z-order (Morton) layout keys
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle(bits: int = 8) -> str:
+    inter = " + ".join(
+        f"((({d} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i, d in enumerate(("du", "dd"))
+    )
+    mx = (1 << bits) - 1
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             floor((epoch(ts) - 1704067200.0) / 86400.0) AS day
+      FROM events
+    ),
+    n AS (
+      SELECT event_id,
+             CAST(floor(least(greatest(CAST(user_id AS DOUBLE), 0.0), 149.0)
+                        / 149.0 * {mx}.0) AS BIGINT) AS du,
+             CAST(floor(least(greatest(day, 0.0), 365.0)
+                        / 365.0 * {mx}.0) AS BIGINT) AS dd
+      FROM e
+    )
+    SELECT event_id, CAST({inter} AS BIGINT) AS zkey FROM n
+    """
+
+
+@register(
+    "q129_zorder_keys",
+    _zorder_oracle(),
+    doc="Z-order (Morton) layout keys over (user_id, event-day): each "
+    "dimension linearly normalized to 8 bits over its known domain, "
+    "bits interleaved into one sort key — sorting by it co-locates rows "
+    "close in BOTH dimensions, so every written file's min/max footer "
+    "spans stay narrow on user AND time at once and row-group pruning "
+    "works for filters on either (Delta/Iceberg OPTIMIZE ZORDER BY; "
+    "Morton 1966). Pure shift/mask integer expressions at scan speed, "
+    "engine-identical; the layout test (test_layout.py) measures the "
+    "pruning claim directly: z-ordered file spans cover a fraction of "
+    "the non-leading dimension vs a user-id sort.",
+)
+def q129_zorder_keys(spark: SparkSession, sf_dir: str):
+    from .operators.layout import normalize_to_bits, zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        (F.col("ts").cast("double") - F.lit(1704067200.0)) / F.lit(86400.0)
+    )
+    du = normalize_to_bits(F.col("user_id"), 0.0, 149.0, 8)
+    dd = normalize_to_bits(day, 0.0, 365.0, 8)
+    return ev.select(
+        "event_id", zorder_key([du, dd], bits=8).alias("zkey")
+    )

@@ -233,7 +233,12 @@ def test_driver_head_curation():
         "enrich": "q97_ewma",
         "packing": "q75_pack_sequences",
         "multimodal": "q62_multimodal_transform",
-        "relational": "q02_filter_project",
+        # r5 swaps: q02's filter shapes run inside the pipeline rows
+        # (q50/q51/q53/q54); q12 carries the relational family
+        "relational": "q12_pareto_brands",
+        "funnel": "q116_funnel",
+        "retrieval_lexical": "q110_bm25_search",
+        "retrieval_hybrid_routed": "q120_hybrid_rrf_routed",
     }
     missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
     assert not missing, missing
