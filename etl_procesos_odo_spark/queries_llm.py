@@ -2330,12 +2330,21 @@ def q122_ccnet_quality_buckets(spark: SparkSession, sf_dir: str):
     "reducer merge — never a global sort).",
 )
 def q124_bpe_pair_counts(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import _spread
     from .llm.text_analysis import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    g2 = F.expr(
-        "transform(sequence(1, greatest(size(w) - 1, 0)), "
-        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    # spread the (often single-file) scan so tokenize + pair-build
+    # parallelize instead of serializing in one scan task (q64 lesson)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # zip_with over two shifted slices builds all pairs in ONE array
+    # pass — measured 7x faster under explode than the
+    # transform(sequence, element_at) form, whose per-index lookups fall
+    # out of codegen (6.3 s -> 0.9 s for the explode+count at sf0.1)
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(F.col("w"), 1, n1),
+        F.slice(F.col("w"), 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     pairs = (
         docs.select(tokens(F.col("text")).alias("w"))
