@@ -1523,3 +1523,75 @@ def q81_asof_join(spark: SparkSession, sf_dir: str):
         left, right, "user_id", "ts", "ts",
         {"value": "last_purchase_value", "ts": "last_purchase_ts"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — entity resolution: blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+@register(
+    "q130_entity_resolution",
+    """
+    SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+           CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS edit_dist
+    FROM customer x JOIN customer y
+      ON x.c_nationkey = y.c_nationkey
+     AND x.c_mktsegment = y.c_mktsegment
+     AND x.c_custkey < y.c_custkey
+    WHERE levenshtein(x.c_name, y.c_name) <= 2
+    """,
+    doc="Entity resolution (fuzzy record linkage): candidate pairs by "
+    "BLOCKING on (nation, segment) — an equi-join, so only block-local "
+    "pairs ever form — verified by Levenshtein edit distance <= 2 "
+    "(both engines implement the standard DP edit distance, so the "
+    "boundary is engine-identical). The blocking key bounds the "
+    "quadratic: cost is sum of block_size^2, never corpus^2 — the "
+    "classic Fellegi-Sunter blocking shape; at 100 TB a skewed block "
+    "is the q63/AQE case, and production runs multiple redundant "
+    "blocking passes (phonetic keys, sorted neighborhood) unioned "
+    "before the verify, exactly as the MinHash band join (q32) unions "
+    "band keys.",
+)
+def q130_entity_resolution(spark: SparkSession, sf_dir: str):
+    from .session import spread_small_input
+
+    cust = load_table(spark, sf_dir, "customer")
+    # spread the (single-file) probe side: with the build side broadcast,
+    # every block-local levenshtein would otherwise evaluate in ONE scan
+    # task (the q64 lesson)
+    cust_x = spread_small_input(cust)
+    x = cust_x.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey", "c_mktsegment",
+    )
+    y = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("ms_b"),
+    )
+    return (
+        x.join(
+            y,
+            (F.col("c_nationkey") == F.col("nk_b"))
+            & (F.col("c_mktsegment") == F.col("ms_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        # cheap necessary condition first (|len diff| <= k), then the
+        # THRESHOLD levenshtein variant: banded O(n*k) DP that early-exits
+        # past k (returns -1), instead of the full O(n^2) table — the
+        # values it does return are exact, so the oracle's plain
+        # levenshtein(...) <= 2 filter selects the identical pair set
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(2)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b", 2).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -546,3 +546,12 @@ def test_bpe_pair_topk_is_heap_not_global_sort(plan):
     only Window sort permitted is over the 50 survivors."""
     p = plan("q124_bpe_pair_counts")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_entity_resolution_blocking_is_equi_join(plan):
+    """q130: the blocking join must be a hash/SMJ EQUI-join on the
+    blocking keys (block-local pairs only) — never an all-pairs nested
+    loop with the edit distance as a join predicate."""
+    p = plan("q130_entity_resolution")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
