@@ -367,3 +367,53 @@ def q113_streaming_heavy_hitters(spark: SparkSession, sf_dir: str):
         )
         .select("window_start", "event_type", "n", "window_total")
     )
+
+
+@register(
+    "q131_streaming_quality_gate",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             len(list_filter(str_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CASE WHEN len(list_filter(str_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         list_filter(str_split_regex(trim(text), '\s+'),
+                                     x -> x <> ''))) AS DOUBLE)
+                       / len(list_filter(str_split_regex(trim(text), '\s+'),
+                                         x -> x <> ''))
+             END AS dup_word_frac
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CASE WHEN n_tokens >= 10 AND punct_ratio < 0.3
+                         AND dup_word_frac < 0.5 THEN 1 ELSE 0 END AS ok
+      FROM m
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_accepted,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_rejected
+    FROM s GROUP BY lang
+    """,
+    doc="Streaming corpus-ingestion quality gate: documents arrive on a "
+    "file-source stream, each scored with the scan-speed quality "
+    "(token count, punctuation ratio) and repetition (dup-word "
+    "fraction) expressions, rolled up to per-language accept/reject "
+    "counts in complete mode — the live intake dashboard in front of "
+    "the batch dedup stages. Per-row scoring is stateless; streaming "
+    "state is only the bounded per-language counters. The oracle is "
+    "the identical batch gate over the same table, which complete-mode "
+    "output must equal exactly.",
+)
+def q131_streaming_quality_gate(spark: SparkSession, sf_dir: str):
+    from .streaming.temporal import (
+        documents_stream,
+        quality_gate_stats,
+        run_to_memory,
+    )
+
+    stats = quality_gate_stats(documents_stream(spark, sf_dir))
+    return run_to_memory(stats, "q131_quality_gate_out", "complete")

@@ -303,3 +303,45 @@ def attribution_join(
             - F.col("click_ts").cast("double")
         ).alias("secs_to_purchase"),
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the corpus-ingestion
+    smoke path (production swaps in Kafka/autoloader with identical
+    downstream plans)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_gate_stats(stream: DataFrame) -> DataFrame:
+    """Streaming corpus-ingestion quality gate: score every arriving
+    document with the scan-speed quality/repetition expressions and
+    aggregate per-language accept/reject counts — the live dashboard a
+    training-data intake runs in front of the (batch) dedup stages. The
+    gate itself is stateless per-row work; only the per-language rollup
+    (bounded keys) holds state."""
+    from ..llm.text_analysis import quality_metrics, repetition_metrics
+
+    qm = quality_metrics(F.col("text"))
+    rm = repetition_metrics(F.col("text"))
+    accept = (
+        (qm["n_tokens"] >= 10)
+        & (qm["punct_ratio"] < 0.3)
+        & (rm["dup_word_frac"] < 0.5)
+    )
+    # the file-source micro-batch arrives as one partition per file —
+    # spread the stateless per-row scoring across the executors before
+    # the (cheap, bounded-key) rollup shuffle
+    scored = stream.repartition(32).select(
+        "lang", F.when(accept, 1).otherwise(0).alias("ok")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_accepted"),
+        (F.count(F.lit(1)) - F.sum("ok")).cast("long").alias("n_rejected"),
+    )
