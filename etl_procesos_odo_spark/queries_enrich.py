@@ -1488,3 +1488,129 @@ def q129_zorder_keys(spark: SparkSession, sf_dir: str):
     return ev.select(
         "event_id", zorder_key([du, dd], bits=8).alias("zkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — per-user event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q132_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM c JOIN t ON t.prev_type = c.prev_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG pairs each event with its predecessor (per-user "
+    "(ts, event_id) order — ONE exchange), then a bounded-key "
+    "(prev, next) count and row-normalized probabilities (exact integer "
+    "counts, one division). The behavioral-model primitive behind "
+    "next-action prediction and anomaly scoring; at any scale the "
+    "transition table is |event_types|^2 rows — the rollup and "
+    "normalizer join are dim-sized.",
+)
+def q132_event_transitions(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = o.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), on="prev_type").select(
+        "prev_type", "next_type", "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q133_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             datediff('day', MAX(o_orderdate), (SELECT maxd FROM mx))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey)
+                AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_quartile
+    FROM base
+    """,
+    doc="RFM segmentation: per customer the days since last order "
+    "(recency vs the corpus max date), order count (frequency), and "
+    "decimal-exact spend (monetary), each cut into quartiles with "
+    "deterministic tie-breaks — the classic customer-value "
+    "segmentation. One groupBy on custkey; the quartile windows rank "
+    "the per-customer AGGREGATE (rows = customers, not orders). At "
+    "catalog scale the global ntile windows are the single-reducer "
+    "hazard — the production form derives quartile boundaries from "
+    "approx_percentile and joins them broadcast (q88's knob), "
+    "documented here, exact windows kept for oracle parity.",
+)
+def q133_rfm_segments(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("maxd", "lastd").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(
+            Window.orderBy(F.asc("recency_days"), F.col("custkey"))
+        ).cast("long").alias("r_quartile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("frequency"), F.col("custkey"))
+        ).cast("long").alias("f_quartile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("monetary"), F.col("custkey"))
+        ).cast("long").alias("m_quartile"),
+    )
