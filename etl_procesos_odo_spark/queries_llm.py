@@ -2463,3 +2463,83 @@ def q126_eval_split(spark: SparkSession, sf_dir: str):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — PageRank over the near-dup similarity graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(
+    damping: float = 0.85, rounds: int = 2, threshold: float = 0.5
+) -> str:
+    base = _minhash_oracle(threshold=threshold)
+    ctes = [
+        f"""eb AS ({base}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM eb
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM eb
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""c{i} AS (
+      SELECT e.dst AS node,
+             CAST(r.rank / CAST(o.deg AS DOUBLE) AS DECIMAL(28,18)) AS c
+      FROM edges e JOIN r{i - 1} r ON r.node = e.src
+                   JOIN outdeg o ON o.src = e.src
+    ),
+    s{i} AS (SELECT node, CAST(SUM(c) AS DOUBLE) AS s FROM c{i} GROUP BY node),
+    r{i} AS (
+      SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - {damping}) / (SELECT n FROM nn)
+               + {damping} * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT node AS doc_id, rank FROM r{rounds}
+    """
+
+
+@register(
+    "q134_pagerank_neardup",
+    _pagerank_oracle(),
+    doc="Fixed-round PageRank (Page et al. 1999) over the near-dup "
+    "similarity graph: q32's MinHash-LSH pairs (Jaccard >= 0.5), "
+    "symmetrized, 2 damped rounds from the uniform prior — the "
+    "authority signal that ranks how CENTRAL each document is inside "
+    "its duplicate cluster (a canonical-pick input beyond q108's "
+    "per-doc quality argmax). Per round: one shuffle on src for the "
+    "contribution join, one partial-agg shuffle on dst, rank frame "
+    "localCheckpoint-truncated (q111's loop discipline); in-neighbor "
+    "sums aggregate DECIMAL(28,18)-exact so the double ranks are "
+    "bit-stable across partitionings and engines; the oracle unrolls "
+    "the identical rounds as chained CTEs. Dangling-mass handling is "
+    "the simplified (non-redistributing) form — documented divergence.",
+)
+def q134_pagerank_neardup(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import minhash_lsh_pairs, pagerank_rounds
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank_rounds(edges, damping=0.85, rounds=2).select(
+        F.col("node").alias("doc_id"), "rank"
+    )

@@ -1151,3 +1151,25 @@ def test_corpus_quantiles_exact_knob(spark):
             # approx returns an actual sample near the requested rank;
             # tolerance: 15% relative on these smooth distributions
             assert a == a and abs(a - e) <= max(0.15 * abs(e), 2.0), (lang, c, e, a)
+
+
+def test_pagerank_star_graph(spark):
+    """q134's kernel on a crafted star: the hub (pointed at by every
+    spoke) must out-rank every spoke; symmetric edges conserve total
+    mass (no dangling nodes), so ranks sum to ~1."""
+    from etl_procesos_odo_spark.llm.dedup import pagerank_rounds
+
+    spokes = list(range(1, 6))
+    pairs = [(0, s) for s in spokes]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank_rounds(edges, rounds=3).collect()}
+    assert set(ranks) == {0, *spokes}
+    assert all(ranks[0] > ranks[s] for s in spokes)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # spokes are symmetric: identical ranks
+    vals = {ranks[s] for s in spokes}
+    assert len(vals) == 1
