@@ -164,3 +164,16 @@ def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
     """JSON-lines sink: one JSON object per line, one file per partition
     (repartition first to control file count/size at scale)."""
     df.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive/Trino
+    ecosystems). Native Spark source: predicate pushdown, column
+    pruning, and vectorized reads apply exactly as with parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    """ORC sink (one file per partition; repartition first to control
+    file sizing at scale)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)

@@ -121,3 +121,24 @@ def test_jsonl_round_trip_and_corrupt_quarantine(spark, tmp_path):
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
         (1, "hello world"), (2, "hola mundo"), (3, "bonjour"),
     ]
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC source/sink: round-trip the events sample and confirm
+    predicate pushdown reaches the ORC scan like parquet."""
+    from etl_procesos_odo_spark.sources.readers import read_orc, write_orc
+    from etl_procesos_odo_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tmp_path / "events_orc"
+    write_orc(ev, str(out))
+    back = read_orc(spark, str(out))
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    filtered = back.filter(back["value"] > 50.0)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "value" in plan, plan
+    want = ev.filter(ev["value"] > 50.0).count()
+    assert filtered.count() == want
