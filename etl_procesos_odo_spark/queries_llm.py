@@ -2543,3 +2543,71 @@ def q134_pagerank_neardup(spark: SparkSession, sf_dir: str):
     return pagerank_rounds(edges, damping=0.85, rounds=2).select(
         F.col("node").alias("doc_id"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — contrastive triplet construction (anchor, positive, hard negative)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q135_triplet_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    dots AS (
+      SELECT anchor_id, cand_id,
+             {o_dot('qv', 'cv')}
+               / (sqrt({o_dot('qv', 'qv')}) * sqrt({o_dot('cv', 'cv', 'len(cv)')}))
+               AS cos_sim
+      FROM q CROSS JOIN c WHERE anchor_id <> cand_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id AS positive_id, cos_sim AS pos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, cand_id) AS rk
+            FROM dots)
+      WHERE rk = 1 AND cos_sim >= 0.3
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cos_sim AS neg_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, cand_id) AS rk
+            FROM (SELECT * FROM dots WHERE cos_sim >= 0.05 AND cos_sim < 0.25))
+      WHERE rk = 1
+    )
+    SELECT pos.anchor_id, positive_id, pos_sim, negative_id, neg_sim
+    FROM pos JOIN neg ON neg.anchor_id = pos.anchor_id
+    """,
+    doc="Contrastive triplet construction — the training-data export "
+    "that composes the similarity family: per anchor the nearest "
+    "neighbor above 0.3 cosine as the POSITIVE (q34's exact top-k, "
+    "rank 1) and the best in-band (0.05, 0.25) candidate as the HARD "
+    "NEGATIVE (q117's miner, n=1); anchors lacking either side drop "
+    "(inner join) — the (anchor, positive, negative) rows SimCLR/DPR "
+    "training consumes. Both arms share the bounded-anchor-panel scan "
+    "shape; at scale each routes through its IVF form (q74 / q118) "
+    "unchanged, and the final join keys on panel-sized anchor ids.",
+)
+def q135_triplet_mining(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import cosine_topk, hard_negatives_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    pos = (
+        cosine_topk(emb, anchors, k=1)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = hard_negatives_topk(
+        emb, anchors, band_lo=0.05, band_hi=0.25, n=1
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return pos.join(neg, on="anchor_id")
