@@ -2611,3 +2611,70 @@ def q135_triplet_mining(spark: SparkSession, sf_dir: str):
         F.col("cos_sim").alias("neg_sim"),
     )
     return pos.join(neg, on="anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# q136 — dedup-method agreement report (lexical MinHash vs embedding LSH)
+# ---------------------------------------------------------------------------
+
+def _method_agreement_oracle() -> str:
+    lex = _minhash_oracle(threshold=0.5)
+    emb = _neardup_oracle(threshold=0.35)
+    return f"""
+    WITH lexp AS ({lex}),
+    embp AS ({emb}),
+    j AS (
+      SELECT COALESCE(l.id_a, e.id_a) AS id_a,
+             COALESCE(l.id_b, e.id_b) AS id_b,
+             (l.id_a IS NOT NULL) AS lex_hit,
+             (e.id_a IS NOT NULL) AS emb_hit
+      FROM lexp l FULL JOIN embp e
+        ON e.id_a = l.id_a AND e.id_b = l.id_b
+    )
+    SELECT CASE WHEN lex_hit AND emb_hit THEN 'both'
+                WHEN lex_hit THEN 'lexical_only'
+                ELSE 'embedding_only' END AS found_by,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY found_by
+    """
+
+
+@register(
+    "q136_dedup_method_agreement",
+    _method_agreement_oracle(),
+    doc="Dedup-stack evaluation report: how the LEXICAL near-dup pairs "
+    "(q32: MinHash-LSH, Jaccard >= 0.5) and the EMBEDDING near-dup "
+    "pairs (q48: hyperplane-LSH, cosine >= 0.35) overlap — pairs found "
+    "by both, lexical-only (shared shingles, different embedding "
+    "region), embedding-only (paraphrases sharing no shingles, the "
+    "recall SemDeDup exists for). The governance number that justifies "
+    "running BOTH dedup arms at 100 TB. Both pair sets are banded "
+    "equi-join pipelines; the agreement join keys on (id_a, id_b) "
+    "pairs — output-sized, tiny relative to the corpus.",
+)
+def q136_dedup_method_agreement(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import minhash_lsh_pairs
+    from .llm.similarity import cosine_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("lex_hit")
+    )
+    sem = cosine_neardup_pairs(
+        emb, dim=64, threshold=0.35, n_planes=8, seed=42
+    ).select("id_a", "id_b", F.lit(True).alias("emb_hit"))
+    j = lex.join(sem, on=["id_a", "id_b"], how="full_outer")
+    return (
+        j.select(
+            F.when(
+                F.col("lex_hit").isNotNull() & F.col("emb_hit").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("lex_hit").isNotNull(), F.lit("lexical_only"))
+            .otherwise(F.lit("embedding_only"))
+            .alias("found_by")
+        )
+        .groupBy("found_by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
