@@ -1614,3 +1614,100 @@ def q133_rfm_segments(spark: SparkSession, sf_dir: str):
             Window.orderBy(F.desc("monetary"), F.col("custkey"))
         ).cast("long").alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — trailing-window z-score anomaly detection on daily volumes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q137_volume_anomalies",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             COUNT(*) OVER tw AS k,
+             SUM(n) OVER tw AS s,
+             SUM(n * n) OVER tw AS ss
+      FROM d
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+             CASE WHEN k >= 3 THEN CAST(s AS DOUBLE) / CAST(k AS DOUBLE) END
+               AS mean7,
+             CASE WHEN k >= 3 AND (ss * k - s * s) > 0
+                  THEN sqrt(CAST(ss * k - s * s AS DOUBLE)
+                            / CAST(k * (k - 1) AS DOUBLE)) END AS std7
+      FROM w
+    )
+    SELECT event_type, day, n, mean7, std7,
+           CASE WHEN std7 IS NOT NULL AND std7 > 0
+                THEN (CAST(n AS DOUBLE) - mean7) / std7 END AS zscore,
+           (std7 IS NOT NULL AND std7 > 0
+            AND abs((CAST(n AS DOUBLE) - mean7) / std7) > 2.0) AS is_anomaly
+    FROM z
+    """,
+    doc="Volume anomaly detection: per event type, each day's count "
+    "against the TRAILING 7-day window (excluding today) — z-score "
+    "against the trailing mean/sample-std, flagged at |z| > 2, the "
+    "data-quality tripwire every ingestion pipeline runs. The moments "
+    "come from INTEGER window sums (sum, sum-of-squares over counts — "
+    "exact at any order), so the double mean/std/z are bit-identical "
+    "across engines; the builtin stddev was deliberately avoided (its "
+    "Welford accumulation is order-dependent). One window exchange per "
+    "event_type, frame state = 3 integers; warm-up days (< 3 trailing "
+    "points) and zero-variance windows yield null z and never flag.",
+)
+def q137_volume_anomalies(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type", "day", "n",
+        F.count(F.lit(1)).over(tw).alias("k"),
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("ss"),
+    )
+    mean7 = F.when(
+        F.col("k") >= 3, F.col("s").cast("double") / F.col("k").cast("double")
+    )
+    var_num = F.col("ss") * F.col("k") - F.col("s") * F.col("s")
+    std7 = F.when(
+        (F.col("k") >= 3) & (var_num > 0),
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("k") * (F.col("k") - 1)).cast("double")
+        ),
+    )
+    z = w.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        mean7.alias("mean7"),
+        std7.alias("std7"),
+    ).select(
+        "event_type", "day", "n", "mean7", "std7",
+        F.when(
+            F.col("std7").isNotNull() & (F.col("std7") > 0),
+            (F.col("n").cast("double") - F.col("mean7")) / F.col("std7"),
+        ).alias("zscore"),
+    )
+    return z.withColumn(
+        "is_anomaly",
+        F.col("std7").isNotNull()
+        & (F.col("std7") > 0)
+        & (F.abs(F.col("zscore")) > 2.0),
+    )
