@@ -974,9 +974,10 @@ def pagerank_rounds(
     Fixed round count (not a convergence test) keeps the computation
     deterministic and oracle-expressible — the registry oracle unrolls
     the same rounds as chained CTEs (the q111 pattern). Per round:
-    contribution = rank/out_degree along each edge, in-neighbor sums via
-    DECIMAL(28,18)-exact aggregation (order-independent, so the double
-    result is bit-stable across partitionings and engines), then
+    contribution = rank/out_degree along each edge, in-neighbor sums as
+    exact femto-unit integer aggregation (order-independent and
+    round()-parity-safe across engines — double->decimal casts can
+    diverge at the ULP on exact rationals, the q138 finding), then
     ``rank = (1-d)/N + d * sum``. Simplified treatment of dangling
     nodes (their mass is not redistributed) — documented divergence
     from the normalized formulation; ranks still order identically for
@@ -1014,7 +1015,15 @@ def pagerank_rounds(
             )
         )
         sums = contrib.groupBy("node").agg(
-            F.sum(F.col("_c").cast("decimal(28,18)")).cast("double").alias("_s")
+            # femto-unit integers: round() parity holds across engines
+            # where double->decimal cast rounding can diverge at the ULP
+            # on exact rationals (the q138 finding); the sum is exact
+            # integer arithmetic at any order
+            (
+                F.sum(F.round(F.col("_c") * F.lit(1e15)).cast("long"))
+                .cast("double")
+                / F.lit(1e15)
+            ).alias("_s")
         )
         rank = (
             nodes.join(sums, on="node", how="left")

@@ -2494,11 +2494,14 @@ def _pagerank_oracle(
     for i in range(1, rounds + 1):
         ctes.append(f"""c{i} AS (
       SELECT e.dst AS node,
-             CAST(r.rank / CAST(o.deg AS DOUBLE) AS DECIMAL(28,18)) AS c
+             CAST(round(r.rank / CAST(o.deg AS DOUBLE)
+                        * 1000000000000000.0) AS BIGINT) AS c
       FROM edges e JOIN r{i - 1} r ON r.node = e.src
                    JOIN outdeg o ON o.src = e.src
     ),
-    s{i} AS (SELECT node, CAST(SUM(c) AS DOUBLE) AS s FROM c{i} GROUP BY node),
+    s{i} AS (SELECT node,
+                    CAST(SUM(c) AS DOUBLE) / 1000000000000000.0 AS s
+             FROM c{i} GROUP BY node),
     r{i} AS (
       SELECT nodes.node,
              (CAST(1.0 AS DOUBLE) - {damping}) / (SELECT n FROM nn)
@@ -2523,7 +2526,7 @@ def _pagerank_oracle(
     "per-doc quality argmax). Per round: one shuffle on src for the "
     "contribution join, one partial-agg shuffle on dst, rank frame "
     "localCheckpoint-truncated (q111's loop discipline); in-neighbor "
-    "sums aggregate DECIMAL(28,18)-exact so the double ranks are "
+    "sums aggregate as exact femto-unit integers so the double ranks are "
     "bit-stable across partitionings and engines; the oracle unrolls "
     "the identical rounds as chained CTEs. Dangling-mass handling is "
     "the simplified (non-redistributing) form — documented divergence.",
@@ -2677,4 +2680,94 @@ def q136_dedup_method_agreement(spark: SparkSession, sf_dir: str):
         )
         .groupBy("found_by")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — bigram-LM fluency scoring (context-sensitive q122)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q138_bigram_lm_score",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                            i -> struct_pack(prev := w[i],
+                                             pair := w[i] || ' ' || w[i+1]))
+               AS g2
+      FROM w WHERE len(w) >= 2
+    ),
+    x AS (SELECT doc_id, unnest(g2, recursive := true) FROM g),
+    pc AS (SELECT pair, COUNT(*) AS pcnt FROM x GROUP BY pair),
+    pf AS (SELECT prev, COUNT(*) AS fcnt FROM x GROUP BY prev),
+    cond AS (
+      SELECT x.doc_id,
+             CAST(round(CAST(pc.pcnt AS DOUBLE) / CAST(pf.fcnt AS DOUBLE)
+                        * 1000000000000.0) AS BIGINT) AS c
+      FROM x JOIN pc USING (pair) JOIN pf USING (prev)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS score
+    FROM cond GROUP BY doc_id
+    """,
+    doc="Bigram-LM fluency scoring — q122's CCNet signal made "
+    "CONTEXT-SENSITIVE: train conditional probabilities "
+    "p(next | prev) = count(prev next) / count(prev-as-prefix) on the "
+    "corpus itself (q124's pair table + a prefix table), score each "
+    "document by its mean bigram conditional. A doc of common words in "
+    "IMPROBABLE order now scores low where the unigram model cannot "
+    "tell (the fluency-vs-vocabulary distinction). Determinism: both "
+    "counts are exact integers, each conditional is one double "
+    "division, and each conditional rounds to pico-unit INTEGERS "
+    "before the per-doc sum (the kmeans micro-mean discipline — "
+    "double-to-decimal CAST rounding diverges at the ULP between "
+    "engines on exact rationals, measured and fixed here) so the mean "
+    "is exact integer arithmetic — bit-identical across engines and "
+    "partitionings. Scale: two token-keyed partial-agg shuffles for "
+    "the model, two equi-joins back (stopword keys hot — AQE "
+    "skew-join / q63 salting), one doc-keyed rollup.",
+)
+def q138_bigram_lm_score(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(F.col("w"), 1, n1),
+        F.slice(F.col("w"), 2, n1),
+        lambda a, b: F.struct(a.alias("prev"), F.concat_ws(" ", a, b).alias("pair")),
+    )
+    x = (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(g2).alias("g"))
+        .select("doc_id", F.col("g.prev").alias("prev"), F.col("g.pair").alias("pair"))
+    )
+    pc = x.groupBy("pair").agg(F.count(F.lit(1)).alias("pcnt"))
+    pf = x.groupBy("prev").agg(F.count(F.lit(1)).alias("fcnt"))
+    cond = (
+        x.join(pc, on="pair")
+        .join(pf, on="prev")
+        .select(
+            "doc_id",
+            # pico-unit integers (the kmeans micro-mean discipline):
+            # round() parity holds across engines where double->decimal
+            # cast rounding does not (measured ULP diffs on exact
+            # rational conditionals)
+            F.round(
+                F.col("pcnt").cast("double")
+                / F.col("fcnt").cast("double")
+                * 1e12
+            ).cast("long").alias("c"),
+        )
+    )
+    return cond.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.sum("c").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("score"),
     )
