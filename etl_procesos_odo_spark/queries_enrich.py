@@ -1711,3 +1711,117 @@ def q137_volume_anomalies(spark: SparkSession, sf_dir: str):
         & (F.col("std7") > 0)
         & (F.abs(F.col("zscore")) > 2.0),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — SCD Type-2 dimension build from a change log
+# ---------------------------------------------------------------------------
+
+@register(
+    "q139_scd2_intervals",
+    """
+    SELECT user_id,
+           event_type AS state,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS BIGINT)
+             AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    doc="SCD Type-2 dimension build: turn a change log into validity "
+    "intervals — each user event becomes a [valid_from, valid_to) state "
+    "row, closed by the NEXT event's timestamp (LEAD over the per-user "
+    "(ts, event_id) order; the open row is flagged current) — the "
+    "warehouse pattern every dimension history table is built with, and "
+    "the interval table q121's binned range join then probes "
+    "point-in-time. One per-user exchange, one window pass, zero "
+    "self-joins (the naive form joins the log to itself on "
+    "next-change-after, quadratic per key).",
+)
+def q139_scd2_intervals(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(wo)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").cast("long").alias("valid_from_us"),
+        F.unix_micros(nxt).cast("long").alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — session path mining (top 3-step event paths)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q140_top_session_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER w AS prev_ts,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000 THEN 1 ELSE 0 END AS brk1,
+             CASE WHEN lag(ts, 1) OVER w IS NULL
+                    OR epoch_us(lag(ts, 1) OVER w)
+                      - epoch_us(lag(ts, 2) OVER w) > 1800000000
+                    OR lag(ts, 2) OVER w IS NULL THEN 1 ELSE 0 END AS brk2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+      SELECT t2 || ' > ' || t1 || ' > ' || event_type AS path
+      FROM o
+      WHERE t2 IS NOT NULL AND brk1 = 0 AND brk2 = 0
+    ),
+    c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rk FROM c)
+    WHERE rk <= 20
+    """,
+    doc="Session path mining: the top-20 3-step event-type paths taken "
+    "WITHIN a session (both inter-event gaps <= 30 min; a session break "
+    "anywhere in the triple disqualifies it — q127's gap rule applied "
+    "to path windows). Three LAGs share the one per-user exchange; "
+    "paths roll up on a bounded key space (|types|^3); the top-20 is "
+    "heap-based before a 20-row rank. The navigation-analysis primitive "
+    "behind funnel discovery (q116 checks a KNOWN sequence; this MINES "
+    "the frequent ones).",
+)
+def q140_top_session_paths(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    o = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 0).over(w).alias("ts0"),
+        F.lag("ts", 1).over(w).alias("ts1"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    ok = (
+        F.col("t2").isNotNull()
+        & (F.unix_micros("ts0") - F.unix_micros("ts1") <= gap_us)
+        & (F.unix_micros("ts1") - F.unix_micros("ts2") <= gap_us)
+    )
+    p = o.filter(ok).select(
+        F.concat_ws(" > ", "t2", "t1", "event_type").alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = c.orderBy(F.desc("n"), F.col("path")).limit(20)
+    wr = Window.orderBy(F.desc("n"), F.col("path"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .select("path", F.col("n").cast("long").alias("n"), "rank")
+    )

@@ -1595,3 +1595,95 @@ def q130_entity_resolution(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — data-contract validation report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q141_data_contract",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS rule, CAST((
+      SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    ) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST((
+      SELECT COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity', CAST((
+      SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range', CAST((
+      SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_negative_total', CAST((
+      SELECT COUNT(*) FROM orders WHERE o_totalprice < 0
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user', CAST((
+      SELECT COUNT(*) FROM events WHERE user_id IS NULL
+    ) AS BIGINT)
+    """,
+    doc="Data-contract validation report — the pre-flight gate a "
+    "pipeline runs before trusting a drop: referential integrity via "
+    "ANTI-join counts (lineitem -> orders, orders -> customer; never a "
+    "correlated subquery per row), plus range/ordering/null invariants "
+    "as scan-speed predicates. Each rule is an independent bounded "
+    "aggregate; the anti-joins broadcast the key side at dim scale and "
+    "hash-join beyond it. One row per rule, 0 = contract holds — the "
+    "output a scheduler alerts on.",
+)
+def q141_data_contract(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    rows = [
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(
+            F.lit("lineitem_orphan_orderkey").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(
+            F.lit("orders_orphan_custkey").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+        li.filter(F.col("l_quantity") <= 0).agg(
+            F.lit("lineitem_nonpositive_quantity").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+        li.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(
+            F.lit("lineitem_discount_out_of_range").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+        orders.filter(F.col("o_totalprice") < 0).agg(
+            F.lit("orders_negative_total").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+        ev.filter(F.col("user_id").isNull()).agg(
+            F.lit("events_null_user").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
