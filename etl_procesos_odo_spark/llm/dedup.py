@@ -742,6 +742,8 @@ def band_min_k(banded: DataFrame, cap: int) -> DataFrame:
 
     Expects/returns columns (_id, band_idx, band_hash).
     """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     import pandas as pd
 
     def part_mink(batches):
@@ -1001,6 +1003,8 @@ def pagerank_rounds(
         .distinct()
     )
     n = n_nodes if n_nodes is not None else nodes.count()
+    if n == 0:  # empty graph: empty (node, rank) frame, same schema
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = nodes.localCheckpoint(eager=False)
     rank = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -189,6 +189,8 @@ def profile_columns(
     """
     from pyspark.sql.types import TimestampType
 
+    if not cols:
+        raise ValueError("cols must be non-empty")
     nd = (
         (lambda c: F.countDistinct(c))
         if exact

@@ -30,6 +30,10 @@ def normalize_to_bits(
     pure and both engines identical). Values outside clamp to the
     edges; the scale factor is one double multiply, floored to integer.
     """
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     span = hi - lo
     scaled = F.floor(
         (

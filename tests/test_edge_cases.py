@@ -205,3 +205,34 @@ def test_verify_all_isolate_runner_smoke(tmp_path):
     res = json.loads(out.read_text())
     assert set(res) == {"q02_filter_project", "q30_dedup_exact"}
     assert all(r["ok"] for r in res.values())
+
+
+def test_round5_operator_input_guards(spark):
+    """Edge-input guards on the round-5 general operators: invalid
+    parameters raise instead of silently voiding documented guarantees
+    (the r4-ADVICE hardening pattern, applied proactively)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.dedup import band_min_k, pagerank_rounds
+    from etl_procesos_odo_spark.operators.aggregates import profile_columns
+    from etl_procesos_odo_spark.operators.layout import normalize_to_bits
+
+    banded = spark.createDataFrame(
+        [(1, 0, "h")], "_id long, band_idx int, band_hash string"
+    )
+    with _pytest.raises(ValueError, match="cap"):
+        band_min_k(banded, 0)
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_rounds(empty_edges, rounds=1)
+    assert out.collect() == [] and set(out.columns) == {"node", "rank"}
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="cols"):
+        profile_columns(df, [])
+
+    with _pytest.raises(ValueError, match="bits"):
+        normalize_to_bits(F.col("x"), 0.0, 1.0, 0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        normalize_to_bits(F.col("x"), 1.0, 1.0, 8)
