@@ -1825,3 +1825,147 @@ def q140_top_session_paths(spark: SparkSession, sf_dir: str):
         top.withColumn("rank", F.row_number().over(wr).cast("long"))
         .select("path", F.col("n").cast("long").alias("n"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — fixed-width histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "q142_value_histogram",
+    """
+    WITH b AS (
+      SELECT CASE WHEN value <= 0.0 THEN 0
+                  WHEN value >= 200.0 THEN 19
+                  ELSE CAST(floor(value / 10.0) AS BIGINT) END AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, bin * 10.0 AS bin_lo, (bin + 1) * 10.0 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+    doc="Fixed-width histogram of the event value distribution: 20 "
+    "width-10 bins with clamped edges — the distribution primitive "
+    "behind every profiling dashboard. Bin assignment is one floor "
+    "division at scan speed, the rollup is a partial-agg shuffle on at "
+    "most 20 keys; bin edges are exact double multiples so membership "
+    "is engine-identical (the equal-width complement to q88's exact "
+    "quantiles — width_bucket semantics stated explicitly rather than "
+    "relying on engine-specific builtins).",
+)
+def q142_value_histogram(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bin_c = (
+        F.when(F.col("value") <= 0.0, F.lit(0))
+        .when(F.col("value") >= 200.0, F.lit(19))
+        .otherwise(F.floor(F.col("value") / 10.0))
+        .cast("long")
+    )
+    return (
+        ev.select(bin_c.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 10.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 10.0).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — chi-square independence test (source x lang contingency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q143_chi_square_source_lang",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, SUM(obs) AS r FROM c GROUP BY source),
+    ct AS (SELECT lang, SUM(obs) AS k FROM c GROUP BY lang),
+    n AS (SELECT SUM(obs) AS total FROM c),
+    cell AS (
+      SELECT c.source, c.lang, c.obs,
+             CAST(rt.r AS DOUBLE) * CAST(ct.k AS DOUBLE)
+               / CAST((SELECT total FROM n) AS DOUBLE) AS exp
+      FROM c JOIN rt USING (source) JOIN ct USING (lang)
+    ),
+    contrib AS (
+      SELECT CAST(round((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
+                        / exp * 1000000000.0) AS BIGINT) AS u
+      FROM cell
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_sources,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_langs,
+           CAST((SELECT total FROM n) AS BIGINT) AS n_docs,
+           CAST(SUM(u) AS DOUBLE) / 1000000000.0 AS chi_square,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM contrib
+    """,
+    doc="Chi-square independence test on the (source x lang) "
+    "contingency table — is language mix independent of crawl source? "
+    "The corpus-composition diagnostic behind mix-rebalancing decisions "
+    "(a big statistic says per-source language quotas like q105/q109 "
+    "are load-bearing). Observed counts and margins are exact integers; "
+    "each cell's (obs-exp)^2/exp rounds to nano-unit integers before "
+    "the exact sum (the q138 discipline — the one double-sensitive sum "
+    "made order-independent), so the statistic is bit-identical across "
+    "engines. Cell count = |sources| x |langs| — dim-sized at any "
+    "corpus scale.",
+)
+def q143_chi_square_source_lang(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    c = c.localCheckpoint(eager=False)
+    rt = c.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = c.groupBy("lang").agg(F.sum("obs").alias("k"))
+    tot = c.agg(F.sum("obs").alias("total"))
+    cell = (
+        c.join(F.broadcast(rt), on="source")
+        .join(F.broadcast(ct), on="lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("r").cast("double")
+                * F.col("k").cast("double")
+                / F.col("total").cast("double")
+            ).alias("exp"),
+            F.col("obs").cast("double").alias("obsd"),
+        )
+    )
+    contrib = cell.select(
+        F.round(
+            (F.col("obsd") - F.col("exp"))
+            * (F.col("obsd") - F.col("exp"))
+            / F.col("exp")
+            * F.lit(1e9)
+        ).cast("long").alias("u")
+    )
+    stats = contrib.agg(
+        (F.sum("u").cast("double") / F.lit(1e9)).alias("chi_square")
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("n_sources"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("n_langs")))
+        .crossJoin(tot)
+    )
+    return (
+        dims.crossJoin(stats)
+        .select(
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("total").cast("long").alias("n_docs"),
+            "chi_square",
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )
