@@ -1969,3 +1969,74 @@ def q143_chi_square_source_lang(spark: SparkSession, sf_dir: str):
             .alias("dof"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — time-to-conversion distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q144_conversion_latency",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id,
+             epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+      FROM u
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(least(floor(lat_us / 86400000000.0), 7) AS BIGINT)
+             AS days_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM d GROUP BY days_bucket
+    """,
+    doc="Time-to-conversion distribution: per user the micros between "
+    "FIRST view and FIRST purchase (users who purchased at or after "
+    "their first view), bucketed by whole days with a 7+ clamp — the "
+    "latency histogram behind attribution-window tuning (it tells you "
+    "whether q121's 1-hour window is the right one). One conditional-"
+    "min groupBy on user_id (partial-agg, no window needed), a "
+    "micros-exact duration, and a <= 8-key rollup.",
+)
+def q144_conversion_latency(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    d = u.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("lat_us")
+    )
+    return (
+        d.select(
+            F.least(
+                F.floor(F.col("lat_us") / F.lit(86400000000.0)), F.lit(7)
+            ).cast("long").alias("days_bucket"),
+            "lat_us",
+        )
+        .groupBy("days_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("lat_us").cast("long").alias("min_us"),
+            F.max("lat_us").cast("long").alias("max_us"),
+        )
+    )

@@ -2771,3 +2771,122 @@ def q138_bigram_lm_score(spark: SparkSession, sf_dir: str):
             / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
         ).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — keyword-in-context (KWIC) concordance
+# ---------------------------------------------------------------------------
+
+@register(
+    "q145_kwic_concordance",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    hits AS (
+      SELECT doc_id, w, i AS pos
+      FROM w, UNNEST(generate_series(1, len(w))) AS t(i)
+      WHERE w[i] = 'spark'
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           COALESCE(array_to_string(w[greatest(pos - 3, 1):pos - 1], ' '), '')
+             AS left_ctx,
+           COALESCE(array_to_string(w[pos + 1:least(pos + 3, len(w))], ' '), '')
+             AS right_ctx
+    FROM hits
+    """,
+    doc="Keyword-in-context concordance (KWIC): every occurrence of the "
+    "term with its 3-token left/right context — the corpus-inspection "
+    "tool behind term audits (PII terms, brand terms, contamination "
+    "markers) and annotation sampling. Occurrence positions come from "
+    "one index filter over the token array; context windows are pure "
+    "slice expressions — the only explode is one row per HIT (term-"
+    "frequency-sized, not corpus-sized), then everything is scan-speed "
+    "per-row work. Clamped edges make doc-boundary contexts exact in "
+    "both engines.",
+)
+def q145_kwic_concordance(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    term = "spark"
+    w = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    hits = w.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1))),
+                lambda i: (i <= F.size("w"))
+                & (F.element_at(F.col("w"), i) == F.lit(term)),
+            )
+        ).alias("pos"),
+    )
+    # left = tokens [max(pos-3,1) .. pos-1], right = [pos+1 .. min(pos+3, n)]
+    lstart = F.greatest(F.col("pos") - 3, F.lit(1))
+    llen = F.greatest(F.col("pos") - lstart, F.lit(0))
+    rlen = F.greatest(
+        F.least(F.col("pos") + 3, F.size("w")) - F.col("pos"), F.lit(0)
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice(F.col("w"), lstart, llen), " ").alias("left_ctx"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("pos") + 1, rlen), " "
+        ).alias("right_ctx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146 — triangle counting on the near-dup graph
+# ---------------------------------------------------------------------------
+
+def _triangles_oracle(threshold: float = 0.5) -> str:
+    base = _minhash_oracle(threshold=threshold)
+    return f"""
+    WITH eb AS ({base}),
+    e AS (SELECT id_a AS a, id_b AS b FROM eb),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    FROM tri
+    """
+
+
+@register(
+    "q146_neardup_triangles",
+    _triangles_oracle(),
+    doc="Triangle counting on the near-dup graph (the clustering-"
+    "coefficient numerator): with edges already oriented id_a < id_b "
+    "(q32's canonical pair form), each triangle a<b<c is found EXACTLY "
+    "once by the two-equi-join pattern (a,b)x(b,c) verified against "
+    "(a,c) — the standard distributed shape (no per-node neighborhood "
+    "materialization, no duplicate counting to divide out). Many "
+    "triangles mean tight duplicate cliques (CC components that are "
+    "near-complete graphs — safe to collapse aggressively); few mean "
+    "chain-like components where q108's canonical pick needs care. "
+    "Joins shuffle on single node keys; the skewed-degree hub is the "
+    "q63/AQE case.",
+)
+def q146_neardup_triangles(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("va"), F.col("b").alias("vb"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2a"])
+        .join(e3, (F.col("a") == F.col("va")) & (F.col("c") == F.col("vb")))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_tri.crossJoin(n_e)
