@@ -2040,3 +2040,125 @@ def q144_conversion_latency(spark: SparkSession, sf_dir: str):
             F.max("lat_us").cast("long").alias("max_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — robust outlier counts via median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q147_mad_length_outliers",
+    """
+    WITH m AS (
+      SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, CAST(d.n_chars AS DOUBLE) AS x, m.med,
+             abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+      FROM documents d JOIN m USING (source)
+    ),
+    mad AS (
+      SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY source
+    )
+    SELECT dev.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ANY_VALUE(dev.med) AS median_chars,
+           ANY_VALUE(mad.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                          AND abs(dev.x - dev.med) > 5.0 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+    """,
+    doc="Robust length-outlier report per source: median and MAD "
+    "(median absolute deviation) of document length, counting docs "
+    "beyond 5 MADs — the outlier gate that, unlike q137's z-score, a "
+    "few extreme documents cannot drag (mean/std break down exactly "
+    "where outlier detection matters). Two exact-median passes "
+    "(linear-interpolation percentile — engine-parity proven at q88) "
+    "+ one counting pass, all grouped on the bounded source key; "
+    "zero-MAD sources (constant length) flag nothing by definition. "
+    "approx_percentile is the documented unbounded-cardinality knob, "
+    "as with q88/q133.",
+)
+def q147_mad_length_outliers(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    m = docs.groupBy("source").agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med")
+    )
+    dev = docs.join(F.broadcast(m), on="source").select(
+        "source", "x", "med", F.abs(F.col("x") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.any_value("med").alias("median_chars"),
+            F.any_value("mad").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("x") - F.col("med")) > 5.0 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — user growth accounting (new + cumulative users per day)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q148_user_growth",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT CAST(first_day AS VARCHAR) AS day, COUNT(*) AS n_new
+      FROM f GROUP BY first_day
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM d
+    """,
+    doc="User growth accounting: per calendar day the count of users "
+    "seen for the FIRST time, and the cumulative registered-user curve "
+    "— the top-line growth chart. Per-user first-seen is one "
+    "partial-agg groupBy; the daily rollup is calendar-sized; the "
+    "running sum's unpartitioned window orders DAYS (tens to thousands "
+    "of rows at any corpus scale — the one place a global window is "
+    "genuinely safe, and stated as such).",
+)
+def q148_user_growth(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = f.groupBy(
+        F.col("first_day").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    )
