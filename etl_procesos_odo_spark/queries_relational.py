@@ -1687,3 +1687,52 @@ def q141_data_contract(spark: SparkSession, sf_dir: str):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q149 — sorted-neighborhood entity-resolution pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "q149_sorted_neighborhood",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Sorted-neighborhood entity resolution (Hernández & Stolfo "
+    "1995) — the production complement q130's docstring promises: "
+    "records sorted by name, each paired with its 3 successors, "
+    "verified at Levenshtein <= 2. Catches near-duplicates whose typo "
+    "sits IN the blocking key (which key blocking separates into "
+    "different blocks). The global rank comes from prefix-stripe local "
+    "ranks + broadcast prefix-sum offsets (ordering by a string prefix "
+    "is ordering by the string — the q19 striped-rank trick adapted), "
+    "so no single reducer ever sorts the corpus; pairing is an "
+    "equi-join on rank keys with the window exploded (3 rows per "
+    "record). In production q130's block pairs UNION these, then one "
+    "shared verify pass.",
+)
+def q149_sorted_neighborhood(spark: SparkSession, sf_dir: str):
+    from .operators.joins import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust, "c_name", "c_custkey", window=3, stripe_prefix=15
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", "rank_gap",
+            F.levenshtein("c_name_a", "c_name_b", 2).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
