@@ -2162,3 +2162,78 @@ def q148_user_growth(spark: SparkSession, sf_dir: str):
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — rolling 7-day distinct users (DAU / WAU engagement)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q150_rolling_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT d.day, ud.user_id
+      FROM days d JOIN ud
+        ON ud.day <= d.day AND ud.day >= d.day - INTERVAL 6 DAY
+    ),
+    wau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+    ),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(wau.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM wau JOIN dau ON dau.day = wau.day
+    """,
+    doc="Rolling engagement: per day the DAU, the trailing-7-day WAU "
+    "(distinct users — NOT a sum of daily counts, which double-counts "
+    "returnees), and the DAU/WAU stickiness ratio. Distinct-over-a-"
+    "sliding-window cannot be a window aggregate (distinct state does "
+    "not merge by frame); the distributed shape is: dedup to (user, "
+    "day) rows once, fan each out to the <= 7 windows it belongs to "
+    "(calendar join — here via the tiny distinct-days table; at scale "
+    "an explode of 7 day keys per row, both forms equi-joins), then "
+    "one distinct-count per window key. Cost: 7x the DEDUPED (user, "
+    "day) rows — independent of raw event volume.",
+)
+def q150_rolling_wau(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    # fan out: each (user, day) row contributes to windows day..day+6 —
+    # the explode form (scales with deduped rows; no days-table join)
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("wday"),
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # windows beyond the last active day exist in the explode form but
+    # not the oracle's days-table form — keep only days with activity
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (
+                F.col("dau").cast("double") / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
