@@ -1534,6 +1534,10 @@ def q132_event_transitions(spark: SparkSession, sf_dir: str):
     c = o.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # materialize the (|types|^2-row) count table once: t and the join
+    # both read it, and without the barrier the whole LAG pipeline
+    # re-executes per reference (plan showed 5 exchanges; 2 after)
+    c = c.localCheckpoint(eager=False)
     t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
     return c.join(F.broadcast(t), on="prev_type").select(
         "prev_type", "next_type", "n",
@@ -2205,9 +2209,12 @@ def q148_user_growth(spark: SparkSession, sf_dir: str):
 )
 def q150_rolling_wau(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events")
+    # the deduped (user, day) frame feeds BOTH the fan-out and the DAU
+    # rollup — materialize it once (without the barrier the scan +
+    # distinct re-execute per reference; plan showed 5 exchanges)
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # fan out: each (user, day) row contributes to windows day..day+6 —
     # the explode form (scales with deduped rows; no days-table join)
     contrib = ud.select(

@@ -555,3 +555,39 @@ def test_entity_resolution_blocking_is_equi_join(plan):
     p = plan("q130_entity_resolution")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name,max_hashpart",
+    [
+        ("q127_batch_sessionize", 1),   # LAG + cumsum + session agg share it
+        ("q139_scd2_intervals", 1),     # one LEAD window pass
+        ("q132_event_transitions", 1),  # count table checkpointed once
+        ("q140_top_session_paths", 2),  # shared LAG exchange + path rollup
+        ("q144_conversion_latency", 2), # user groupBy + <=8-key rollup
+        ("q150_rolling_wau", 3),        # dedup + fan-out distinct-count
+    ],
+)
+def test_round5_event_queries_exchange_budget(plan, name, max_hashpart):
+    """Pin the documented shuffle budgets of the round-5 event-analytics
+    queries — a regression here is a silently recomputed base frame or
+    an accidental extra wide dependency (q132/q150 shipped with exactly
+    that bug: lazy frames re-executed per reference, 5 exchanges where
+    1-3 suffice, caught by this probe and fixed with checkpoint
+    barriers)."""
+    p = plan(name)
+    assert p.count("Exchange hashpartitioning") <= max_hashpart, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_top_paths_heap_topk(plan):
+    """q140's top-20 must be TakeOrderedAndProject, not a global sort."""
+    assert "TakeOrderedAndProject" in plan("q140_top_session_paths")
+
+
+def test_triangles_only_stat_row_nested_loop(plan):
+    """q146: the only nested loop is the final 1-row x 1-row stats join;
+    the triangle enumeration itself is pure equi-joins."""
+    p = plan("q146_neardup_triangles")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
