@@ -93,8 +93,14 @@ DRIVER_HEAD: tuple[str, ...] = (
     # adds the fused corpus-stats broadcast + top-k heap, the lexical
     # half of the retrieval stack with no prior driver-row class; q85
     # stays green in the back-half full-registry runs.)
-    "q83_pii_mask", "q84_json_extract", "q110_bm25_search",
-    "q88_corpus_quantiles", "q97_ewma",
+    # (r5 swaps: q83 -> q145 — the digit-run masking shape is evidenced
+    # by q51's mask-builder head row (P8) and q83 stays green in the
+    # back-half censuses; KWIC concordance is a new-in-r5 family with no
+    # other row. q97 -> q137 — EWMA's stateful per-key smoothing is
+    # evidenced by q58's stateful head row and q97 stays census-green;
+    # q137's trailing-window anomaly stats are a new-in-r5 family.)
+    "q145_kwic_concordance", "q84_json_extract", "q110_bm25_search",
+    "q88_corpus_quantiles", "q137_volume_anomalies",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
     # aggregate + broadcast stage on top of q72's primitive; q86 stays

@@ -230,7 +230,9 @@ def test_driver_head_curation():
         "semantic_dedup": "q103_semantic_dedup",
         "similarity": "q74_ann_ivf_multiprobe",
         "text": "q35_langid",
-        "enrich": "q97_ewma",
+        # r5 swap: q97's stateful smoothing is evidenced by q58; q137
+        # carries the time-series anomaly family in the head
+        "enrich": "q137_volume_anomalies",
         "packing": "q75_pack_sequences",
         "multimodal": "q62_multimodal_transform",
         # r5 swaps: q02's filter shapes run inside the pipeline rows
