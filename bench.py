@@ -248,14 +248,20 @@ def main() -> None:
     head = [n for n in DRIVER_HEAD if n in timings]
     ordered = {n: timings[n] for n in timings if n not in set(head)}
     ordered.update({n: timings[n] for n in head})
+    # key order tunes what survives the harness's ~1.8 KB tail capture:
+    # extras go FIRST (their exact numbers are committed in SCALE.md each
+    # round, so truncation loses nothing), the queries dict keeps
+    # DRIVER_HEAD entries last, and the headline total is the final key —
+    # at 150 queries this keeps all 50 head times + the total visible
+    # (the r2 truncation lesson, re-tuned for the larger registry)
     print(
         json.dumps(
             {
                 "metric": "registry_total_runtime",
                 "unit": "sec",
                 "sf": sf,
-                "queries": ordered,
                 "extras": extras,
+                "queries": ordered,
                 "value": total,
             }
         )
