@@ -161,6 +161,12 @@ def lsh_bands(
 ) -> DataFrame:
     """Explode a MinHash-signed frame into (id, band_idx, band_hash) rows.
     ``df`` must carry mh0..mh{n-1} columns. rows_per_band = n // bands."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop signature rows "
+            "and weaken the banding guarantee"
+        )
     rows_per = num_hashes // bands
     band_structs = F.array(
         *[

@@ -236,3 +236,19 @@ def test_round5_operator_input_guards(spark):
         normalize_to_bits(F.col("x"), 0.0, 1.0, 0)
     with _pytest.raises(ValueError, match="hi > lo"):
         normalize_to_bits(F.col("x"), 1.0, 1.0, 8)
+
+
+def test_lsh_bands_divisibility_guard(spark):
+    """lsh_bands must reject num_hashes not divisible by bands — the
+    remainder hashes would silently drop, weakening the banding
+    guarantee (candidate recall) without any visible failure."""
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.llm.dedup import lsh_bands
+
+    df = spark.createDataFrame([(1, 10, 20, 30)], "_id long, mh0 long, mh1 long, mh2 long")
+    with _pytest.raises(ValueError, match="divide evenly"):
+        lsh_bands(df, "_id", num_hashes=3, bands=2)
+    # the valid case still works
+    out = lsh_bands(df, "_id", num_hashes=3, bands=3)
+    assert out.count() == 3
