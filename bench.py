@@ -1,23 +1,50 @@
 #!/usr/bin/env python
 """Benchmark harness: times every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+JSON line: {"metric": ..., "unit": "sec", "sf": ..., "queries": {name:
+sec, ...}, "extras": {...}, "warm": {...}, "value": total_sec}.
 
 Each query is forced with the noop sink (full execution, no driver-side
 result transfer), so timings measure the Spark plan, not collect().
+
+Measurement protocol (round 6):
+
+- **Fresh-JVM segments.** The registry is split into ``BENCH_SEGMENTS``
+  (default 3) contiguous slices, each timed in its own subprocess/JVM —
+  the ``verify_all.py --isolate`` pattern. Per-query times therefore no
+  longer drift with registry growth (rounds 2-5 showed 2-2.6x
+  session-position inflation on whichever queries ran late in a 150-query
+  single session). The published ``queries`` dict and headline ``value``
+  come from the segmented runs.
+- **Single-session continuity total.** One full single-JVM pass over the
+  registry is still run and reported as
+  ``extras["single_session_total_sec"]`` so the r1-r5 headline series
+  stays comparable.
+- **Dynamic warm triage.** Any DRIVER_HEAD query whose segmented time is
+  >2x its previous-round value (read from the committed
+  ``BENCH_full.json``, falling back to whatever survives in the latest
+  ``BENCH_r*.json`` tail) is re-run warm best-of-2 and reported under
+  ``warm`` — so a mover in the artifact always carries its own
+  exonerating (or incriminating) warm number.
+- The COMPLETE result is also written to ``BENCH_full.json`` at the repo
+  root (committed each round); stdout key order is plain declaration
+  order, not tuned to any capture window.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 from etl_procesos_odo_spark.registry import registry
 from etl_procesos_odo_spark.session import get_spark
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def skew_join_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -162,110 +189,182 @@ def hybrid_routing_bench(spark, sf_dir: str) -> dict[str, float]:
     return res
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-
-    only = os.environ.get("BENCH_QUERIES")
-    wanted = set(only.split(",")) if only else None
-
-    spark = get_spark("etl-odo-bench")
-    # Warm the JVM/codegen/IO path once so session startup cost doesn't
-    # land on whichever query happens to run first.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
-        "overwrite"
-    ).format("noop").save()
+def _time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
+    """Cold-time each registry query (optionally a subset) in registry
+    order; -1.0 marks a failure (stderr carries the exception)."""
     timings: dict[str, float] = {}
     for q in registry():
-        if wanted and q.name not in wanted:
+        if names is not None and q.name not in names:
             continue
         t0 = time.perf_counter()
         try:
             df = q.spark_fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            # 2-decimal precision keeps the JSON line short: the round
-            # harness records a bounded tail of bench output, so every
-            # byte saved lets more head-of-registry entries survive
             timings[q.name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep the bench line parseable on failure
             timings[q.name] = -1.0
             print(f"BENCH ERROR {q.name}: {exc}", file=sys.stderr)
+    return timings
 
-    extras = {} if wanted else skew_join_bench(spark, sf_dir)
-    if not wanted:
-        extras.update(hybrid_routing_bench(spark, sf_dir))
-    if not wanted:
-        # Warm steady-state re-runs of the queries round 2 flagged as
-        # regressed: a second in-session execution strips cold-codegen /
-        # session-position noise, so round-over-round comparisons have an
-        # isolated number to read (r2 postmortem: q50/q51 "regressions"
-        # were session noise; q47/q64's was a real filter-pushdown bug,
-        # fixed and guarded by a plan test).
-        for name in (
-            "q50_partitioner_pipeline",
-            "q51_confirmaciones_pipeline",
-            "q47_dedup_clusters",
-            "q64_corpus_prep",
-            # round-4 capstones: CC composition + two-arm retrieval pay
-            # heavy first-light codegen; the warm number is the honest one
-            "q108_cluster_keep_best",
-            "q112_hybrid_rrf",
-            # round-5: the LSH-routed lexical arm vs the q112 scan arm —
-            # the warm pair is the routing win's evidence
-            "q119_hybrid_rrf_lsh",
-            # round-4 verdict flagged q59/q96/q98 as possible drift; warm
-            # numbers isolate session-position noise per the r2/r3 rule
-            "q59_scalar_kit",
-            "q96_longest_streak",
-            "q98_unpivot_measures",
-        ):
-            q = next((x for x in registry() if x.name == name), None)
-            if q is None or timings.get(name, -1.0) < 0:
-                continue
+
+def _warm_spark(spark, sf_dir: str) -> None:
+    # Warm the JVM/codegen/IO path once so session startup cost doesn't
+    # land on whichever query happens to run first.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+
+def _prev_round_times(sf: float | None) -> dict[str, float]:
+    """Per-query times from the previous round AT THE SAME sf, for the
+    >2x warm-triage rule: prefer the committed BENCH_full.json
+    (complete), else salvage whatever per-query pairs survive in the
+    newest BENCH_r*.json tail. A baseline at a different scale factor is
+    useless for the 2x rule, so it is skipped."""
+    full = os.path.join(REPO_ROOT, "BENCH_full.json")
+    if os.path.exists(full):
+        try:
+            with open(full) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                return dict(prev.get("queries", {}))
+        except Exception:
+            pass
+    arts = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+    for path in reversed(arts):
+        try:
+            with open(path) as fh:
+                art = json.load(fh)
+        except Exception:
+            continue
+        if art.get("sf") != sf:
+            continue
+        text = art.get("tail", "") or ""
+        pairs = re.findall(r'"(q\d+[a-z0-9_]*)":\s*(-?[0-9.]+)', text)
+        if pairs:
+            return {k: float(v) for k, v in pairs}
+    return {}
+
+
+def _run_segment(sf_dir: str, spec: str) -> None:
+    """Child-process mode: time one contiguous registry slice in a fresh
+    JVM and print a single JSON line {"segment": spec, "queries": {...}}."""
+    idx, n_seg = (int(x) for x in spec.split("/"))
+    names = [q.name for q in registry()]
+    per = (len(names) + n_seg - 1) // n_seg
+    mine = set(names[(idx - 1) * per: idx * per])
+    spark = get_spark(f"etl-odo-bench-seg{idx}")
+    _warm_spark(spark, sf_dir)
+    timings = _time_queries(spark, sf_dir, names=mine)
+    print(json.dumps({"segment": spec, "queries": timings}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    seg_spec = os.environ.get("BENCH_SEGMENT")
+    if seg_spec:
+        _run_segment(sf_dir, seg_spec)
+        return
+
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        # fast iteration path: one session, just the named queries
+        wanted = set(only.split(","))
+        spark = get_spark("etl-odo-bench")
+        _warm_spark(spark, sf_dir)
+        timings = _time_queries(spark, sf_dir, names=wanted)
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        print(json.dumps({
+            "metric": "registry_total_runtime", "unit": "sec", "sf": sf,
+            "queries": timings, "value": total,
+        }))
+        return
+
+    # --- full protocol ---------------------------------------------------
+    # 1) fresh-JVM segments: the published per-query numbers
+    n_seg = int(os.environ.get("BENCH_SEGMENTS", "3"))
+    seg_timings: dict[str, float] = {}
+    for i in range(1, n_seg + 1):
+        env = dict(os.environ, BENCH_SEGMENT=f"{i}/{n_seg}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        parsed = None
+        for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                best = None
-                for _ in range(2):  # best-of-2: strip GC/variance noise
-                    t0 = time.perf_counter()
-                    q.spark_fn(spark, sf_dir).write.mode("overwrite").format(
-                        "noop"
-                    ).save()
-                    el = time.perf_counter() - t0
-                    best = el if best is None else min(best, el)
-                extras[f"warm_{name}_sec"] = round(best, 3)
-            except Exception as exc:
-                print(f"BENCH ERROR warm {name}: {exc}", file=sys.stderr)
+                parsed = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None:
+            print(f"BENCH ERROR segment {i}/{n_seg}: no JSON "
+                  f"(rc={proc.returncode})", file=sys.stderr)
+            continue
+        seg_timings.update(parsed["queries"])
+    # keep registry order in the published dict
+    order = [q.name for q in registry()]
+    queries = {n: seg_timings[n] for n in order if n in seg_timings}
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # The round harness records only a bounded TAIL of this line (~1.8 KB,
-    # observed r2/r3), which truncated away the per-query times of exactly
-    # the DRIVER_HEAD queries — the ones with hard correctness rows. Emit
-    # the queries dict with the DRIVER_HEAD entries LAST (back-half first)
-    # so whatever survives truncation is the head-50 times, then extras,
-    # then the headline total as the final key.
+    # 2) single-session continuity total + extras benches (one JVM)
+    spark = get_spark("etl-odo-bench")
+    _warm_spark(spark, sf_dir)
+    t0 = time.perf_counter()
+    ss = _time_queries(spark, sf_dir)
+    single_session_total = round(time.perf_counter() - t0, 3)
+    extras = skew_join_bench(spark, sf_dir)
+    extras.update(hybrid_routing_bench(spark, sf_dir))
+    extras["single_session_total_sec"] = single_session_total
+    extras["single_session_errors"] = sum(1 for t in ss.values() if t < 0)
+    extras["segments"] = n_seg
+
+    # 3) dynamic warm triage: any DRIVER_HEAD mover >2x its previous-round
+    # time gets a warm best-of-2 so the artifact carries its own triage
     from etl_procesos_odo_spark.registry import DRIVER_HEAD
 
-    head = [n for n in DRIVER_HEAD if n in timings]
-    ordered = {n: timings[n] for n in timings if n not in set(head)}
-    ordered.update({n: timings[n] for n in head})
-    # key order tunes what survives the harness's ~1.8 KB tail capture:
-    # extras go FIRST (their exact numbers are committed in SCALE.md each
-    # round, so truncation loses nothing), the queries dict keeps
-    # DRIVER_HEAD entries last, and the headline total is the final key —
-    # at 150 queries this keeps all 50 head times + the total visible
-    # (the r2 truncation lesson, re-tuned for the larger registry)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_runtime",
-                "unit": "sec",
-                "sf": sf,
-                "extras": extras,
-                "queries": ordered,
-                "value": total,
-            }
-        )
-    )
+    prev = _prev_round_times(sf)
+    warm: dict[str, float] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in DRIVER_HEAD:
+        cur, old = queries.get(name), prev.get(name)
+        if cur is None or cur < 0 or not old or old <= 0 or cur <= 2 * old:
+            continue
+        q = by_name.get(name)
+        if q is None:
+            continue
+        try:
+            best = None
+            for _ in range(2):  # best-of-2: strip GC/variance noise
+                t0 = time.perf_counter()
+                q.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            warm[name] = round(best, 3)
+        except Exception as exc:
+            print(f"BENCH ERROR warm {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in queries.values() if t >= 0), 3)
+    result = {
+        "metric": "registry_total_runtime",
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "extras": extras,
+        "warm": warm,
+        "value": total,
+    }
+    # complete record on disk (committed each round); stdout is the same
+    # object in plain declaration order
+    with open(os.path.join(REPO_ROOT, "BENCH_full.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -758,9 +758,14 @@ def band_min_k(banded: DataFrame, cap: int) -> DataFrame:
             cur = pdf if acc is None else pd.concat((acc, pdf))
             # one partition-local trim per batch: per-bucket state can
             # never exceed cap rows between batches
+            # dropna=False: Spark's merge-side groupBy keeps NULL keys,
+            # so the partial trim must too or the window-form identity
+            # breaks on null-keyed bands (band_hash is md5 over non-null
+            # strings today, but the identity claim must not depend on
+            # that upstream invariant).
             acc = (
                 cur.sort_values("_id", kind="stable")
-                .groupby(["band_idx", "band_hash"], sort=False)
+                .groupby(["band_idx", "band_hash"], sort=False, dropna=False)
                 .head(cap)
             )
         yield acc if acc is not None else pd.DataFrame(

@@ -101,7 +101,11 @@ def heavy_hitters(
         F.count(F.lit(1)).alias("n"), F.count(key_col).alias("nn")
     ).collect()[0]
     n_total, null_cnt = tot["n"], tot["n"] - tot["nn"]
-    threshold = math.ceil(theta * n_total)
+    # max(1, ...) only matters when n_total == 0: ceil(theta * 0) == 0
+    # would make the NULL branch emit a spurious (NULL, 0) row where the
+    # GROUP BY ... HAVING oracle returns an empty frame. For any
+    # non-empty input ceil(theta * n_total) >= 1 already.
+    threshold = max(1, math.ceil(theta * n_total))
 
     field = keyed.schema[key_col]
     cands = keyed.mapInPandas(

@@ -133,3 +133,137 @@ def forecast_grid(spark: SparkSession, model) -> DataFrame:
         "hora",
         F.greatest(F.col("prediction"), F.lit(0.0)).alias("demanda_prevista"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form LR arm (U4 predict surface with a hard oracle)
+# ---------------------------------------------------------------------------
+
+# x-column order is the model contract: x1..x3 = CORE_FEATURES; the grid
+# scores (dia_semana, hora) with the same mid-range day-of-month constant
+# forecast_grid uses (dia_mes=15). mes and semana_mes are EXCLUDED from
+# the closed-form arm: on a single-month span (the sf0.01 fixture —
+# January 2024, which starts on a Monday) mes is constant (collinear with
+# the intercept) and dia_mes == dia_semana + 7*semana_mes - 6 exactly, so
+# the 6x6 normal equations are singular. Cholesky demands positive
+# definiteness at EVERY data span, and ridge-style regularization would
+# break the exact-oracle contract — so the hard-oracle surface carries
+# the provably independent core features only (q41's best-of-3 fit keeps
+# the full feature set on the rows-only path).
+CORE_FEATURES = ["dia_semana", "hora", "dia_mes"]
+GRID_CONSTS = [("dia_mes", 15)]
+
+
+def lr_stat_exprs(n_x: int) -> list[str]:
+    """SQL aggregate expressions for the OLS sufficient statistics of an
+    intercept + n_x-feature regression: s_i_j = sum(x_i * x_j) for i >= j
+    (x_0 == 1, so s_0_0 = n and s_i_0 = sum(x_i)) and b_i = sum(x_i * y).
+
+    Every x_i and y is a small integer, so each SUM is exact integer
+    arithmetic in both engines and the CAST to DOUBLE is exact (all sums
+    << 2**53). The same strings run under Spark ``selectExpr`` and inside
+    the DuckDB oracle, so the statistics are bit-identical by construction.
+    """
+    exprs = ["CAST(COUNT(*) AS DOUBLE) AS s_0_0"]
+    for i in range(1, n_x + 1):
+        exprs.append(f"CAST(SUM(x{i}) AS DOUBLE) AS s_{i}_0")
+        for j in range(1, i + 1):
+            exprs.append(f"CAST(SUM(x{i} * x{j}) AS DOUBLE) AS s_{i}_{j}")
+    exprs.append("CAST(SUM(y) AS DOUBLE) AS b_0")
+    for i in range(1, n_x + 1):
+        exprs.append(f"CAST(SUM(x{i} * y) AS DOUBLE) AS b_{i}")
+    return exprs
+
+
+def cholesky_solve_exprs(k: int) -> list[tuple[str, str]]:
+    """Ordered (name, sql_expr) pairs solving the k x k normal equations
+    S beta = b by unrolled Cholesky (S = L L^T, forward then back
+    substitution). Inputs are columns ``s_i_j`` (i >= j) and ``b_i``;
+    outputs ``beta_0`` .. ``beta_{k-1}``.
+
+    The SAME expression strings are evaluated by Spark (``F.expr``) and
+    DuckDB (lateral column aliases), and +,-,*,/ and sqrt are all
+    correctly-rounded IEEE-754 double ops in both engines — identical
+    expression trees over identical (exact-integer-derived) inputs give
+    BIT-identical coefficients, which is what the repr()-level value hash
+    of the correctness gate demands. No driver-side matrix math: the
+    solve is a fixed 1-row expression DAG, so the whole query stays a
+    single partial-aggregatable shuffle at any data scale.
+    """
+    out: list[tuple[str, str]] = []
+    for j in range(k):
+        diag = f"s_{j}_{j}" + "".join(
+            f" - l_{j}_{p} * l_{j}_{p}" for p in range(j)
+        )
+        out.append((f"l_{j}_{j}", f"sqrt({diag})"))
+        for i in range(j + 1, k):
+            num = f"s_{i}_{j}" + "".join(
+                f" - l_{i}_{p} * l_{j}_{p}" for p in range(j)
+            )
+            out.append((f"l_{i}_{j}", f"({num}) / l_{j}_{j}"))
+    for i in range(k):
+        num = f"b_{i}" + "".join(f" - l_{i}_{p} * z_{p}" for p in range(i))
+        out.append((f"z_{i}", f"({num}) / l_{i}_{i}"))
+    for i in reversed(range(k)):
+        num = f"z_{i}" + "".join(
+            f" - l_{p}_{i} * beta_{p}" for p in range(i + 1, k)
+        )
+        out.append((f"beta_{i}", f"({num}) / l_{i}_{i}"))
+    return out
+
+
+def lr_grid_pred_expr() -> str:
+    """Shared prediction expression over the (dia_semana, hora) grid with
+    the model's mid-range constants, clamped at 0 like the reference's
+    ``max(pred, 0)`` (app_calculo_necesidad_recepción_call_center.py:1370)."""
+    pred = (
+        "beta_0"
+        " + beta_1 * CAST(dia_semana AS DOUBLE)"
+        " + beta_2 * CAST(hora AS DOUBLE)"
+    )
+    for i, (_, val) in enumerate(GRID_CONSTS, start=3):
+        pred += f" + beta_{i} * CAST({val} AS DOUBLE)"
+    return f"greatest({pred}, CAST(0 AS DOUBLE))"
+
+
+N_CORE = len(CORE_FEATURES)
+
+
+def lr_forecast_closed_form(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """The q41 LinearRegression arm, closed-form: demand features →
+    exact-integer sufficient statistics → unrolled-Cholesky normal
+    equations → (weekday × hour) prediction grid clamped at 0.
+
+    Analytically identical to an unregularized ``LinearRegression``
+    (fitIntercept=True, regParam=0) fit on the CORE_FEATURES frame —
+    pyspark.ml's "normal" solver computes exactly these normal equations —
+    but expressed as one aggregation plus a 1-row expression DAG, so it
+    is oracle-checkable bit-for-bit (see cholesky_solve_exprs) and never
+    collects training data. q41's best-of-3 fit/predict stays on the
+    rows-only contract; this covers the U4 predict surface with a hard
+    oracle."""
+    feats = demand_features(events)
+    xy = feats.selectExpr(
+        *[f"CAST({c} AS BIGINT) AS x{i}"
+          for i, c in enumerate(CORE_FEATURES, start=1)],
+        "CAST(demanda AS BIGINT) AS y",
+    )
+    stats = xy.selectExpr(*lr_stat_exprs(N_CORE))
+    # one projection with lateral column aliases (not 30 chained
+    # withColumns, which would pay a Catalyst re-analysis each) — the
+    # same alias-chain shape the DuckDB oracle evaluates
+    sol = stats.selectExpr(
+        "*",
+        *[f"{e} AS {n}" for n, e in cholesky_solve_exprs(N_CORE + 1)],
+    )
+    betas = sol.select(*[f"beta_{i}" for i in range(N_CORE + 1)])
+    grid = (
+        spark.range(7).selectExpr("id AS dia_semana")
+        .crossJoin(spark.range(24).selectExpr("id AS hora"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(betas))
+        .selectExpr(
+            "dia_semana", "hora", f"{lr_grid_pred_expr()} AS demanda_lr"
+        )
+    )

@@ -110,6 +110,71 @@ def q104_demand_features(spark: SparkSession, sf_dir: str):
     return demand_features(load_table(spark, sf_dir, "events"))
 
 
+def _q151_oracle() -> str:
+    """The oracle is assembled from the SAME generated expression strings
+    the Spark arm evaluates (ml/forecast.py: lr_stat_exprs /
+    cholesky_solve_exprs / lr_grid_pred_expr) — identical IEEE-754
+    expression trees over exact-integer sufficient statistics, so the
+    fitted coefficients and grid predictions are bit-identical across
+    engines, not merely close."""
+    from .ml.forecast import (
+        cholesky_solve_exprs,
+        lr_grid_pred_expr,
+        lr_stat_exprs,
+    )
+
+    from .ml.forecast import N_CORE
+
+    stats = ", ".join(lr_stat_exprs(N_CORE))
+    solve = ", ".join(
+        f"{e} AS {n}" for n, e in cholesky_solve_exprs(N_CORE + 1)
+    )
+    return f"""
+    WITH k AS (
+      SELECT CAST(ts AS DATE) AS fecha, CAST(hour(ts) AS BIGINT) AS hora
+      FROM events
+    ),
+    d AS (SELECT fecha, hora, COUNT(*) AS n FROM k GROUP BY 1, 2),
+    xy AS (
+      SELECT CAST(isodow(fecha) - 1 AS BIGINT) AS x1,
+             hora AS x2,
+             CAST(day(fecha) AS BIGINT) AS x3,
+             n AS y
+      FROM d
+    ),
+    s AS (SELECT {stats} FROM xy),
+    sol AS (SELECT {solve} FROM s),
+    grid AS (SELECT d.range AS dia_semana, h.range AS hora
+             FROM range(0, 7) d, range(0, 24) h)
+    SELECT dia_semana, hora, {lr_grid_pred_expr()} AS demanda_lr
+    FROM grid, sol
+    """
+
+
+@register(
+    "q151_lr_forecast_grid",
+    _q151_oracle(),
+    doc="The q41 forecaster's LinearRegression arm, closed-form, with a "
+    "HARD oracle (U4 predict surface, app_calculo_necesidad_recepción_"
+    "call_center.py:620-713, 1305-1389): demand features → exact-integer "
+    "OLS sufficient statistics (q89's quantization discipline, "
+    "generalized to multivariate normal equations over the core "
+    "weekday/hour/day-of-month features — see CORE_FEATURES for why "
+    "mes/semana_mes are excluded) → unrolled-Cholesky solve "
+    "as a 1-row expression DAG → (weekday x hour) grid predictions "
+    "clamped >= 0. Spark and DuckDB evaluate the SAME generated "
+    "expression strings, so results match bit-for-bit; only q41's "
+    "best-of-3 model SELECTION remains rows-only. One aggregation "
+    "shuffle at any scale; the solve and grid are constant-size.",
+)
+def q151_lr_forecast_grid(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .ml.forecast import lr_forecast_closed_form
+    from .registry import load_table
+
+    return lr_forecast_closed_form(spark, load_table(spark, sf_dir, "events"))
+
+
 _SESSION_ORACLE = """
     WITH t AS (
       SELECT user_id, event_id, ts, value,

@@ -67,10 +67,19 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q40_streaming_hourly", "q43_streaming_dedup", "q69_streaming_sessionize",
     "q58_stateful_user_stats", "q90_stream_static_join",
     "q91_streaming_sliding", "q95_stream_stream_join",
-    # ML (q104 = q41's feature half with a hard oracle; r4 head swap)
-    "q41_forecast_demand", "q104_demand_features",
+    # ML (q104 = q41's feature half with a hard oracle, r4 head swap;
+    # q151 = the LinearRegression arm's PREDICT surface closed-form with
+    # a bit-exact oracle, new r6 — q41's best-of-3 fit selection is the
+    # only remaining rows-only row)
+    "q41_forecast_demand", "q104_demand_features", "q151_lr_forecast_grid",
     # round-2 driver-hash fixes (HUGEINT oracle cast; serialized arrays)
-    "q60_slot_spine_load", "q80_quantize_int8", "q62_multimodal_transform",
+    # (r6 swap q60 -> q121: the spine families G1-G4 stay evidenced by
+    # the q53/q57 head rows, which build the same 5-min/hour/date spines
+    # inside their pipelines; q60 stays green in the back-half censuses.
+    # q121 is the binned range join — a new-in-r5 family with no driver
+    # row class until now.)
+    "q121_attribution_range_join", "q80_quantize_int8",
+    "q62_multimodal_transform",
     # dedup family: exact, exact-first LSH (wraps the q32 band pipeline),
     # SimHash pairs, big-star CC, block-level, decontamination, semantic
     # (r4 head swaps: q32 -> q103 — q32's exact shape runs inside q67 and
@@ -105,7 +114,13 @@ DRIVER_HEAD: tuple[str, ...] = (
     # hash-uniform deterministic samples, but q109 adds the derived-rate
     # aggregate + broadcast stage on top of q72's primitive; q86 stays
     # green in the back-half full-registry runs)
-    "q72_hash_sample", "q109_mix_rebalance", "q75_pack_sequences",
+    # (r6 swap q72 -> q149: q72's hash-uniform deterministic-sample
+    # primitive runs INSIDE q109's rebalance head row — the r4 swap note
+    # above already records that containment — so the row was doubly
+    # covered; q72 stays green in the back-half censuses. q149 is
+    # sorted-neighborhood entity resolution, a new-in-r5 family with no
+    # driver row class.)
+    "q149_sorted_neighborhood", "q109_mix_rebalance", "q75_pack_sequences",
     "q76_chunk_documents",
     # multimodal + capstone
     "q42_multimodal_features", "q100_corpus_prep_v3",
@@ -120,8 +135,17 @@ DRIVER_HEAD: tuple[str, ...] = (
     # the back-half full-registry runs. q120 is the fully-routed hybrid
     # retrieval — LSH-banded lexical arm + IVF vector arm + RRF fusion —
     # the round-5 scale capstone with no other driver row.)
+    # (r6 swap q18 -> q134: the set-op families J7/X1-X3 stay evidenced
+    # by the q12 head row (per-family census note) and q18 stays green in
+    # the back-half censuses. q134 is PageRank on the near-dup graph —
+    # the iterative graph-analytics family, new in r5 with no driver row.)
+    # (r6 swap q59 -> (q151 above, in the ML block): the scalar-kit
+    # functions F1-F19 stay evidenced by the q51/q52 pipeline head rows,
+    # which parse the same Spanish dates / Excel serials / phone rules
+    # inline; q59 stays green in the back-half censuses. The slot pays
+    # for q151's hard-oracle LR predict surface.)
     "q120_hybrid_rrf_routed", "q12_pareto_brands", "q106_heavy_hitters",
-    "q18_set_ops", "q59_scalar_kit", "q63_salted_segments", "q81_asof_join",
+    "q134_pagerank_neardup", "q63_salted_segments", "q81_asof_join",
 )
 
 

@@ -796,6 +796,20 @@ def test_heavy_hitters_null_keys_and_slack_guard(spark):
         heavy_hitters(df, "k", theta=0.5, slack=0.5)
 
 
+def test_heavy_hitters_empty_input(spark):
+    """ADVICE r5: on an EMPTY input the GROUP BY/HAVING oracle returns
+    an empty frame — n_total=0 must not make threshold 0 and let the
+    NULL branch emit a spurious (NULL, 0) row."""
+    from etl_procesos_odo_spark.llm.sketches import heavy_hitters
+
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters(empty, "k", theta=0.2).collect() == []
+    # all-null degenerate input still emits the legit NULL row
+    nulls = spark.createDataFrame([(None,)] * 7, "k string")
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(nulls, "k", 0.5).collect()}
+    assert got == {None: 7}
+
+
 def test_source_quota_null_group_kept(spark):
     """ADVICE r4: a NULL group key forms one partition under the
     single-window oracle form — the split (count-join) form must keep it
@@ -900,6 +914,33 @@ def test_band_min_k_equals_window_form(spark):
     # the hot bucket really was trimmed to the cap
     hot = [t for t in got if t[2] == "hot"]
     assert len(hot) == 10 and {t[0] for t in hot} == set(range(10))
+
+
+def test_band_min_k_null_band_key(spark):
+    """ADVICE r5: the pandas-side partial trim must keep NULL-keyed band
+    rows (dropna=False) — Spark's merge-side groupBy keeps NULL keys, so
+    the window-form identity must hold on a null-keyed hot bucket too."""
+    from pyspark.sql import Window
+
+    from etl_procesos_odo_spark.llm.dedup import band_min_k
+
+    rows = [(i, 0, None) for i in range(30)] + [
+        (100 + i, 1, "cold") for i in range(5)
+    ]
+    banded = spark.createDataFrame(
+        rows, "_id long, band_idx int, band_hash string"
+    ).repartition(4)
+    got = sorted(map(tuple, band_min_k(banded, 3).collect()))
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+    want = sorted(map(tuple, (
+        banded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .drop("_rk")
+    ).collect()))
+    assert got == want
+    assert [t for t in got if t[2] is None] == [
+        (0, 0, None), (1, 0, None), (2, 0, None)
+    ]
 
 
 def test_profile_columns_exact_knob(spark):

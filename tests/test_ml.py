@@ -45,3 +45,64 @@ def test_forecast_grid_clamped(spark):
     assert len(rows) == 7 * 24
     assert all(r["demanda_prevista"] >= 0.0 for r in rows)
     assert grid.columns == ["dia_semana", "hora", "demanda_prevista"]
+
+
+def test_lr_closed_form_matches_pyspark_ml(spark):
+    """The unrolled-Cholesky solve must agree with pyspark.ml's own
+    unregularized LinearRegression (normal solver) on the same
+    CORE_FEATURES design — independent cross-check of the math behind
+    q151's bit-exact oracle."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from etl_procesos_odo_spark.ml.forecast import (
+        CORE_FEATURES,
+        lr_forecast_closed_form,
+    )
+
+    events = _synthetic_events(spark)
+    feats = demand_features(events)
+    data = VectorAssembler(
+        inputCols=CORE_FEATURES, outputCol="features"
+    ).transform(feats)
+    model = LinearRegression(
+        labelCol="demanda", regParam=0.0, solver="normal"
+    ).fit(data)
+
+    got = {
+        (r["dia_semana"], r["hora"]): r["demanda_lr"]
+        for r in lr_forecast_closed_form(spark, events).collect()
+    }
+    assert len(got) == 7 * 24
+    b0 = model.intercept
+    b = model.coefficients
+    for (dia, hora), pred in got.items():
+        want = max(0.0, b0 + b[0] * dia + b[1] * hora + b[2] * 15.0)
+        assert abs(pred - want) <= 1e-6 * max(1.0, abs(want)), (
+            dia, hora, pred, want
+        )
+
+
+def test_cholesky_solve_exprs_identity(spark):
+    """The generated solve, fed a hand-built SPD system through plain
+    selectExpr, must reproduce the known solution."""
+    import numpy as np
+
+    from etl_procesos_odo_spark.ml.forecast import cholesky_solve_exprs
+
+    rng = np.random.RandomState(7)
+    A = rng.randint(-3, 4, size=(4, 6)).astype(float)
+    S = A @ A.T + np.eye(4)  # SPD
+    beta_true = np.array([1.5, -2.0, 0.25, 3.0])
+    bvec = S @ beta_true
+
+    cols = {f"s_{i}_{j}": float(S[i, j]) for i in range(4) for j in range(i + 1)}
+    cols.update({f"b_{i}": float(bvec[i]) for i in range(4)})
+    df = spark.createDataFrame(
+        [tuple(cols.values())], list(cols.keys())
+    )
+    for name, expr in cholesky_solve_exprs(4):
+        df = df.withColumn(name, F.expr(expr))
+    row = df.select("beta_0", "beta_1", "beta_2", "beta_3").collect()[0]
+    for i in range(4):
+        assert abs(row[i] - beta_true[i]) < 1e-9, (i, row[i], beta_true[i])
