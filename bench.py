@@ -189,6 +189,51 @@ def hybrid_routing_bench(spark, sf_dir: str) -> dict[str, float]:
     return res
 
 
+def striped_rank_bench(spark) -> dict[str, float]:
+    """Evidence for the partitioner's striped-rank scale claim
+    (operators/partitioner.py:_striped_global_rank): the adversarial
+    one-giant-unit case — 10M distinct keys in a SINGLE unit, where a
+    plain ``row_number() over (partition by unit ...)`` funnels the whole
+    unit through one task (the 10^8-keys-per-unit straggler the striping
+    exists for), vs the striped form (4096 high-bit stripes, parallel
+    local ranks + broadcast prefix offsets). Best-of-2 warm each; the
+    results are bit-identical (property-tested), this measures only the
+    straggler."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.operators.partitioner import (
+        _striped_global_rank,
+        seeded_order_hash,
+    )
+
+    keys = spark.range(10_000_000).select(
+        F.lit("u0").alias("unit"), F.col("id").alias("k")
+    )
+    striped = _striped_global_rank(
+        keys, "unit", "k", seeded_order_hash(F.col("k"), 42)
+    )
+    w = Window.partitionBy("unit").orderBy(
+        F.xxhash64(F.col("k").cast("string"), F.lit(42)), "k"
+    )
+    plain = keys.withColumn("_rk", F.row_number().over(w))
+    res: dict[str, float] = {}
+    try:
+        for tag, df in (("striped_rank_10m_one_unit_sec", striped),
+                        ("plain_window_rank_10m_one_unit_sec", plain)):
+            df.write.mode("overwrite").format("noop").save()  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            res[tag] = round(best, 3)
+    except Exception as exc:
+        print(f"BENCH ERROR striped_rank: {exc}", file=sys.stderr)
+    return res
+
+
 def _time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
     """Cold-time each registry query (optionally a subset) in registry
     order; -1.0 marks a failure (stderr carries the exception)."""
@@ -318,6 +363,7 @@ def main() -> None:
     single_session_total = round(time.perf_counter() - t0, 3)
     extras = skew_join_bench(spark, sf_dir)
     extras.update(hybrid_routing_bench(spark, sf_dir))
+    extras.update(striped_rank_bench(spark))
     extras["single_session_total_sec"] = single_session_total
     extras["single_session_errors"] = sum(1 for t in ss.values() if t < 0)
     extras["segments"] = n_seg

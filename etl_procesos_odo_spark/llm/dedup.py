@@ -1052,3 +1052,94 @@ def pagerank_rounds(
             .localCheckpoint(eager=False)
         )
     return rank
+
+
+def ngrams_all(col: Column | str, k: int = 3) -> Column:
+    """Word k-grams WITH multiplicity (no array_distinct) — the gram
+    stream for occurrence-level duplication stats. Same guarded
+    chained-zip_with build as :func:`shingles` (one array traversal,
+    stays in codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    grams = F.slice(w, 1, n)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(w, i + 1, n), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(w) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicated_gram_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Exact duplicated-n-gram rate per document — the corpus-governance
+    number behind exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": how much
+    of each document is corpus-repeated text). A gram occurrence is
+    *duplicated* when its k-gram occurs >= 2 times in the WHOLE corpus
+    (cross- or within-document).
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_rate) for EVERY document
+    (docs shorter than k tokens report 0 grams, rate 0.0). dup_rate is
+    one exact integer division — bit-stable across engines.
+
+    Shape chosen for 100 TB, not for brevity:
+
+    1. per-(gram, doc) occurrence counts via ``groupBy`` — map-side
+       partial aggregation collapses within-partition repeats BEFORE the
+       shuffle, so a pathological doc repeating one gram a million times
+       ships one partial row, not a million;
+    2. corpus totals per gram from those (gram, doc) partials (second
+       partial-aggregated shuffle, vocabulary-sized output);
+    3. equi-join the two on the gram key (both sides hash-partitioned on
+       ``gram`` by their aggregations — no extra distribution), then a
+       per-doc rollup.
+
+    A window (``sum over partition by gram``) would skip the join but
+    forfeits partial aggregation — every raw occurrence row of a
+    corpus-hot gram would funnel into one window partition. The reference
+    has no substring-duplication surface; this extends its dedup family
+    (SURVEY §2 dedup) with the training-data governance metric.
+    """
+    g = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(ngrams_all(F.col(text_col), k)).alias("gram"),
+    )
+    # gd feeds BOTH the totals aggregation and the join probe side; left
+    # lazy it would re-run the whole tokenize+explode+aggregate pipeline
+    # twice (the q132/q150 lazy-frame lesson). One persisted copy, managed
+    # by the module's capped-persist lifecycle.
+    gd = _persist_capped(
+        g.filter(F.col("gram").isNotNull())
+        .groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+    totals = gd.groupBy("gram").agg(F.sum("m").alias("tot"))
+    per_doc = (
+        gd.join(totals, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("m")).otherwise(0))
+            .cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

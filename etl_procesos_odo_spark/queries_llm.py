@@ -2890,3 +2890,47 @@ def q146_neardup_triangles(spark: SparkSession, sf_dir: str):
     n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_tri.crossJoin(n_e)
+
+
+@register(
+    "q152_dup_gram_rate",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM w
+    ),
+    gd AS (SELECT gram, doc_id, COUNT(*) AS m FROM g GROUP BY 1, 2),
+    t AS (SELECT gram, SUM(m) AS tot FROM gd GROUP BY 1),
+    p AS (
+      SELECT gd.doc_id, SUM(gd.m) AS n_grams,
+             SUM(CASE WHEN t.tot >= 2 THEN gd.m ELSE 0 END) AS n_dup
+      FROM gd JOIN t USING (gram) GROUP BY gd.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN p.n_grams IS NULL THEN 0.0
+                ELSE CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+                END AS dup_rate
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+    doc="Exact duplicated-3-gram rate per document (Lee et al. 2022 "
+    "substring-dedup governance: how much of each doc is corpus-repeated "
+    "text; extends the dedup family beyond whole/near-doc granularity). "
+    "Occurrence-level — a gram occurrence counts as duplicated when its "
+    "gram appears >= 2 times corpus-wide, within- or cross-document. "
+    "Scale shape in llm/dedup.py duplicated_gram_stats: per-(gram, doc) "
+    "partial-aggregated counts, vocabulary-sized totals, equi-join on "
+    "the gram key both sides already hash-partitioned on — a "
+    "window-over-gram would forfeit map-side combining on corpus-hot "
+    "grams. dup_rate is one exact integer division.",
+)
+def q152_dup_gram_rate(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import duplicated_gram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_gram_stats(docs, "text", "doc_id", k=3)

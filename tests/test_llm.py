@@ -1214,3 +1214,30 @@ def test_pagerank_star_graph(spark):
     # spokes are symmetric: identical ranks
     vals = {ranks[s] for s in spokes}
     assert len(vals) == 1
+
+
+def test_duplicated_gram_stats_crafted(spark):
+    """Occurrence-level duplicated-3-gram rate (q152's operator): within-
+    and cross-doc repeats both count, short docs report 0 grams, the rate
+    is an exact division."""
+    from etl_procesos_odo_spark.llm.dedup import duplicated_gram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # grams: abc, bca, cab, abc (abc twice)
+            (2, "a b c x"),       # grams: abc, bcx (abc shared with d1)
+            (3, "q r"),           # < 3 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_rate"])
+        for r in duplicated_gram_stats(docs, "text", "doc_id").collect()
+    }
+    # 'a b c' occurs 3x corpus-wide: d1's two occurrences and d2's one
+    # are all duplicated; every other gram is unique
+    assert got == {
+        1: (4, 2, 0.5),
+        2: (2, 1, 0.5),
+        3: (0, 0, 0.0),
+    }

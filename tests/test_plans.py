@@ -241,6 +241,13 @@ def test_driver_head_curation():
         "funnel": "q116_funnel",
         "retrieval_lexical": "q110_bm25_search",
         "retrieval_hybrid_routed": "q120_hybrid_rrf_routed",
+        # r6 swaps: q59/q60/q72/q18 rotate out (families doubly covered,
+        # see COVERAGE.md round-6); these four carry previously
+        # driver-unseen families
+        "ml_predict_oracle": "q151_lr_forecast_grid",
+        "range_join": "q121_attribution_range_join",
+        "entity_resolution": "q149_sorted_neighborhood",
+        "graph_analytics": "q134_pagerank_neardup",
     }
     missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
     assert not missing, missing

@@ -164,3 +164,97 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
         .collect()
     }
     assert second == expected
+
+
+def test_checkpoint_restart_session_window(spark, tmp_path):
+    """Checkpointed restart for the SESSION-WINDOW family (q69's
+    sessionized_stream): stop mid-corpus, add a file whose events EXTEND
+    an already-emitted session (the state-merge case unique to session
+    windows — the restarted query must recover the open session from the
+    state store and widen it, not emit a duplicate), plus a brand-new
+    session, then restart from the SAME checkpoint. The final complete-
+    mode output must equal the batch session_window answer exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_procesos_odo_spark.streaming.temporal import sessionized_stream
+
+    src = tmp_path / "src"
+    chk = str(tmp_path / "chk")
+    src.mkdir()
+
+    def ts(h, m):
+        return datetime.datetime(2024, 3, 1, h, m)
+
+    batch1 = [("A", ts(10, 0), 1.5), ("A", ts(10, 10), 2.0),
+              ("B", ts(9, 0), 4.25)]
+    # A @10:25 is within the 30-min gap of A's (10:00-10:40) session ->
+    # the restarted query must EXTEND that session's state; A @12:00 and
+    # C are new sessions
+    batch2 = [("A", ts(10, 25), 0.5), ("A", ts(12, 0), 3.0),
+              ("C", ts(11, 0), 7.0)]
+
+    def write_file(rows, name):
+        pq.write_table(
+            pa.table({
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows],
+                               type=pa.timestamp("us", tz="UTC")),
+                "value": [r[2] for r in rows],
+            }),
+            str(src / name),
+        )
+
+    write_file(batch1, "a.parquet")
+
+    def run_once(name):
+        stream = spark.readStream.schema(
+            "user_id string, ts timestamp, value double"
+        ).parquet(str(src))
+        q = (
+            sessionized_stream(stream, gap="30 minutes")
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name).option("checkpointLocation", chk).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        return sorted(map(tuple, rows))
+
+    first = run_once("sess_chk_run1")
+    # pre-restart: A holds ONE open session (10:00-10:40), B one
+    assert len(first) == 2
+    write_file(batch2, "b.parquet")
+    second = run_once("sess_chk_run2")
+
+    all_rows = spark.createDataFrame(
+        batch1 + batch2, "user_id string, ts timestamp, value double"
+    )
+    expected = sorted(map(tuple, (
+        all_rows.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    ).collect()))
+    assert second == expected
+    # the extended A session is one widened row (10:00 -> 10:55), with
+    # all three events and the exact decimal sum — not a duplicate pair
+    a_sessions = [r for r in second if r[0] == "A"]
+    assert len(a_sessions) == 2  # widened morning session + noon session
+    widened = min(a_sessions, key=lambda r: r[1])
+    assert widened[3] == 3 and abs(widened[4] - 4.0) < 1e-12
