@@ -1216,3 +1216,91 @@ def hard_negatives_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= n)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """EXACT all-pairs TF-IDF cosine similarity self-join over word
+    k-gram terms (Bayardo et al., WWW'07 family) — the exact complement
+    to the MinHash/LSH near-dup arms: every pair whose weighted cosine
+    clears ``threshold`` is found, no banding recall gamble.
+
+    Inverted-index shape, not a cross join: per-(term, doc) tf counts
+    pair documents THROUGH the term key, and the ``max_df`` cap drops
+    corpus-boilerplate terms — the standard prefix/df pruning that keeps
+    per-term fan-out at df² <= max_df² pairs (at corpus scale state the
+    cap as a df/N ratio; the absolute default fits the fixtures). A
+    dropped term contributes ~zero discrimination anyway (its idf is the
+    vocabulary floor), and the metric is DEFINED over the capped
+    vocabulary so the oracle matches exactly.
+
+    Exactness discipline (q89): weights are integer-quantized —
+    wq = round(tf * idf * scale) with the rational idf
+    (2N - 2df + 1)/(2df + 1) (the BM25 idf's ln-free form; ln is not
+    cross-engine-stable) — so norms and dot products are EXACT integer
+    sums in decimal(38,0)/HUGEINT, order-independent under any
+    partitioning, and the final cosine is one shared double expression
+    over exact integers: bit-identical across engines.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from .dedup import _persist_capped, ngrams_all
+
+    g = _spread(docs).select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_all(F.col(text_col), k)).alias("term"),
+    )
+    tf = g.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tfc"))
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter(F.col("dfc") <= max_df)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    wt = _persist_capped(
+        tf.join(dfq, on="term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "_id",
+            F.expr(
+                f"CAST(round((tfc * (2 * nd - 2 * dfc + 1) * {scale}.0)"
+                " / (2 * dfc + 1)) AS BIGINT)"
+            ).alias("wq"),
+        )
+    )
+    nrm = wt.groupBy("_id").agg(
+        F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("nsq")
+    )
+    wa = wt.select(F.col("_id").alias("id_a"), "term",
+                   F.col("wq").alias("wa"))
+    wb = wt.select(F.col("_id").alias("id_b"), "term",
+                   F.col("wq").alias("wb"))
+    dots = (
+        wa.join(wb, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb"))
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("_id").alias("id_a"), F.col("nsq").alias("na"))
+    nb = nrm.select(F.col("_id").alias("id_b"), F.col("nsq").alias("nb"))
+    cos = F.expr(
+        "CAST(dot AS DOUBLE)"
+        " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+    )
+    return (
+        dots.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

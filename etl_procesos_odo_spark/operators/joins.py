@@ -264,3 +264,61 @@ def sorted_neighborhood_pairs(
             F.col("_gap").cast("long").alias("rank_gap"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_keys: Sequence[str],
+    r_keys: Sequence[str],
+    l_start: str = "start_us",
+    l_end: str = "end_us",
+    r_start: str = "r_start_us",
+    r_end: str = "r_end_us",
+    bin_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join via time binning — the
+    two-sided generalization of :func:`range_join_binned` ("which
+    sessions ran during an incident window"). A naive
+    ``l.start < r.end AND r.start < l.end`` predicate is a nested-loop
+    join; this stays an equi-join:
+
+    - BOTH sides explode to every ``bin_us`` bucket they overlap
+      (``sequence(floor(start/w), floor(end/w))``);
+    - candidates pair on the shared bucket (hash-partitioned equi-join —
+      two overlapping intervals must share at least one bucket, so
+      recall is exact);
+    - a pair spanning several shared buckets appears once per bucket, so
+      a ``distinct`` over (keys + endpoints) collapses it — bounded by
+      the true candidate set, never the cross product;
+    - the exact predicate keeps pairs with POSITIVE overlap
+      (``least(ends) - greatest(starts) > 0``; a session that merely
+      touches an incident boundary does not overlap it), and the same
+      expression is the returned ``overlap_us``.
+
+    Endpoint units are epoch micros (BIGINT) on both sides, so the
+    overlap arithmetic is exact integer math. Columns must be disjoint
+    between the two inputs (pre-alias); all are passed through. Hot
+    buckets (many concurrent intervals) are ordinary equi-join skew —
+    AQE split / salting apply as usual.
+    """
+    def bins(s: str, e: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / F.lit(bin_us)).cast("long"),
+                F.floor(F.col(e) / F.lit(bin_us)).cast("long"),
+            )
+        )
+
+    lb = left.withColumn("_bin", bins(l_start, l_end))
+    rb = right.withColumn("_bin", bins(r_start, r_end))
+    ov = F.least(F.col(l_end), F.col(r_end)) - F.greatest(
+        F.col(l_start), F.col(r_start)
+    )
+    return (
+        lb.join(rb, on="_bin")
+        .drop("_bin")
+        .distinct()
+        .filter(ov > 0)
+        .withColumn("overlap_us", ov.cast("long"))
+    )

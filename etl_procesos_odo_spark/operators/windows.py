@@ -186,3 +186,31 @@ def ewma_time_decay(
         order_tiebreak,
         value_col,
     ).groupBy(key_col).applyInPandas(per_key, schema=out_schema)
+
+
+def coalesce_islands(
+    df: DataFrame, part_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Gaps-and-islands: merge rows whose ``seq_col`` values are
+    CONSECUTIVE integers (per ``part_cols`` group) into one island row —
+    the classic ``seq - row_number()`` constant-per-island trick, so the
+    whole coalesce is one ranked window plus one aggregate.
+
+    Returns ``part_cols + (seq_start, seq_end, n_rows)`` with seq_end
+    inclusive. Scale: the window and the (part, island) groupBy share
+    ONE exchange (hash partitioning on part_cols satisfies the superset
+    grouping's clustered distribution), and per-row window state is just
+    the running rank. Feeds interval construction (e.g. busy hours →
+    incident windows for q153).
+    """
+    w = Window.partitionBy(*part_cols).orderBy(seq_col)
+    return (
+        df.withColumn("_isl", F.col(seq_col) - F.row_number().over(w))
+        .groupBy(*part_cols, "_isl")
+        .agg(
+            F.min(seq_col).alias("seq_start"),
+            F.max(seq_col).alias("seq_end"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .drop("_isl")
+    )

@@ -2244,3 +2244,146 @@ def q150_rolling_wau(spark: SparkSession, sf_dir: str):
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q153_incident_session_overlap",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+      FROM s GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_num,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t, COUNT(*) AS hrs
+            FROM h GROUP BY 1),
+    busy AS (
+      SELECT h.event_type, h.hour_num
+      FROM h JOIN tot USING (event_type)
+      WHERE 2 * h.n * tot.hrs >= 3 * tot.t
+    ),
+    isl AS (
+      SELECT event_type, hour_num,
+             hour_num - row_number() OVER (PARTITION BY event_type
+                                           ORDER BY hour_num) AS grp
+      FROM busy
+    ),
+    inc AS (
+      SELECT event_type, MIN(hour_num) * 3600000000 AS i0,
+             (MAX(hour_num) + 1) * 3600000000 AS i1
+      FROM isl GROUP BY event_type, grp
+    ),
+    ov AS (
+      SELECT sess.user_id, sess.session_seq,
+             least(sess.end_us, inc.i1)
+               - greatest(sess.start_us, inc.i0) AS ov_us
+      FROM sess JOIN inc
+        ON least(sess.end_us, inc.i1)
+             - greatest(sess.start_us, inc.i0) > 0
+    )
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(SUM(ov_us) AS BIGINT) AS overlap_us
+    FROM ov GROUP BY user_id, session_seq
+    """,
+    doc="Which user sessions ran during a volume incident, and for how "
+    "long — composes THREE operator families: (1) exact rational "
+    "busy-hour classification per event_type (an hour is busy when its "
+    "count >= 1.5x the type's hourly mean, stated as the integer "
+    "cross-product 2*n*hrs >= 3*t so the boundary is bit-identical), "
+    "(2) gaps-and-islands coalescing of consecutive busy hours into "
+    "incident intervals (operators/windows.py coalesce_islands: the "
+    "seq - row_number constant-island trick, one exchange), and (3) the "
+    "interval-x-interval OVERLAP join (operators/joins.py "
+    "interval_overlap_join: both sides explode to shared hour buckets, "
+    "candidates pair on an EQUI-key — never a nested loop — then the "
+    "exact positive-overlap predicate filters and measures). Overlap "
+    "micros are exact integer arithmetic end to end. Sessions are the "
+    "q127 30-min-gap build sharing one per-user exchange.",
+)
+def q153_incident_session_overlap(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .operators.joins import interval_overlap_join
+    from .operators.windows import coalesce_islands
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(wo).alias("prev_ts")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 1_800_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = (
+        m.withColumn(
+            "session_seq",
+            F.sum("is_new")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).cast("long").alias("start_us"),
+            F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
+        )
+    )
+    h = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_num"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("hrs")
+    )
+    busy = (
+        h.join(F.broadcast(tot), on="event_type")
+        .filter(2 * F.col("n") * F.col("hrs") >= 3 * F.col("t"))
+        .select("event_type", "hour_num")
+    )
+    inc = coalesce_islands(busy, ["event_type"], "hour_num").select(
+        "event_type",
+        (F.col("seq_start") * 3_600_000_000).cast("long")
+        .alias("inc_start_us"),
+        ((F.col("seq_end") + 1) * 3_600_000_000).cast("long")
+        .alias("inc_end_us"),
+    )
+    ovj = interval_overlap_join(
+        sess, inc,
+        l_keys=["user_id", "session_seq"], r_keys=["event_type"],
+        l_start="start_us", l_end="end_us",
+        r_start="inc_start_us", r_end="inc_end_us",
+    )
+    return ovj.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum("overlap_us").cast("long").alias("overlap_us"),
+    )

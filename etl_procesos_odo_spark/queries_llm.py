@@ -2934,3 +2934,62 @@ def q152_dup_gram_rate(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_gram_stats(docs, "text", "doc_id", k=3)
+
+
+# non-distinct k-gram terms (multiplicity matters for tf); the distinct
+# O_SHINGLES above serves the Jaccard/MinHash set semantics
+O_GRAMS_ALL = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+
+
+@register(
+    "q154_tfidf_cosine_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    tkn AS (SELECT doc_id, unnest({O_GRAMS_ALL}) AS term FROM w),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tfc FROM tkn GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1
+            HAVING COUNT(*) <= 50),
+    nn AS (SELECT COUNT(*) AS nd FROM documents),
+    wt AS (
+      SELECT term, doc_id,
+             CAST(round((tfc * (2 * nd - 2 * dfc + 1) * 1000.0)
+                        / (2 * dfc + 1)) AS HUGEINT) AS wq
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    ),
+    nrm AS (SELECT doc_id, SUM(wq * wq) AS nsq FROM wt GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wq * b.wq) AS dot
+      FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cos_sim
+      FROM dots JOIN nrm na ON na.doc_id = dots.id_a
+                JOIN nrm nb ON nb.doc_id = dots.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM cs WHERE cos_sim >= 0.5
+    """,
+    doc="Exact all-pairs TF-IDF cosine self-join over 3-gram terms "
+    "(Bayardo et al. WWW'07 all-pairs family; llm/similarity.py "
+    "tfidf_cosine_pairs) — the exact complement to the MinHash/SimHash "
+    "approximate arms: guaranteed recall at the threshold, via the "
+    "inverted-index equi-join with df-cap pruning (per-term fan-out "
+    "bounded by max_df^2, boilerplate terms dropped BY DEFINITION of "
+    "the capped-vocabulary metric so Spark and the oracle agree "
+    "exactly). Integer-quantized weights with the rational ln-free idf "
+    "make norms/dots exact decimal/HUGEINT sums; the cosine is one "
+    "shared double expression — bit-identical across engines.",
+)
+def q154_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str):
+    from .llm.similarity import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_df=50
+    )

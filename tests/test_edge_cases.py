@@ -252,3 +252,47 @@ def test_lsh_bands_divisibility_guard(spark):
     # the valid case still works
     out = lsh_bands(df, "_id", num_hashes=3, bands=3)
     assert out.count() == 3
+
+
+def test_coalesce_islands_crafted(spark):
+    """Gaps-and-islands: consecutive runs merge, gaps split, per-group
+    independence, singleton islands survive."""
+    from etl_procesos_odo_spark.operators.windows import coalesce_islands
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 7), ("a", 9), ("a", 10),
+            ("b", 2), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, s long").repartition(4)
+    got = sorted(
+        map(tuple, coalesce_islands(df, ["g"], "s").collect())
+    )
+    assert got == [
+        ("a", 1, 3, 3), ("a", 7, 7, 1), ("a", 9, 10, 2),
+        ("b", 2, 2, 1), ("b", 4, 4, 1),
+    ]
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Binned overlap join: positive-overlap pairs only (touching
+    boundaries excluded), each pair exactly once even when it shares
+    MANY buckets, exact integer overlap length."""
+    from etl_procesos_odo_spark.operators.joins import interval_overlap_join
+
+    W = 10  # tiny bin width so multi-bucket spans exercise the distinct
+    left = spark.createDataFrame(
+        [("s1", 5, 25),    # overlaps i1 [0,20) by 15 and i2 [20,30) by 5
+         ("s2", 30, 40),   # touches i2's end exactly -> no overlap with i2
+         ("s3", 95, 105)], # overlaps nothing
+        "sid string, start_us long, end_us long",
+    )
+    right = spark.createDataFrame(
+        [("i1", 0, 20), ("i2", 20, 30), ("i3", 40, 60)],
+        "iid string, r_start_us long, r_end_us long",
+    )
+    got = {
+        (r["sid"], r["iid"]): r["overlap_us"]
+        for r in interval_overlap_join(
+            left, right, ["sid"], ["iid"], bin_us=W
+        ).collect()
+    }
+    # s2 [30,40] vs i3 [40,60): touching -> excluded; vs i2 [20,30): 0 -> excluded
+    assert got == {("s1", "i1"): 15, ("s1", "i2"): 5}

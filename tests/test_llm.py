@@ -1241,3 +1241,51 @@ def test_duplicated_gram_stats_crafted(spark):
         2: (2, 1, 0.5),
         3: (0, 0, 0.0),
     }
+
+
+def test_tfidf_cosine_pairs_exact(spark):
+    """Exact all-pairs TF-IDF cosine (q154's operator): the planted
+    near-dup pair is found (exact recall at threshold — no LSH banding
+    gamble), unrelated docs are not, ids are ordered a < b, and the
+    score matches an independent numpy recomputation from the same
+    quantized weights bit-for-bit."""
+    import math
+    from collections import Counter
+
+    from etl_procesos_odo_spark.llm.similarity import tfidf_cosine_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    far = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    ).repartition(3)
+    rows = tfidf_cosine_pairs(
+        df, "text", "doc_id", threshold=0.5, max_df=50
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+    # independent recompute with the same integer quantization
+    def grams(text):
+        w = text.split()
+        return Counter(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+        )
+    docs = {1: grams(base), 2: grams(near), 3: grams(far)}
+    dfc = Counter()
+    for g in docs.values():
+        dfc.update(g.keys())
+    nd = 3
+
+    def wq(tf, d):
+        return round((tf * (2 * nd - 2 * d + 1) * 1000.0) / (2 * d + 1))
+    w1 = {t: wq(c, dfc[t]) for t, c in docs[1].items()}
+    w2 = {t: wq(c, dfc[t]) for t, c in docs[2].items()}
+    dot = sum(w1[t] * w2[t] for t in set(w1) & set(w2))
+    na = sum(v * v for v in w1.values())
+    nb = sum(v * v for v in w2.values())
+    want = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+    assert rows[0]["cos_sim"] == want
+    # the rare trailing gram's high idf weight drags the near-dup cosine
+    # well below its unweighted Jaccard (~0.95) — still far above threshold
+    assert want > 0.8
