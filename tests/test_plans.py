@@ -600,3 +600,53 @@ def test_triangles_only_stat_row_nested_loop(plan):
     p = plan("q146_neardup_triangles")
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime-filter scale lever: when a selective dim filter feeds a
+    SHUFFLE join (broadcast disabled — the big-big case), Spark's
+    InjectRuntimeFilter must push a bloom-filter probe
+    (``might_contain``) onto the FACT side scan, so fact rows that
+    cannot join are dropped before the shuffle. This is the free
+    companion to the engine's salting/AQE skew strategy at 100 TB —
+    pin that our plain equi-join plans stay eligible for it."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local fixtures are far below the production 10 MB / 10 GB
+        # defaults, so scale the thresholds down to the fixture sizes —
+        # the RULE under test is size-gated, not shape-gated
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "1GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        ords = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and the probe targets the fact side's join key
+        assert any(
+            "might_contain" in l and "l_orderkey" in l
+            for l in plan.splitlines()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
