@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .llm.dedup import (
     decontaminate,
+    decontaminate_bloom,
     dedup_clusters,
     dedup_clusters_bigstar,
     exact_dedup,
@@ -851,6 +852,46 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(
         train, bench, "text", "doc_id", k=3, min_shared=2, max_df=20
+    )
+
+
+@register(
+    "q155_decontaminate_bloom",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    b AS (SELECT doc_id AS b_id, g FROM e WHERE doc_id % 37 = 0),
+    keep AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= 10),
+    bk AS (SELECT b_id, g FROM b WHERE g IN (SELECT g FROM keep)),
+    t AS (SELECT doc_id, g FROM e WHERE doc_id % 37 <> 0),
+    p AS (SELECT t.doc_id, bk.b_id, COUNT(*) AS n_shared
+          FROM t JOIN bk USING (g)
+          GROUP BY t.doc_id, bk.b_id
+          HAVING COUNT(*) >= 2)
+    SELECT doc_id,
+           COUNT(*) AS n_bench_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
+           MAX(n_shared) AS max_shared
+    FROM p GROUP BY doc_id
+    """,
+    doc="Bloom-join decontamination: benchmark docs (doc_id % 37 = 0) are "
+    "eval-suite-sized and fixed, so their shingles compress into a 256 KB "
+    "broadcast Bloom bitmap (built as a one-row aggregate, no collect); "
+    "the corpus side is filtered AT THE SCAN by five unrolled bit probes "
+    "and only the survivors enter the exact inverted-index verify join — "
+    "false positives die there, so the result is bit-identical to the "
+    "plain SQL. The oracle never sees the bloom: it is a pure prefilter. "
+    "At 100 TB this removes the train-side global shuffle that q71's "
+    "combined-df cap requires; the bench-side df cap (<= 10 bench docs) "
+    "costs one small-side aggregate.",
+)
+def q155_decontaminate_bloom(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(
+        train, bench, "text", "doc_id", k=3, min_shared=2, bench_max_df=10
     )
 
 

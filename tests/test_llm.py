@@ -198,6 +198,65 @@ def test_decontaminate_max_df_drops_boilerplate(spark):
     assert out.count() == 0
 
 
+def test_decontaminate_bloom_matches_exact_plan(spark):
+    # the bloom prefilter is transparent: false positives die in the
+    # exact verify join, so prefilter=True/False must be bit-identical
+    from etl_procesos_odo_spark.llm.dedup import decontaminate_bloom
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then " + bench_text + " plus a trailing tail"),
+            (2, "nothing in common with anything else at all here"),
+            (3, "quick brown fox appears"),
+            (4, bench_text + " again " + bench_text),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text), (101, "a second benchmark prompt entirely")],
+        ["doc_id", "text"],
+    )
+    kw = dict(k=3, min_shared=2, bench_max_df=10)
+    with_bloom = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            train, bench, "text", "doc_id", prefilter=True, **kw
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            train, bench, "text", "doc_id", prefilter=False, **kw
+        ).collect()
+    )
+    assert with_bloom == exact
+    assert [t[0] for t in with_bloom] == [1, 4]
+    # a deliberately tiny, saturated bitmap (all probes collide) still
+    # yields the exact answer — correctness never depends on the fpp
+    saturated = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            train, bench, "text", "doc_id", prefilter=True, m_bits=64, **kw
+        ).collect()
+    )
+    assert saturated == exact
+
+
+def test_decontaminate_bloom_empty_bench(spark):
+    # degenerate input: no benchmark docs -> empty (all-zero) bitmap ->
+    # every probe false -> empty result, same as the exact plan
+    from etl_procesos_odo_spark.llm.dedup import decontaminate_bloom
+
+    train = spark.createDataFrame(
+        [(1, "some training text with enough words here")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        decontaminate_bloom(train, bench, "text", "doc_id").count() == 0
+    )
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),

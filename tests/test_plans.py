@@ -311,6 +311,21 @@ def test_decontaminate_no_cartesian(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_decontaminate_bloom_probe_is_scan_side(plan):
+    """q155: the Bloom bitmap enters the corpus-side plan as a LITERAL
+    inside the probe filter (the InjectRuntimeFilter shape — shipped once
+    per task with the plan, never row-joined: a 1-row broadcast join was
+    measured at 56 s vs 4 s because the 256 KB bitmap is copied into
+    every joined row), so the probe plan must contain the xxhash64 bit
+    tests but NO nested-loop/cartesian join and no bitmap-side
+    aggregate."""
+    p = plan("q155_decontaminate_bloom")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "xxhash64" in p and "bit_get" in p, p
+    assert "bit_or" not in p, p  # bitmap build ran as its own bounded job
+
+
 def test_quantized_rerank_ivf_no_full_crossjoin(spark):
     """The large-batch rerank variant: stage 1 must pair queries with
     posting lists via an EQUI-join on the cell id — the query x corpus
