@@ -652,8 +652,8 @@ def bloom_bitmap_bits(
     probe is an O(1) constant-array load inside whole-stage codegen.
     The rejected alternative (1-row bitmap frame + broadcast join) costs
     a 256 KB row-join copy PER CORPUS ROW plus an O(m·entries) densify —
-    measured 56 s vs 4 s at sf0.1. Same bounded-sketch-collect class as
-    ``sketches.py`` (fixed size regardless of input scale)."""
+    measured 56 s vs 12 s cold at sf0.1. Same bounded-sketch-collect
+    class as ``sketches.py`` (fixed size regardless of input scale)."""
     nwords = m_bits // 64
     h1, h2 = _bloom_hashes(F.col(col), m_bits)
     probes = df.select(h1.alias("_bh1"), h2.alias("_bh2"))
