@@ -257,6 +257,35 @@ def test_decontaminate_bloom_empty_bench(spark):
     )
 
 
+def test_bloom_bitmap_no_false_negatives_and_bounded_fpp(spark):
+    # the load-bearing bloom contract, tested on the real Spark path with
+    # a seeded 5k-key set: every inserted key MUST pass the probe (false
+    # negatives would silently drop true contamination evidence — the
+    # verify join can only remove, never restore); disjoint non-keys may
+    # pass only at a rate consistent with the m/n/k design point
+    import numpy as np
+
+    from etl_procesos_odo_spark.llm.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_bitmap_bits,
+        bloom_probe_filter,
+    )
+
+    rng = np.random.RandomState(7)
+    keys = [f"key {rng.randint(10**9)} v{i}" for i in range(5000)]
+    non_keys = [f"other {rng.randint(10**9)} w{i}" for i in range(5000)]
+    kdf = spark.createDataFrame([(k,) for k in keys], ["g"])
+    bits = bloom_bitmap_bits(kdf, "g", BLOOM_M_BITS, BLOOM_K)
+    probe = bloom_probe_filter(F.col("g"), bits, BLOOM_M_BITS, BLOOM_K)
+    assert kdf.filter(probe).count() == len(keys)  # zero false negatives
+    ndf = spark.createDataFrame([(k,) for k in set(non_keys) - set(keys)], ["g"])
+    fp = ndf.filter(probe).count()
+    # design point: n=5k keys, m=2^21, k=3 -> fpp ~ (1-e^{-3n/m})^3 ~ 3e-7;
+    # allow a huge margin — the assert is about ORDER, not the exact rate
+    assert fp <= 50, fp
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),
