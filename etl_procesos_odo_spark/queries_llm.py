@@ -855,9 +855,10 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "q155_decontaminate_bloom",
-    f"""
+# Shared by q155 (batch) and q156 (the same gate under Structured
+# Streaming): both must equal this exact inverted-index SQL — the bloom
+# prefilter and the execution mode are both transparent to the result.
+O_DECON_BLOOM = f"""
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
     sh AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
     e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -874,7 +875,12 @@ def q71_decontaminate(spark: SparkSession, sf_dir: str):
            CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
            MAX(n_shared) AS max_shared
     FROM p GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "q155_decontaminate_bloom",
+    O_DECON_BLOOM,
     doc="Bloom-join decontamination: benchmark docs (doc_id % 37 = 0) are "
     "eval-suite-sized and fixed, so their shingles compress into a 256 KB "
     "broadcast Bloom bitmap (built as a one-row aggregate, no collect); "

@@ -482,3 +482,77 @@ def q131_streaming_quality_gate(spark: SparkSession, sf_dir: str):
 
     stats = quality_gate_stats(documents_stream(spark, sf_dir))
     return run_to_memory(stats, "q131_quality_gate_out", "complete")
+
+
+def _q156_oracle() -> str:
+    # the SAME SQL as q155: the bloom prefilter AND the execution engine
+    # (batch vs Structured Streaming) are both transparent to the result
+    from .queries_llm import O_DECON_BLOOM
+
+    return O_DECON_BLOOM
+
+
+@register(
+    "q156_streaming_decontaminate",
+    _q156_oracle(),
+    doc="The q155 decontamination gate under Structured Streaming, "
+    "proving the batch/streaming unification of the hygiene stack: "
+    "corpus documents arrive on a file-source stream, are shingled and "
+    "probed against the SAME literal bloom bitmap (a pure scan "
+    "expression — streaming-safe by construction), and survivors flow "
+    "through a STATELESS stream-static equi-join with the capped bench "
+    "shingle frame into an append-mode sink; the per-pair and per-doc "
+    "rollups run as the downstream batch step (chained streaming "
+    "aggregations are unsupported, and a production gate emits match "
+    "events to Kafka/Delta for exactly this kind of rollup anyway). "
+    "The whole streaming plan holds ZERO state: filter + explode + "
+    "bloom probe + broadcast stream-static join, so there is no "
+    "watermark to tune and per-micro-batch cost is pure scan work. "
+    "Oracle: identical to q155 — mode-invariance is the claim.",
+)
+def q156_streaming_decontaminate(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .llm.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        _persist_capped,
+        _spread,
+        bloom_bitmap_bits,
+        bloom_probe_filter,
+        shingles,
+    )
+    from .registry import load_table
+    from .streaming.temporal import documents_stream, run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    b = _spread(bench).select(
+        F.col("doc_id").alias("b_id"),
+        F.explode(shingles(F.col("text"), 3)).alias("g"),
+    )
+    keep = (
+        b.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= 10)
+        .select("g")
+    )
+    b = _persist_capped(b.join(keep, "g"))
+    bits = bloom_bitmap_bits(b.select("g").distinct(), "g")
+
+    stream = documents_stream(spark, sf_dir).filter(F.col("doc_id") % 37 != 0)
+    t = stream.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g")
+    )
+    surv = t.filter(bloom_probe_filter(F.col("g"), bits, BLOOM_M_BITS, BLOOM_K))
+    matched = surv.join(b, "g").select("doc_id", "b_id")
+    out = run_to_memory(matched, "q156_streaming_decontaminate_out", "append")
+    pair = (
+        out.groupBy("doc_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pair.groupBy("doc_id").agg(
+        F.count("*").alias("n_bench_docs"),
+        F.sum("n_shared").alias("n_shared_shingles"),
+        F.max("n_shared").alias("max_shared"),
+    )

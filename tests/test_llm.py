@@ -286,6 +286,25 @@ def test_bloom_bitmap_no_false_negatives_and_bounded_fpp(spark):
     assert fp <= 50, fp
 
 
+def test_streaming_decontaminate_mode_invariance(spark):
+    # q156's claim IS mode-invariance: the streaming gate (file-source
+    # stream -> bloom probe -> stateless stream-static join -> batch
+    # rollup) must produce exactly the batch q155 result
+    from etl_procesos_odo_spark.registry import registry
+
+    qs = {q.name: q for q in registry()}
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(
+        tuple(r) for r in qs["q155_decontaminate_bloom"].spark_fn(spark, sf).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in qs["q156_streaming_decontaminate"].spark_fn(spark, sf).collect()
+    )
+    assert streamed == batch
+    assert len(batch) > 0  # non-vacuous at this sf
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),
