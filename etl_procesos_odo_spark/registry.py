@@ -85,7 +85,15 @@ DRIVER_HEAD: tuple[str, ...] = (
     # (r4 head swaps: q32 -> q103 — q32's exact shape runs inside q67 and
     # q102; q68 -> q104 — LSH-ANN still evidenced by q39/q48 back-half
     # rows + r3 driver row for q68)
-    "q30_dedup_exact", "q103_semantic_dedup", "q67_minhash_lsh_collapsed",
+    # (r7 swap q30 -> q155: q30's exact digest-groupBy dedup shape runs
+    # INSIDE q67's exact-first collapsed-LSH head row and q82's
+    # block-dedup head row, so the row was doubly covered; q30 stays
+    # green in the back-half censuses. q155 is the bloom-join
+    # decontamination gate — the round-6 flagship scale operator
+    # (scan-side bitmap probe + exact verify join, bloom≡exact) with no
+    # driver-row class until now.)
+    "q155_decontaminate_bloom", "q103_semantic_dedup",
+    "q67_minhash_lsh_collapsed",
     "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q82_block_dedup",
     "q71_decontaminate",
     # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
@@ -120,10 +128,24 @@ DRIVER_HEAD: tuple[str, ...] = (
     # covered; q72 stays green in the back-half censuses. q149 is
     # sorted-neighborhood entity resolution, a new-in-r5 family with no
     # driver row class.)
-    "q149_sorted_neighborhood", "q109_mix_rebalance", "q75_pack_sequences",
+    # (r7 swap q75 -> q153: the sequence-packing family stays evidenced
+    # by q76's chunking head row (same bin-assignment/window shape over
+    # the same token-count base; q75 adds only the FFD bin heuristic on
+    # top) and q75 stays green in the back-half censuses. q153 is the
+    # interval-overlap join + gaps-and-islands coalesce, a new-in-r6
+    # operator family with no driver-row class.)
+    "q149_sorted_neighborhood", "q109_mix_rebalance",
+    "q153_incident_session_overlap",
     "q76_chunk_documents",
     # multimodal + capstone
-    "q42_multimodal_features", "q100_corpus_prep_v3",
+    # (r7 swap q42 -> q154: the multimodal mapInPandas plumbing family
+    # stays evidenced by q62's head row — q62 FUSES resize + frame-sample
+    # over the same attach_payload binary column and strictly widens
+    # q42's feature-extraction batch shape; q42 stays green in the
+    # back-half censuses. q154 is the exact all-pairs TF-IDF cosine
+    # (inverted-index equi-join, df-cap-pruned), the exact complement to
+    # the approximate similarity arms, new in r6 with no driver row.)
+    "q154_tfidf_cosine_pairs", "q100_corpus_prep_v3",
     # relational §2 family representatives (filters P2-P7; Pareto A6/A13;
     # top-N W4/W6/X7; set ops J7/X1-X3; scalar kit F9/F17/F19/F24;
     # salted skew join; as-of join)
