@@ -196,12 +196,50 @@ def range_join_binned(
     return joined.drop("_bin")
 
 
+def _adaptive_stripe_len(
+    df: DataFrame,
+    sort_col: str,
+    lengths: Sequence[int],
+    target_stripes: int,
+) -> int:
+    """Shortest candidate prefix length whose largest stripe holds no
+    more than ``total / target_stripes`` records (falls back to the
+    longest candidate when none qualifies — e.g. every key identical,
+    where no prefix can split the stripe). ONE pass over the key column:
+    prefixes nest, so a ``rollup`` over the candidate substrings yields
+    per-length stripe counts in a single aggregation; only the ≤
+    ``len(lengths)+1`` (level, max_count) rows reach the driver."""
+    lengths = sorted(set(lengths))
+    subs = [
+        F.substring(F.col(sort_col), 1, n).alias(f"_p{n}") for n in lengths
+    ]
+    stats = dict(
+        df.select(*subs)
+        .rollup(*[f"_p{n}" for n in lengths])
+        .agg(F.count(F.lit(1)).alias("_c"), F.grouping_id().alias("_g"))
+        .groupBy("_g")
+        .agg(F.max("_c").alias("_mx"))
+        .collect()
+    )
+    total = stats.get(2 ** len(lengths) - 1, 0)  # the () grand-total level
+    if not total:
+        return lengths[0]
+    bound = max(1, -(-total // target_stripes))  # ceil div
+    for i, n in enumerate(lengths):
+        # rollup level grouping only the first i+1 prefixes has the
+        # len(lengths)-1-i trailing columns aggregated away
+        if stats.get(2 ** (len(lengths) - 1 - i) - 1, total) <= bound:
+            return n
+    return lengths[-1]
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     sort_col: str,
     id_col: str,
     window: int = 3,
-    stripe_prefix: int = 15,
+    stripe_prefix: int | Sequence[int] = 15,
+    target_stripes: int = 32,
 ) -> DataFrame:
     """Sorted-neighborhood candidate generation (Hernández & Stolfo 1995)
     — the second blocking method a production entity-resolution stack
@@ -219,9 +257,28 @@ def sorted_neighborhood_pairs(
     (offsets exploded — ``window`` rows per record, never a range or
     nested-loop join). Returns (id_a, id_b, <sort_col>_a, <sort_col>_b,
     rank_gap) with id_a/id_b in rank order.
+
+    ``stripe_prefix`` is either a fixed prefix length (the q149 path —
+    zero extra jobs) or a LADDER of candidate lengths, e.g.
+    ``(15, 30, 45, 60)``: when keys share a long common prefix a short
+    stripe degenerates to one serial window task, so the adaptive form
+    extends the prefix until the largest stripe holds no more than
+    ``total / target_stripes`` records. Selection costs one rollup pass
+    over the key column (prefixes nest, so all candidate granularities
+    aggregate in a single job); it picks the SHORTEST adequate length,
+    which also minimizes the broadcast offsets frame. Ordering
+    compatibility holds at every length — a stripe is always a prefix
+    of the sort key. Corpora where the FULL key is one repeated value
+    stay single-stripe by construction (no prefix distinguishes equal
+    keys); that case is inherently serial for a rank-based pairing.
     """
     from pyspark.sql import Window
 
+    if not isinstance(stripe_prefix, int):
+        stripe_prefix = _adaptive_stripe_len(
+            df.select(F.col(sort_col)), sort_col,
+            tuple(stripe_prefix), target_stripes,
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(sort_col).alias("_k"),
@@ -266,6 +323,32 @@ def sorted_neighborhood_pairs(
     )
 
 
+def _coarsened_bin_us(
+    left: DataFrame,
+    right: DataFrame,
+    l_cols: tuple[str, str],
+    r_cols: tuple[str, str],
+    bin_us: int,
+    max_span_bins: int,
+) -> int:
+    """Smallest ``bin_us`` multiple under which no interval on either
+    side overlaps more than ``max_span_bins + 1`` buckets: an interval
+    of span S overlaps at most ``S/w + 1`` width-``w`` buckets, so
+    ``w = bin_us * ceil(max_span / (bin_us * max_span_bins))``. Returns
+    ``bin_us`` unchanged when all spans already fit (the q153 path)."""
+    if max_span_bins < 1:
+        raise ValueError("max_span_bins must be >= 1")
+    spans = [
+        df.agg(
+            F.max(F.col(e) - F.col(s)).cast("long").alias("m")
+        ).first()["m"]
+        for df, (s, e) in ((left, l_cols), (right, r_cols))
+    ]
+    max_span = max((m for m in spans if m is not None), default=0)
+    factor = max(1, -(-max_span // (bin_us * max_span_bins)))  # ceil div
+    return bin_us * factor
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -276,6 +359,7 @@ def interval_overlap_join(
     r_start: str = "r_start_us",
     r_end: str = "r_end_us",
     bin_us: int = 3_600_000_000,
+    max_span_bins: int | None = None,
 ) -> DataFrame:
     """Interval-x-interval OVERLAP join via time binning — the
     two-sided generalization of :func:`range_join_binned` ("which
@@ -301,12 +385,34 @@ def interval_overlap_join(
     between the two inputs (pre-alias); all are passed through. Hot
     buckets (many concurrent intervals) are ordinary equi-join skew —
     AQE split / salting apply as usual.
+
+    **Fan-out bound.** Each interval explodes to ``span/bin_us + 1``
+    rows, so the input contract for the default (``max_span_bins=None``)
+    is *choose ``bin_us`` within ~1-2 orders of magnitude of the typical
+    span* (hour buckets for hours-long sessions/incidents, as in q153).
+    For inputs with unbounded spans pass ``max_span_bins``: both sides'
+    max span is measured (two cheap single-scalar aggs) and the bin is
+    coarsened to the smallest ``bin_us`` multiple that keeps EVERY
+    interval at ``<= max_span_bins + 1`` buckets. Coarsening never loses
+    pairs (two overlapping intervals still share a coarse bucket — the
+    bucket grid is only widened) and the exact overlap predicate still
+    discards the extra same-bucket-but-disjoint candidates it admits;
+    the trade is bounded explode fan-out vs. more candidates filtered
+    post-join. Both sides must share one grid, hence one global width.
     """
+    if max_span_bins is not None:
+        eff_bin_us = _coarsened_bin_us(
+            left, right, (l_start, l_end), (r_start, r_end),
+            bin_us, max_span_bins,
+        )
+    else:
+        eff_bin_us = bin_us
+
     def bins(s: str, e: str):
         return F.explode(
             F.sequence(
-                F.floor(F.col(s) / F.lit(bin_us)).cast("long"),
-                F.floor(F.col(e) / F.lit(bin_us)).cast("long"),
+                F.floor(F.col(s) / F.lit(eff_bin_us)).cast("long"),
+                F.floor(F.col(e) / F.lit(eff_bin_us)).cast("long"),
             )
         )
 

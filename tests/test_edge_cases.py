@@ -296,3 +296,90 @@ def test_interval_overlap_join_semantics(spark):
     }
     # s2 [30,40] vs i3 [40,60): touching -> excluded; vs i2 [20,30): 0 -> excluded
     assert got == {("s1", "i1"): 15, ("s1", "i2"): 5}
+
+
+def test_interval_overlap_join_long_interval_coarsening(spark):
+    """max_span_bins bounds the per-interval explode for long intervals
+    by coarsening the shared bucket grid; results stay identical to the
+    fine-binned plan (coarsening only widens the grid — recall is still
+    exact and the overlap predicate discards the extra candidates)."""
+    from etl_procesos_odo_spark.operators.joins import (
+        _coarsened_bin_us,
+        interval_overlap_join,
+    )
+
+    W = 10
+    # one multi-"week" interval (span 1000 = 100 fine bins) among short ones
+    left = spark.createDataFrame(
+        [("s1", 5, 1005), ("s2", 30, 40), ("s3", 2000, 2010)],
+        "sid string, start_us long, end_us long",
+    )
+    right = spark.createDataFrame(
+        [("i1", 0, 20), ("i2", 990, 1100), ("i3", 2005, 2030)],
+        "iid string, r_start_us long, r_end_us long",
+    )
+    # span 1000 over bin 10 with cap 4 -> factor ceil(1000/40)=25 -> 250
+    assert _coarsened_bin_us(
+        left, right, ("start_us", "end_us"),
+        ("r_start_us", "r_end_us"), W, 4,
+    ) == 250
+    # all spans already fit -> bin unchanged
+    assert _coarsened_bin_us(
+        left.filter("sid = 's2'"), right.filter("iid = 'i1'"),
+        ("start_us", "end_us"), ("r_start_us", "r_end_us"), W, 4,
+    ) == W
+
+    def run(**kw):
+        return sorted(
+            (r["sid"], r["iid"], r["overlap_us"])
+            for r in interval_overlap_join(
+                left, right, ["sid"], ["iid"], bin_us=W, **kw
+            ).collect()
+        )
+
+    fine = run()
+    assert fine == [("s1", "i1", 15), ("s1", "i2", 15), ("s3", "i3", 5)]
+    assert run(max_span_bins=4) == fine
+    assert run(max_span_bins=1) == fine
+
+
+def test_sorted_neighborhood_adaptive_stripe(spark):
+    """A corpus whose keys all share the default 15-char prefix
+    degenerates to ONE stripe at a fixed prefix; the adaptive ladder
+    extends the prefix until stripes balance, and the pair set is
+    unchanged (ordering by (prefix, full, id) == ordering by (full, id)
+    at every prefix length)."""
+    from etl_procesos_odo_spark.operators.joins import (
+        _adaptive_stripe_len,
+        sorted_neighborhood_pairs,
+    )
+
+    shared = "ACME-CORPORATION"  # 16 chars > default stripe_prefix=15
+    rows = [(f"id{i:03d}", f"{shared}-{i % 8}-{i:03d}") for i in range(64)]
+    df = spark.createDataFrame(rows, "rid string, name string")
+
+    assert _adaptive_stripe_len(df, "name", (15, 18, 30), 8) == 18
+    # all-identical keys: no prefix splits them -> longest candidate
+    same = spark.createDataFrame(
+        [(f"id{i}", "XX") for i in range(16)], "rid string, name string"
+    )
+    assert _adaptive_stripe_len(same, "name", (15, 30), 8) == 30
+
+    def pairs(sp):
+        out = sorted_neighborhood_pairs(
+            df, "name", "rid", window=2, stripe_prefix=sp
+        )
+        return sorted(map(tuple, out.collect()))
+
+    fixed = pairs(60)  # fully-discriminating prefix as the reference
+    assert pairs((15, 18, 30)) == fixed
+    assert len(fixed) == 63 + 62  # n-1 gap-1 pairs + n-2 gap-2 pairs
+    # and the adaptive choice genuinely restores parallelism: >1 stripe
+    from pyspark.sql import functions as F
+
+    n_stripes = (
+        df.select(F.substring("name", 1, 18).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_stripes == 8
