@@ -625,6 +625,47 @@ BLOOM_M_BITS = 1 << 21
 BLOOM_K = 3
 
 
+def bloom_params(
+    n_keys: int,
+    target_fpp: float,
+    max_hashes: int | None = BLOOM_K,
+) -> tuple[int, int]:
+    """Derive (m_bits, n_hashes) from the standard Bloom formulas:
+    ``m = -n·ln(p)/ln(2)²`` (rounded up to the next power of two, so the
+    bitmap is whole 64-bit words and the size ladder is predictable) and
+    the information-optimal ``k = (m/n)·ln(2)``. ``max_hashes`` caps k below
+    optimal for this engine's cost model — every probe is paid per
+    CORPUS shingle inside the scan, while a false positive only costs
+    one extra row through the exact verify join, so a small k with the
+    optimal-for-p bitmap beats optimal k (the capped k's real fpp is
+    higher than ``target_fpp`` but still join-negligible; pass
+    ``max_hashes=None`` for the textbook pair). The module defaults are
+    this derivation, not an assertion: ``bloom_params(2*10**5, 0.01)``
+    → m rounds to 2^21 bits (256 KB) and optimal k≈7 caps to 3, with
+    :func:`bloom_fpp` ≈ 1.6% as documented above."""
+    import math
+
+    if n_keys < 1:
+        return 64, 1
+    if not 0 < target_fpp < 1:
+        raise ValueError("target_fpp must be in (0, 1)")
+    m = -n_keys * math.log(target_fpp) / (math.log(2) ** 2)
+    m_bits = max(64, 1 << math.ceil(math.log2(m)))
+    k = max(1, round(m_bits / n_keys * math.log(2)))
+    if max_hashes is not None:
+        k = min(k, max_hashes)
+    return m_bits, k
+
+
+def bloom_fpp(n_keys: int, m_bits: int, n_hashes: int) -> float:
+    """Expected false-positive rate ``(1 - e^(-k·n/m))^k`` of an
+    (m, k) bloom filter holding n keys — the planning complement to
+    :func:`bloom_params` when k is capped below optimal."""
+    import math
+
+    return (1.0 - math.exp(-n_hashes * n_keys / m_bits)) ** n_hashes
+
+
 def _bloom_hashes(col: Column, m_bits: int) -> tuple[Column, Column]:
     """The two xxhash64 base hashes of the double-hashing family, each
     already reduced mod m: probe i sits at ``(h1 + i*h2) mod m``, and the
@@ -714,7 +755,7 @@ def decontaminate_bloom(
     id_col: str,
     k: int = 3,
     min_shared: int = 2,
-    bench_max_df: int | None = 10,
+    bench_max_df: int | float | None = 10,
     m_bits: int = BLOOM_M_BITS,
     n_hashes: int = BLOOM_K,
     prefilter: bool = True,
@@ -736,14 +777,24 @@ def decontaminate_bloom(
     ``bench_max_df`` caps the BENCH-side document frequency (boilerplate
     eval n-grams carry no contamination signal and are the hot join
     keys); computed on the small side only, so the cap costs nothing at
-    corpus scale. Distinct from :func:`decontaminate`'s combined-df cap
-    (q71), which needs a full train-side shingle aggregate.
+    corpus scale. A float in (0, 1) states the cap as a FRACTION of the
+    bench doc count — ``max(1, floor(frac · |bench|))``, one count on
+    the eval-suite-sized side — so the same setting holds as the bench
+    suite grows; an int stays an absolute override. Distinct from
+    :func:`decontaminate`'s combined-df cap (q71), which needs a full
+    train-side shingle aggregate.
 
     Bloom-join is textbook distributed-DB practice (Bratbergsengen
     VLDB'84); Spark's own InjectRuntimeFilter applies the same idea
     plan-internally for eligible shuffle joins — this operator makes it
     an explicit, tunable stage for the decontamination pipeline.
     """
+    if isinstance(bench_max_df, float):
+        import math
+
+        if not 0 < bench_max_df < 1:
+            raise ValueError("fractional bench_max_df must be in (0, 1)")
+        bench_max_df = max(1, math.floor(bench_max_df * bench.count()))
     b = _spread(bench).select(
         F.col(id_col).alias("b_id"),
         F.explode(shingles(F.col(text_col), k)).alias("g"),

@@ -1223,7 +1223,7 @@ def tfidf_cosine_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
-    max_df: int = 50,
+    max_df: int | float = 50,
     k: int = 3,
     scale: int = 1000,
 ) -> DataFrame:
@@ -1235,11 +1235,16 @@ def tfidf_cosine_pairs(
     Inverted-index shape, not a cross join: per-(term, doc) tf counts
     pair documents THROUGH the term key, and the ``max_df`` cap drops
     corpus-boilerplate terms — the standard prefix/df pruning that keeps
-    per-term fan-out at df² <= max_df² pairs (at corpus scale state the
-    cap as a df/N ratio; the absolute default fits the fixtures). A
+    per-term fan-out at df² <= max_df² pairs. ``max_df`` is either an
+    absolute document count (an override that fits fixed fixtures) or,
+    as a float in (0, 1), a df/N FRACTION — the corpus-scale form: the
+    cap becomes ``max(1, floor(max_df · N))`` with N the input doc count
+    (one count-star job, metadata-cheap on parquet), so "boilerplate"
+    keeps meaning *appears in x% of the corpus* as N grows 100×. A
     dropped term contributes ~zero discrimination anyway (its idf is the
     vocabulary floor), and the metric is DEFINED over the capped
-    vocabulary so the oracle matches exactly.
+    vocabulary so the oracle matches exactly (the oracle derives the
+    same cap with the same floor arithmetic).
 
     Exactness discipline (q89): weights are integer-quantized —
     wq = round(tf * idf * scale) with the rational idf
@@ -1253,6 +1258,12 @@ def tfidf_cosine_pairs(
     """
     from .dedup import _persist_capped, ngrams_all
 
+    if isinstance(max_df, float):
+        import math
+
+        if not 0 < max_df < 1:
+            raise ValueError("fractional max_df must be in (0, 1)")
+        max_df = max(1, math.floor(max_df * docs.count()))
     g = _spread(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_all(F.col(text_col), k)).alias("term"),

@@ -2997,8 +2997,10 @@ O_GRAMS_ALL = (
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
     tkn AS (SELECT doc_id, unnest({O_GRAMS_ALL}) AS term FROM w),
     tf AS (SELECT term, doc_id, COUNT(*) AS tfc FROM tkn GROUP BY 1, 2),
+    cap AS (SELECT greatest(1, CAST(floor(0.05 * COUNT(*)) AS BIGINT)) AS c
+            FROM documents),
     dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1
-            HAVING COUNT(*) <= 50),
+            HAVING COUNT(*) <= (SELECT c FROM cap)),
     nn AS (SELECT COUNT(*) AS nd FROM documents),
     wt AS (
       SELECT term, doc_id,
@@ -3027,9 +3029,12 @@ O_GRAMS_ALL = (
     "tfidf_cosine_pairs) — the exact complement to the MinHash/SimHash "
     "approximate arms: guaranteed recall at the threshold, via the "
     "inverted-index equi-join with df-cap pruning (per-term fan-out "
-    "bounded by max_df^2, boilerplate terms dropped BY DEFINITION of "
-    "the capped-vocabulary metric so Spark and the oracle agree "
-    "exactly). Integer-quantized weights with the rational ln-free idf "
+    "bounded by the cap squared; boilerplate terms dropped BY DEFINITION "
+    "of the capped-vocabulary metric so Spark and the oracle agree "
+    "exactly). The cap is the corpus-scale RATIO form — df <= 5% of N, "
+    "derived with identical floor arithmetic on both engines — not an "
+    "absolute count that silently loosens as the corpus grows. "
+    "Integer-quantized weights with the rational ln-free idf "
     "make norms/dots exact decimal/HUGEINT sums; the cosine is one "
     "shared double expression — bit-identical across engines.",
 )
@@ -3038,5 +3043,5 @@ def q154_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_df=50
+        docs, "text", "doc_id", threshold=0.5, max_df=0.05
     )

@@ -1396,3 +1396,126 @@ def test_tfidf_cosine_pairs_exact(spark):
     # the rare trailing gram's high idf weight drags the near-dup cosine
     # well below its unweighted Jaccard (~0.95) — still far above threshold
     assert want > 0.8
+
+
+def test_bloom_params_derivation():
+    # the module defaults must DERIVE from the standard formulas, not be
+    # asserted: n=2e5 eval-suite shingles at 1% target -> 256 KB / k=3
+    from math import log
+
+    from etl_procesos_odo_spark.llm.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_fpp,
+        bloom_params,
+    )
+
+    assert bloom_params(200_000, 0.01) == (BLOOM_M_BITS, BLOOM_K)
+    m, k = bloom_params(200_000, 0.01, max_hashes=None)
+    assert (m, k) == (BLOOM_M_BITS, 7)  # information-optimal k, uncapped
+    # documented design-point rate of the capped default: ~1.6%
+    assert abs(bloom_fpp(200_000, BLOOM_M_BITS, BLOOM_K) - 0.016) < 0.002
+    # formula properties over a grid: power-of-two whole-word bitmaps,
+    # sizes monotone in n and in 1/p, uncapped pair meets the target
+    # within integer-k rounding slack
+    prev_m = 0
+    for n in (100, 10_000, 1_000_000):
+        m_n, _ = bloom_params(n, 0.01, max_hashes=None)
+        assert m_n >= prev_m and m_n % 64 == 0 and (m_n & (m_n - 1)) == 0
+        prev_m = m_n
+        for p in (0.1, 0.01, 0.001):
+            m_p, k_p = bloom_params(n, p, max_hashes=None)
+            assert k_p >= 1
+            assert bloom_fpp(n, m_p, k_p) <= 2 * p
+    # degenerate inputs
+    assert bloom_params(0, 0.01) == (64, 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+
+
+def test_decontaminate_bloom_nondefault_size_vs_oracle(spark):
+    # oracle-prove a NON-default bloom_params-derived size: run q155's
+    # exact shape at sf0.001 with (m, k) from bloom_params(5e4, 1e-3,
+    # uncapped) and hash-compare against the DuckDB oracle — the bitmap
+    # geometry must be transparent to the result at any size
+    import duckdb
+
+    from etl_procesos_odo_spark.llm.dedup import bloom_params, decontaminate_bloom
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import load_table
+
+    m, k = bloom_params(50_000, 0.001, max_hashes=None)
+    assert (m, k) != (1 << 21, 3)
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            docs.filter(F.col("doc_id") % 37 != 0),
+            docs.filter(F.col("doc_id") % 37 == 0),
+            "text",
+            "doc_id",
+            k=3,
+            min_shared=2,
+            bench_max_df=10,
+            m_bits=m,
+            n_hashes=k,
+        ).collect()
+    )
+    oracle_sql = {q.name: q.oracle for q in registry()}[
+        "q155_decontaminate_bloom"
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(oracle_sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_fractional_df_caps_match_absolute(spark):
+    # the corpus-scale ratio form of the df caps must select exactly the
+    # absolute cap it derives to: frac*N == k  =>  identical results
+    import pytest
+
+    from etl_procesos_odo_spark.llm.dedup import decontaminate_bloom
+    from etl_procesos_odo_spark.llm.similarity import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared boilerplate words everywhere plus unique token{i} "
+                f"and pair text {'alpha beta gamma delta' if i % 2 else 'x'}")
+            for i in range(10)
+        ],
+        ["doc_id", "text"],
+    )
+
+    def pairs(cap):
+        return sorted(
+            tuple(r)
+            for r in tfidf_cosine_pairs(
+                docs, "text", "doc_id", threshold=0.1, max_df=cap
+            ).collect()
+        )
+
+    assert pairs(0.5) == pairs(5)  # floor(0.5 * 10) == 5
+    with pytest.raises(ValueError):
+        pairs(1.5)
+
+    bench = docs.filter(F.col("doc_id") < 4)
+    train = docs.filter(F.col("doc_id") >= 4)
+
+    def decon(cap):
+        return sorted(
+            tuple(r)
+            for r in decontaminate_bloom(
+                train, bench, "text", "doc_id",
+                k=3, min_shared=1, bench_max_df=cap,
+            ).collect()
+        )
+
+    assert decon(0.5) == decon(2)  # floor(0.5 * 4) == 2
+    with pytest.raises(ValueError):
+        decon(0.0)
