@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Measured scale ladder for the dedup/decontamination stack.
+
+The 100 TB claims for q67 (MinHash LSH), q71 (inverted-index
+decontamination), q102 (incremental dedup), and q155 (bloom-join
+decontamination) rest on plan shape plus sf0.1 timings; this harness
+turns them into a measured curve by adding a ~10x point: a synthetic
+``documents`` table at "sf1" (50,000 docs), generated with the SAME
+distributional profile as the driver's sf0.1 table (profiled, not
+copied: 31-word vocabulary read from the real table, uniform 8-100 word
+documents, en 41% / 4x ~15% languages, 20 sources, ~0.16% planted
+exact-duplicate rate), and timing all four queries at
+sf0.01 / sf0.1 / sf1 in ONE FRESH JVM PER SCALE POINT (the bench.py
+segment protocol — no session-position drift, no cross-sf cache reuse).
+
+The generated parquet lives under ``.scaledata/`` (gitignored — it is
+derived, deterministic seed=42, ~7 MB) and only this harness reads it;
+driver-facing surfaces (verify_all, bench, __spark_entry__) still use
+only ``/root/testdata``. Timings use the bench.py noop-sink convention.
+
+Usage:
+    python scale_ladder.py            # generate (if absent) + run ladder
+    python scale_ladder.py --gen-only
+    python scale_ladder.py --run-sf /root/repo/.scaledata/sf1  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+SF1_DIR = os.path.join(REPO_ROOT, ".scaledata", "sf1")
+LADDER = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", SF1_DIR),
+]
+QUERIES = [
+    "q67_minhash_lsh_collapsed",
+    "q71_decontaminate",
+    "q102_incremental_dedup",
+    "q155_decontaminate_bloom",
+]
+N_DOCS_SF1 = 50_000
+SEED = 42
+
+
+def generate_sf1(out_dir: str = SF1_DIR, n_docs: int = N_DOCS_SF1) -> str:
+    """10x documents table with the sf0.1 profile (see module docstring).
+    Deterministic: numpy PCG64(seed=42), no wall-clock anywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+
+    ref = pq.read_table(
+        "/root/testdata/sf0.1/documents.parquet", columns=["text"]
+    )
+    vocab = sorted({w for t in ref.column("text").to_pylist() for w in t.split()})
+    rng = np.random.default_rng(SEED)
+    langs = np.array(["en", "zh", "es", "fr", "de"])
+    lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+    n_words = rng.integers(8, 101, size=n_docs)
+    word_ids = rng.integers(0, len(vocab), size=int(n_words.sum()))
+    texts: list[str] = []
+    pos = 0
+    varr = np.array(vocab)
+    for k in n_words:
+        texts.append(" ".join(varr[word_ids[pos : pos + k]]))
+        pos += k
+    # planted exact duplicates at the sf0.1 rate (8 per 5000): each
+    # chosen doc copies a random EARLIER doc's text
+    n_dups = round(n_docs * 8 / 5000)
+    dup_targets = rng.choice(np.arange(1, n_docs), size=n_dups, replace=False)
+    for d in dup_targets:
+        texts[int(d)] = texts[int(rng.integers(0, d))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(rng.choice(langs, size=n_docs, p=lang_p)),
+            "source": pa.array(
+                [f"src{i}" for i in rng.integers(0, 20, size=n_docs)]
+            ),
+            "n_chars": pa.array(
+                [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, out)
+    return out
+
+
+def _run_one_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Time the four ladder queries at one scale
+    point with the bench.py noop-sink convention; print ONE JSON line."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    # warm the JVM/codegen/IO path on the table the ladder reads
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out: dict[str, float] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        by_name[name].spark_fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    # fixed-bench extras: the REAL 100 TB decontamination shape — the
+    # eval suite stays eval-suite-sized while the corpus grows, unlike
+    # the q71/q155 registry split (bench = corpus/37, whose density is
+    # ~10^3x a real suite). Exact inverted-index plan vs bloom-gated
+    # plan, 14-doc bench, same noop-sink timing.
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 14)
+    train = docs.filter(F.col("doc_id") >= 14)
+    fixed: dict[str, float] = {}
+    for label, fn in (
+        ("exact_q71_shape", lambda: decontaminate(
+            train, bench, "text", "doc_id", k=3, min_shared=2, max_df=20)),
+        ("bloom_q155_shape", lambda: decontaminate_bloom(
+            train, bench, "text", "doc_id", k=3, min_shared=2,
+            bench_max_df=10)),
+    ):
+        t0 = time.perf_counter()
+        fn().write.mode("overwrite").format("noop").save()
+        fixed[label] = round(time.perf_counter() - t0, 2)
+    n = docs.count()
+    print(json.dumps({"n_docs": n, "queries": out, "fixed_bench": fixed}))
+
+
+def main() -> None:
+    if "--run-sf" in sys.argv:
+        _run_one_sf(sys.argv[sys.argv.index("--run-sf") + 1])
+        return
+    generate_sf1()
+    if "--gen-only" in sys.argv:
+        print(f"generated {SF1_DIR}")
+        return
+    results: dict[str, dict] = {}
+    for label, sf_dir in LADDER:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-sf", sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO_ROOT,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"ladder segment {label} failed")
+        results[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+    with open(os.path.join(REPO_ROOT, "SCALE_LADDER.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
