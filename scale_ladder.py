@@ -18,8 +18,15 @@ derived, deterministic seed=42, ~7 MB) and only this harness reads it;
 driver-facing surfaces (verify_all, bench, __spark_entry__) still use
 only ``/root/testdata``. Timings use the bench.py noop-sink convention.
 
+A fourth point, "sf10" (500,000 docs, same profile, ~58 MB), runs ONLY
+the fixed-bench pair (``--sf10``): at that size the dense profile makes
+q67's LSH candidate set combinatorial, but the fixed-14-doc-bench
+decontamination shapes stay well-posed and answer the exact-vs-bloom
+crossover question where data cost, not plan overhead, dominates.
+
 Usage:
     python scale_ladder.py            # generate (if absent) + run ladder
+    python scale_ladder.py --sf10     # append the 500k fixed-bench point
     python scale_ladder.py --gen-only
     python scale_ladder.py --run-sf /root/repo/.scaledata/sf1  # internal
 """
@@ -46,6 +53,8 @@ QUERIES = [
     "q155_decontaminate_bloom",
 ]
 N_DOCS_SF1 = 50_000
+SF10_DIR = os.path.join(REPO_ROOT, ".scaledata", "sf10")
+N_DOCS_SF10 = 500_000
 SEED = 42
 
 
@@ -99,30 +108,12 @@ def generate_sf1(out_dir: str = SF1_DIR, n_docs: int = N_DOCS_SF1) -> str:
     return out
 
 
-def _run_one_sf(sf_dir: str) -> None:
-    """(internal, fresh JVM) Time the four ladder queries at one scale
-    point with the bench.py noop-sink convention; print ONE JSON line."""
-    from etl_procesos_odo_spark.registry import registry
-    from etl_procesos_odo_spark.session import get_spark
-
-    spark = get_spark("scale-ladder")
-    # warm the JVM/codegen/IO path on the table the ladder reads
-    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1000).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    out: dict[str, float] = {}
-    by_name = {q.name: q for q in registry()}
-    for name in QUERIES:
-        t0 = time.perf_counter()
-        by_name[name].spark_fn(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        out[name] = round(time.perf_counter() - t0, 2)
-    # fixed-bench extras: the REAL 100 TB decontamination shape — the
-    # eval suite stays eval-suite-sized while the corpus grows, unlike
-    # the q71/q155 registry split (bench = corpus/37, whose density is
-    # ~10^3x a real suite). Exact inverted-index plan vs bloom-gated
-    # plan, 14-doc bench, same noop-sink timing.
+def _fixed_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Time the REAL 100 TB decontamination shape — the eval suite
+    stays eval-suite-sized (14 docs) while the corpus grows, unlike
+    the q71/q155 registry split (bench = corpus/37, whose density is
+    ~10^3x a real suite). Exact inverted-index plan vs bloom-gated
+    plan, same noop-sink timing."""
     from pyspark.sql import functions as F
 
     from etl_procesos_odo_spark.llm.dedup import (
@@ -144,13 +135,72 @@ def _run_one_sf(sf_dir: str) -> None:
         t0 = time.perf_counter()
         fn().write.mode("overwrite").format("noop").save()
         fixed[label] = round(time.perf_counter() - t0, 2)
-    n = docs.count()
+    return fixed
+
+
+def _warm(spark, sf_dir: str) -> None:
+    # warm the JVM/codegen/IO path on the table the ladder reads
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+
+def _run_one_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Time the four ladder queries at one scale
+    point with the bench.py noop-sink convention; print ONE JSON line."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    _warm(spark, sf_dir)
+    out: dict[str, float] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        by_name[name].spark_fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    fixed = _fixed_bench(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     print(json.dumps({"n_docs": n, "queries": out, "fixed_bench": fixed}))
+
+
+def _run_fixed_only(sf_dir: str) -> None:
+    """(internal, fresh JVM) sf10 point: fixed-bench pair only."""
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    _warm(spark, sf_dir)
+    fixed = _fixed_bench(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(json.dumps({"n_docs": n, "fixed_bench": fixed}))
 
 
 def main() -> None:
     if "--run-sf" in sys.argv:
         _run_one_sf(sys.argv[sys.argv.index("--run-sf") + 1])
+        return
+    if "--run-fixed" in sys.argv:
+        _run_fixed_only(sys.argv[sys.argv.index("--run-fixed") + 1])
+        return
+    if "--sf10" in sys.argv:
+        generate_sf1(SF10_DIR, N_DOCS_SF10)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-fixed",
+             SF10_DIR],
+            capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("sf10 segment failed")
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        results["sf10"] = json.loads(proc.stdout.strip().splitlines()[-1])
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results["sf10"]))
         return
     generate_sf1()
     if "--gen-only" in sys.argv:
