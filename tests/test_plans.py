@@ -226,14 +226,18 @@ def test_driver_head_curation():
         "streaming": "q58_stateful_user_stats",
         "ml": "q41_forecast_demand",
         "ml_features_oracle": "q104_demand_features",
-        "dedup": "q30_dedup_exact",
+        # r7 swaps: q30/q75/q42 rotate out (exact dedup contained in
+        # q67/q82/q102's head rows, packing carried by q76's chunking,
+        # q42 widened by q62's fused transform — COVERAGE.md round-7);
+        # the round-6 families get their first driver rows
+        "dedup": "q67_minhash_lsh_collapsed",
         "semantic_dedup": "q103_semantic_dedup",
         "similarity": "q74_ann_ivf_multiprobe",
         "text": "q35_langid",
         # r5 swap: q97's stateful smoothing is evidenced by q58; q137
         # carries the time-series anomaly family in the head
         "enrich": "q137_volume_anomalies",
-        "packing": "q75_pack_sequences",
+        "packing": "q76_chunk_documents",
         "multimodal": "q62_multimodal_transform",
         # r5 swaps: q02's filter shapes run inside the pipeline rows
         # (q50/q51/q53/q54); q12 carries the relational family
@@ -248,6 +252,9 @@ def test_driver_head_curation():
         "range_join": "q121_attribution_range_join",
         "entity_resolution": "q149_sorted_neighborhood",
         "graph_analytics": "q134_pagerank_neardup",
+        "decontamination_bloom": "q155_decontaminate_bloom",
+        "interval_overlap": "q153_incident_session_overlap",
+        "exact_similarity": "q154_tfidf_cosine_pairs",
     }
     missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
     assert not missing, missing
