@@ -1358,3 +1358,130 @@ def duplicated_gram_stats(
             ).alias("dup_rate"),
         )
     )
+
+
+def remove_duplicated_grams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXECUTE substring-level dedup: cut every corpus-duplicated k-gram
+    span out of every document (Lee et al. 2022 ExactSubstr, word
+    granularity — the removal complement to the
+    :func:`duplicated_gram_stats` measurement). A token is removed when
+    it lies inside ANY k-gram occurring >= ``min_count`` times
+    corpus-wide (within- or cross-document); surviving tokens are
+    reassembled in order. Unlike :func:`block_dedup` (fixed 8-token
+    blocks, keep-first), this removes EVERY occurrence of repeated
+    text at exact span boundaries — the policy Lee et al. apply to
+    training corpora where boilerplate should vanish entirely.
+
+    Returns one row per input document:
+    (doc_id, n_words, n_removed, n_spans, text_clean) — ``n_spans``
+    counts maximal removed runs (gaps-and-islands over covered
+    positions), ``text_clean`` is '' when the whole document is
+    duplicated text. Docs shorter than k tokens are returned intact.
+
+    100 TB shape:
+
+    1. gram starts via one array build per doc (chained ``zip_with``,
+       stays in codegen) + ``posexplode`` — start position = array
+       index, no window over the token stream;
+    2. duplicated-gram KEYS from the same two partial-aggregated
+       shuffles as :func:`duplicated_gram_stats` (per-(gram, doc)
+       combine first, so corpus-hot grams ship one partial row per
+       partition, then vocabulary-sized totals);
+    3. ``leftsemi`` join marks covered starts — key-set semantics, no
+       fan-out on hot grams;
+    4. covered positions by a bounded k-wide ``sequence`` explode
+       (k is a small constant), distinct, then ``left_anti`` against
+       the token stream — all equi-joins on (doc_id, pos), AQE-safe;
+    5. span count = islands over COVERED positions only (a window over
+       the removed subset, far smaller than the corpus; the token
+       stream itself never sees a window);
+    6. reassembly is one per-doc ``sort_array(collect_list(struct))``
+       — struct sorts by leading pos field, so order is exact without
+       a sort shuffle beyond the doc-key aggregation.
+
+    The reference has no substring surface (its dedup is
+    ``drop_duplicates``, e.g. app_confirmaciones_citas.py:236); this
+    extends SURVEY §2's dedup family to span-level execution.
+    """
+    from pyspark.sql import Window
+
+    words = tokens(F.col(text_col))
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("wpos", "word"),
+    )
+    g = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams_all(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    gd = _persist_capped(
+        g.groupBy("gram", "doc_id").agg(F.count("*").alias("m"))
+    )
+    dup_keys = (
+        gd.groupBy("gram")
+        .agg(F.sum("m").alias("tot"))
+        .filter(F.col("tot") >= min_count)
+        .select("gram")
+    )
+    starts = g.join(dup_keys, on="gram", how="leftsemi")
+    covered = (
+        starts.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "wpos"
+            ),
+        )
+        .distinct()
+    )
+    covered = _persist_capped(covered)
+    win = Window.partitionBy("doc_id").orderBy("wpos")
+    spans = (
+        covered.withColumn(
+            "_new",
+            F.when(
+                F.col("wpos") - F.lag("wpos", 1).over(win) == 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_new").cast("long").alias("n_spans"),
+            F.count("*").cast("long").alias("n_removed"),
+        )
+    )
+    kept = toks.join(covered, on=["doc_id", "wpos"], how="left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("wpos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).cast("long").alias("n_words"),
+        )
+        .join(spans, on="doc_id", how="left")
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -3045,3 +3045,67 @@ def q154_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str):
     return tfidf_cosine_pairs(
         docs, "text", "doc_id", threshold=0.5, max_df=0.05
     )
+
+
+@register(
+    "q157_substring_removal",
+    f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+4], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    st AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS wpos
+            FROM st, UNNEST(generate_series(0, 4)) AS s(j)),
+    isl AS (
+      SELECT doc_id,
+             CASE WHEN wpos - lag(wpos) OVER (PARTITION BY doc_id
+                                              ORDER BY wpos) = 1
+                  THEN 0 ELSE 1 END AS nw
+      FROM cov
+    ),
+    sp AS (SELECT doc_id, SUM(nw) AS n_spans, COUNT(*) AS n_removed
+           FROM isl GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id, t.i - 1 AS wpos, w[t.i] AS word
+      FROM w, UNNEST(generate_series(1, len(w))) AS t(i)
+      WHERE len(w) > 0
+    ),
+    kept AS (
+      SELECT t.doc_id, t.wpos, t.word
+      FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.wpos = t.wpos
+      WHERE c.doc_id IS NULL
+    ),
+    rb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text_clean
+           FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(sp.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+           COALESCE(rb.text_clean, '') AS text_clean
+    FROM w
+    LEFT JOIN sp ON sp.doc_id = w.doc_id
+    LEFT JOIN rb ON rb.doc_id = w.doc_id
+    """,
+    doc="EXECUTE substring-level dedup (Lee et al. 2022 ExactSubstr at "
+    "word granularity): cut every token covered by ANY corpus-duplicated "
+    "5-gram out of every document and reassemble the survivors, with "
+    "removed-span accounting (gaps-and-islands over covered positions). "
+    "The removal complement to q152's duplicated-gram-rate measurement "
+    "and the every-occurrence policy q82's keep-first block dedup "
+    "cannot express. Scale shape in llm/dedup.py "
+    "remove_duplicated_grams: the same two partial-aggregated shuffles "
+    "as q152 produce duplicated-gram KEYS, a leftsemi marks covered "
+    "starts (no hot-gram fan-out), a bounded k-wide sequence explode + "
+    "left_anti drops covered tokens, and the islands window runs over "
+    "the REMOVED subset only — the token stream never sees a window.",
+)
+def q157_substring_removal(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import remove_duplicated_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_grams(docs, "text", "doc_id", k=5, min_count=2)

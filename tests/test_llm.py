@@ -1519,3 +1519,71 @@ def test_fractional_df_caps_match_absolute(spark):
     assert decon(0.5) == decon(2)  # floor(0.5 * 4) == 2
     with pytest.raises(ValueError):
         decon(0.0)
+
+
+def test_substring_removal_crafted(spark):
+    from etl_procesos_odo_spark.llm.dedup import remove_duplicated_grams
+
+    boiler = "click here to subscribe now"  # 5 tokens, shared verbatim
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"epsilon zeta {boiler} eta theta iota"),
+        (2, "unique words only appear once here today"),
+        (3, "tiny doc"),  # shorter than k=5: returned intact
+        (4, ""),  # empty: 0 words, '' out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_grams(
+            df, "text", "doc_id", k=5, min_count=2
+        ).collect()
+    }
+    assert len(out) == 5
+    # the shared 5-gram is removed from BOTH docs (every occurrence,
+    # not keep-first), neighbors survive
+    assert out[0]["text_clean"] == "alpha beta gamma delta"
+    assert out[1]["text_clean"] == "epsilon zeta eta theta iota"
+    assert out[0]["n_removed"] == 5 and out[0]["n_spans"] == 1
+    assert out[1]["n_removed"] == 5 and out[1]["n_spans"] == 1
+    # untouched docs come back verbatim with zero accounting
+    assert out[2]["text_clean"] == rows[2][1] and out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "tiny doc" and out[3]["n_spans"] == 0
+    assert out[4]["n_words"] == 0 and out[4]["text_clean"] == ""
+
+
+def test_substring_removal_within_doc_and_merge(spark):
+    from etl_procesos_odo_spark.llm.dedup import remove_duplicated_grams
+
+    # one doc repeating its own 5-gram: within-doc counts toward
+    # min_count, and the two occurrences are separate spans
+    run = "a b c d e"
+    df = spark.createDataFrame(
+        [(0, f"{run} x {run} y"), (1, "totally different words here okay")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_grams(
+            df, "text", "doc_id", k=5, min_count=2
+        ).collect()
+    }
+    assert out[0]["text_clean"] == "x y"
+    assert out[0]["n_removed"] == 10 and out[0]["n_spans"] == 2
+    # overlapping duplicated grams merge into ONE span: a doc fully
+    # made of a repeated gram chain collapses to nothing
+    df2 = spark.createDataFrame(
+        [(0, f"{run} f"), (1, f"{run} f"), (2, "b c d e f shared tail")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in remove_duplicated_grams(
+            df2, "text", "doc_id", k=5, min_count=2
+        ).collect()
+    }
+    # docs 0/1: grams 'a b c d e' and 'b c d e f' both duplicated,
+    # covering all 6 tokens as one merged span
+    assert out2[0]["text_clean"] == "" and out2[0]["n_spans"] == 1
+    assert out2[1]["n_removed"] == 6
+    assert out2[2]["text_clean"] == "shared tail"
