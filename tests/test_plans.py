@@ -331,6 +331,11 @@ def test_decontaminate_bloom_probe_is_scan_side(plan):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "xxhash64" in p and "bit_get" in p, p
     assert "bit_or" not in p, p  # bitmap build ran as its own bounded job
+    # the bitmap ships as a JSON string literal that ConstantFolding
+    # evaluates JVM-side into the array Literal (the cheap path: ~10 ms
+    # vs ~7 s for a py4j-converted ndarray literal) — the OPTIMIZED plan
+    # must not retain the from_json node
+    assert "from_json" not in p, p
 
 
 def test_quantized_rerank_ivf_no_full_crossjoin(spark):
