@@ -133,26 +133,49 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7919 * (i + 1)) for i in range(num_hashes)]
 
 
-def base_hashes(shingle_col: Column) -> Column:
+def base_hashes(shingle_col: Column | str) -> Column:
     """Per-shingle 60-bit md5 hash mod the Mersenne prime — computed ONCE
     per row and materialized as a column, so the per-seed permutations
     below never re-digest (Catalyst does not reliably CSE a repeated
-    subexpression across 12 aggregates)."""
+    subexpression across 12 aggregates).
+
+    Pass the column NAME for the fast construction path: a python-lambda
+    ``transform`` costs dozens of py4j round-trips to build, and the
+    signature/band builders stack ~50 of them — ~1 s of pure driver
+    latency per pipeline (measured on q102: 4.7k round-trips, 1.4 s
+    socket wait). The single-``F.expr`` form parses JVM-side in one
+    call; the analyzed expression is identical."""
+    if isinstance(shingle_col, str):
+        return F.expr(
+            f"transform({shingle_col}, s -> CAST(conv(substring(md5(s), 1, "
+            f"{HASH_HEX_CHARS}), 16, 10) AS BIGINT) % {MINHASH_P})"
+        )
     return F.transform(shingle_col, lambda s: hash60(s) % F.lit(MINHASH_P))
 
 
 def minhash_signature(
-    base_col: Column, num_hashes: int = 12
+    base_col: Column | str, num_hashes: int = 12
 ) -> list[Column]:
     """MinHash signature from a pre-hashed shingle array (``base_hashes``):
-    for each seed i, min over (a_i * h + b_i) % P. Null when empty."""
+    for each seed i, min over (a_i * h + b_i) % P. Null when empty.
+    Column-name input takes the one-``F.expr``-per-seed fast path (see
+    :func:`base_hashes`); a Column input keeps the builder form."""
+    params = minhash_params(num_hashes)
+    if isinstance(base_col, str):
+        return [
+            F.expr(
+                f"array_min(transform({base_col}, "
+                f"h -> (h * {a} + {b}) % {MINHASH_P}))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
 
     def perm(a: int, b: int):
         return lambda h: (h * a + b) % F.lit(MINHASH_P)
 
     return [
         F.array_min(F.transform(base_col, perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(num_hashes))
+        for i, (a, b) in enumerate(params)
     ]
 
 
@@ -168,22 +191,21 @@ def lsh_bands(
             "and weaken the banding guarantee"
         )
     rows_per = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per + r}").cast("string")
-                            for r in range(rows_per)
-                        ],
-                    )
-                ).alias("band_hash"),
+    # one F.expr for the whole array-of-structs: the per-column builder
+    # form costs hundreds of py4j round-trips (see base_hashes)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_idx', {b}, 'band_hash', "
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(mh{b * rows_per + r} AS STRING)"
+                for r in range(rows_per)
             )
+            + ")))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return df.select(
         F.col(id_col), F.explode(band_structs).alias("b")
@@ -223,9 +245,9 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
         )
     ).filter(F.size("_sh") > 0)
-    hashed = sh.withColumn("_base", base_hashes(F.col("_sh")))
+    hashed = sh.withColumn("_base", base_hashes("_sh"))
     signed = hashed.select(
-        "_id", *minhash_signature(F.col("_base"), num_hashes)
+        "_id", *minhash_signature("_base", num_hashes)
     )
     banded = lsh_bands(signed, "_id", num_hashes, bands)
     cand = (
@@ -1077,8 +1099,8 @@ def incremental_dedup(
     sh_cor = prepared(corpus, "inc_cor")
 
     def banded(sh: DataFrame) -> DataFrame:
-        signed = sh.withColumn("_base", base_hashes(F.col("_sh"))).select(
-            "_id", *minhash_signature(F.col("_base"), num_hashes)
+        signed = sh.withColumn("_base", base_hashes("_sh")).select(
+            "_id", *minhash_signature("_base", num_hashes)
         )
         return lsh_bands(signed, "_id", num_hashes, bands)
 

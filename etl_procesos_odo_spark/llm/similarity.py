@@ -1011,8 +1011,8 @@ def hybrid_rrf_topk(
     if lex_route == "lsh":
         from .dedup import base_hashes, lsh_bands, minhash_signature
 
-        signed = sh.withColumn("_base", base_hashes(F.col("sh"))).select(
-            "doc_id", *minhash_signature(F.col("_base"), num_hashes)
+        signed = sh.withColumn("_base", base_hashes("sh")).select(
+            "doc_id", *minhash_signature("_base", num_hashes)
         )
         banded = lsh_bands(signed, "doc_id", num_hashes, bands)
         qb = banded.filter(F.col("doc_id") < n_queries).select(
