@@ -534,16 +534,13 @@ def simhash_neardup_pairs(
     width = 60 // bands
     mask = (1 << width) - 1
     sig = simhash60(df, text_col, id_col)
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bv"),
-            )
+    keys = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('b', {i}, 'bv', shiftright(simhash, {i * width}) & {mask})"
             for i in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(
         F.col(id_col).alias("_id"), "simhash", F.explode(keys).alias("k")
@@ -864,23 +861,23 @@ def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = _spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", hash60(F.col("t")))
+    # one F.expr per bit agg and ONE parsed expression for the 60-term
+    # reconstruction: the builder form (when/shiftright/bitwiseAND per
+    # bit) costs ~700 py4j round-trips — measured ~5 s of pure driver
+    # plan-build latency on q78; the analyzed plan is identical
     bit_sums = tok.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(
-                    -1
-                )
-            ).alias(f"s{b}")
+            F.expr(f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END)").alias(
+                f"s{b}"
+            )
             for b in range(60)
         ]
     )
-    sim = bit_sums.select(
-        "_id",
-        sum(
-            (F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(0)).cast("long")
-            for b in range(60)
-        ).alias("simhash"),
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
     )
+    sim = bit_sums.select("_id", F.expr(recon).alias("simhash"))
     return sim.withColumnRenamed("_id", id_col)
 
 
