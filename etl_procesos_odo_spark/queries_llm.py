@@ -40,11 +40,13 @@ from .llm.similarity import (
 )
 from .llm.text_analysis import (
     LANG_MARKERS,
+    PII_RULES,
     TOKEN_PIECE_RE,
     fingerprint,
     lang_predict,
     lang_scores,
     quality_metrics,
+    redact_pii,
     token_count_bpe,
     token_count_ws,
 )
@@ -3109,3 +3111,110 @@ def q157_substring_removal(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicated_grams(docs, "text", "doc_id", k=5, min_count=2)
+
+
+# PII regexes shared verbatim by the Spark plan and the oracle SQL
+_PII_EMAIL, _PII_IP, _PII_PHONE = (r[1] for r in PII_RULES)
+
+
+@register(
+    "q158_pii_redaction",
+    f"""
+    WITH contaminated AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                  THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com for details.' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' Call +1 555 '
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' now.' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' Logged from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1.' ELSE '' END
+             AS text
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM contaminated
+    ),
+    r2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT)
+               AS n_ip,
+             regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id, n_email, n_ip,
+             CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+             regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+      FROM r2
+    )
+    SELECT doc_id, n_email, n_ip, n_phone, md5(t3) AS clean_digest
+    FROM r3
+    """,
+    doc="PII scrub (corpus hygiene before training — the Dolma/FineWeb-"
+    "style pass; generalizes the reference's telefono/correo "
+    "normalization, app_confirmaciones_envio_sms_vacunacion.py:289-300): "
+    "ordered email -> IP -> phone regex redaction with per-rule match "
+    "counts and an md5 digest of the fully-cleaned text. The synthetic "
+    "corpus contains no digits, so the query first injects "
+    "deterministic doc_id-derived PII (2/3 of docs get an email, 1/2 a "
+    "phone, 1/5 an IPv4) and the oracle injects identically — the "
+    "surface under test is the redaction expression family "
+    "(llm/text_analysis.py PII_RULES/redact_pii), whose patterns stay "
+    "in the java.util.regex/RE2 common subset so both engines match "
+    "byte-identical spans. Counts are taken on progressively-redacted "
+    "text, so each equals its rule's replacement count even when "
+    "patterns could sub-match earlier spans. Scale shape: pure "
+    "regexp scan expressions, zero shuffles — runs at parquet scan "
+    "speed at 100 TB and composes ahead of any dedup/quality pass.",
+)
+def q158_pii_redaction(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    contaminated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 != 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com for details."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" Call +1 555 "),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" now."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" Logged from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0.1."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii("text")
+    return contaminated.select(
+        "doc_id",
+        red["n_email"].alias("n_email"),
+        red["n_ip"].alias("n_ip"),
+        red["n_phone"].alias("n_phone"),
+        F.md5(red["text_clean"]).alias("clean_digest"),
+    )

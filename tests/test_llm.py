@@ -1587,3 +1587,68 @@ def test_substring_removal_within_doc_and_merge(spark):
     assert out2[0]["text_clean"] == "" and out2[0]["n_spans"] == 1
     assert out2[1]["n_removed"] == 6
     assert out2[2]["text_clean"] == "shared tail"
+
+
+def test_redact_pii_crafted(spark):
+    from etl_procesos_odo_spark.llm.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org and x@y.io today"),
+            (2, "server 192.168.0.1 called +1 555 0123 9876"),
+            (3, "no pii here at all"),
+            (4, ""),
+            # a phone-lookalike digit run inside an email's local part
+            # must NOT be counted as a phone: email is redacted first
+            (5, "reach 0123456789@example.com please"),
+        ],
+        "id int, text string",
+    )
+    red = redact_pii("text")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            red["n_email"].alias("n_email"),
+            red["n_ip"].alias("n_ip"),
+            red["n_phone"].alias("n_phone"),
+            red["text_clean"].alias("clean"),
+        ).collect()
+    }
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == (2, 0, 0)
+    assert rows[1]["clean"] == "mail <EMAIL> and <EMAIL> today"
+    assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_phone"]) == (0, 1, 1)
+    assert rows[2]["clean"] == "server <IP> called <PHONE>"
+    assert rows[3]["clean"] == "no pii here at all"
+    assert rows[4]["clean"] == ""
+    assert (rows[5]["n_email"], rows[5]["n_phone"]) == (1, 0)
+    assert rows[5]["clean"] == "reach <EMAIL> please"
+
+
+def test_redact_pii_matches_duckdb_spans(spark):
+    """The PII regexes must match byte-identical spans in both engines
+    (java.util.regex vs RE2) — the q158 oracle contract, probed on
+    crafted boundary cases rather than the injected corpus."""
+    import duckdb
+
+    from etl_procesos_odo_spark.llm.text_analysis import PII_RULES, redact_pii
+
+    texts = [
+        "a@b.co c@d.museum e@f.x",          # TLD length boundary (x: no)
+        "1.2.3.4 999.999.999.999 1.2.3",    # not-quite IPs
+        "+44 (0) 20-7946 0958 and 12345678",  # punctuation phone, 8-digit run
+        "edge a@b.cd5.6.7.8",               # adjacent email/ip bytes
+    ]
+    red = redact_pii("text")
+    got = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(red["text_clean"].alias("c"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        expr = "?"
+        for _, pat, tok in PII_RULES:
+            expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+        want = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
+        assert g["c"] == want, (t, g["c"], want)
