@@ -540,7 +540,10 @@ def q156_streaming_decontaminate(spark: SparkSession, sf_dir: str):
     bits = bloom_bitmap_bits(b.select("g").distinct(), "g")
 
     stream = documents_stream(spark, sf_dir).filter(F.col("doc_id") % 37 != 0)
-    t = stream.select(
+    # the file-source micro-batch arrives one-partition-per-file: spread
+    # the stateless shingle/probe scan across the executors (same finding
+    # as quality_gate_stats — measured 9.2 -> ~4 s at sf0.1)
+    t = stream.repartition(32).select(
         "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g")
     )
     surv = t.filter(bloom_probe_filter(F.col("g"), bits, BLOOM_M_BITS, BLOOM_K))
