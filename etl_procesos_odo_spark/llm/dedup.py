@@ -1432,7 +1432,7 @@ def remove_duplicated_grams(
        a sort shuffle beyond the doc-key aggregation.
 
     The reference has no substring surface (its dedup is
-    ``drop_duplicates``, e.g. app_confirmaciones_citas.py:236); this
+    ``drop_duplicates``, e.g. app_confirmaciones.py:292); this
     extends SURVEY §2's dedup family to span-level execution.
     """
     from pyspark.sql import Window

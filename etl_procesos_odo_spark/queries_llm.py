@@ -3162,7 +3162,7 @@ _PII_EMAIL, _PII_IP, _PII_PHONE = (r[1] for r in PII_RULES)
     """,
     doc="PII scrub (corpus hygiene before training — the Dolma/FineWeb-"
     "style pass; generalizes the reference's telefono/correo "
-    "normalization, app_confirmaciones_envio_sms_vacunacion.py:289-300): "
+    "normalization, app_confirmaciones.py:203-218): "
     "ordered email -> IP -> phone regex redaction with per-rule match "
     "counts and an md5 digest of the fully-cleaned text. The synthetic "
     "corpus contains no digits, so the query first injects "
