@@ -1652,3 +1652,47 @@ def test_redact_pii_matches_duckdb_spans(spark):
             expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
         want = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
         assert g["c"] == want, (t, g["c"], want)
+
+
+def test_redact_pii_randomized_span_parity(spark):
+    """Seeded fuzz over PII-adjacent fragments: Spark redaction must
+    equal DuckDB redaction byte-for-byte on every composite, and
+    redaction must be idempotent (replacement tokens contain no
+    redactable bytes)."""
+    import random
+
+    import duckdb
+
+    from etl_procesos_odo_spark.llm.text_analysis import PII_RULES, redact_pii
+
+    rng = random.Random(158)
+    frags = [
+        "plain words", "a@b.io", "x.y@z.museum", "@nope", "user@@double",
+        "1.2.3.4", "10.0.0.255.", "256.1.1.1", "1.2.3", "...", "@.",
+        "+1 555 0100 200", "(01) 234-5678", "12345678", "+12",
+        "a-b@c-d.ee", "9.9.9.9@host", "tail@x.yz",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        for _ in range(50)
+    ]
+    red = redact_pii("text")
+    got = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(red["text_clean"].alias("c"))
+        .collect()
+    )
+    red2 = redact_pii("c")
+    got2 = (
+        spark.createDataFrame([(r["c"],) for r in got], "c string")
+        .select(red2["text_clean"].alias("c2"))
+        .collect()
+    )
+    con = duckdb.connect()
+    expr = "?"
+    for _, pat, tok in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    for t, g, g2 in zip(texts, got, got2):
+        want = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
+        assert g["c"] == want, (t, g["c"], want)
+        assert g2["c2"] == g["c"], (t, g["c"], g2["c2"])
