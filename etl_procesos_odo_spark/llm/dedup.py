@@ -1511,3 +1511,76 @@ def remove_duplicated_grams(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def line_dedup_corpus(
+    docs: DataFrame,
+    line_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 / CCNet cleaning step:
+    Raffel et al. 2020 §2.2 drop repeated three-sentence spans; Wenzek et
+    al. 2020 dedup by paragraph hash): every normalized line that occurs
+    more than once across the WHOLE corpus is kept only at its first
+    occurrence (ordered by ``(doc_id, line_idx)``) and removed everywhere
+    else; documents are reassembled in line order.
+
+    The synthetic corpus has no newlines, so "lines" are derived
+    deterministically as consecutive ``line_words``-word chunks — the
+    same injected-structure convention as q158's PII corpus (both engines
+    derive identical chunks from identical expressions).
+
+    Scale design: first-occurrence is computed as
+    ``groupBy(line).agg(min(struct(doc_id, li)))`` — NOT a row_number
+    window — because partial (map-side) aggregation collapses a
+    billion-copy boilerplate line to one row per map task before the
+    shuffle, whereas a window over ``partition by line`` would sort every
+    copy of the hottest line in a single reducer. The keep/remove flag is
+    then a join on ``line`` (AQE skew-split handles residual hot keys),
+    and reassembly is one ``groupBy(doc_id)`` over struct-sorted
+    ``collect_list`` — bounded by document size.
+    """
+    k = line_words
+    lines = (
+        docs.selectExpr(
+            f"{id_col} as doc_id", f"split({text_col}, ' ') as words"
+        )
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(0, "
+            f"cast(ceil(size(words) / {k}.0) as int) - 1), "
+            f"i -> array_join(slice(words, i*{k}+1, {k}), ' '))) "
+            "as (li, line)",
+        )
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "li")).alias("first")
+    )
+    flagged = lines.join(firsts, on="line").select(
+        "doc_id",
+        "li",
+        "line",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("li") == F.col("first.li"))
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("cast(sum(1 - kept) as bigint)").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("li", "kept", "line"))
+                    ),
+                    lambda s: s["kept"] == 1,
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )

@@ -24,6 +24,246 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al., AofA 2007) with a cross-engine-exact
+# formulation: the key hash is the repo's shared md5/hash60 primitive
+# (bit-identical hex in both engines; only the hex->int spelling differs
+# per engine, an exact integer step), register extraction is exact
+# integer math (modulo + bin()-bit-length — no shift operators, whose
+# spelling differs between engines), and every estimate step is either a
+# power-of-two-exact integer sum or one correctly-rounded IEEE double
+# operation (+ - * / and int->double casts), so Spark and any ANSI-SQL
+# oracle produce BIT-IDENTICAL estimates. The libm-dependent pieces (ln
+# in the linear-counting correction, the alpha_m constant) are
+# precomputed in Python and embedded as double literals, never evaluated
+# by either engine's math library. A linear congruential hash is NOT
+# usable here: max-of-leading-zeros needs avalanche, and an affine map of
+# sequential keys is a lattice whose low bits almost never land near 0 —
+# measured 20x underestimation at 5k sequential keys.
+# ---------------------------------------------------------------------------
+
+#: Standard small-m bias constants (Flajolet et al., Fig. 3).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+#: Width of the md5-derived hash60 primitive (15 hex chars).
+_HLL_HASH_BITS = 60
+
+
+def _dlit(x: float) -> str:
+    """A double literal BOTH engines parse as DOUBLE. A bare decimal
+    literal (``118.803...``) parses as DECIMAL in both Spark and DuckDB,
+    and a 64-branch CASE then unifies branches of differing decimal
+    scales by clamping — silently rounding some values (measured: one-ulp
+    divergence in the linear-counting lookup). Scientific notation is a
+    DOUBLE literal in both engines; ``repr`` round-trips exactly."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def hll_register_exprs(
+    key_sql: str, p: int = 6, engine: str = "spark"
+) -> dict:
+    """SQL fragments mapping a non-null key to its HLL register. All
+    steps are exact integer arithmetic, so the per-engine spelling of the
+    md5-hex->int conversion (Spark ``conv``, ANSI ``CAST('0x'||...)``)
+    cannot perturb parity:
+
+    - ``h``: the repo's hash60 — first 15 md5 hex chars as a positive
+      60-bit BIGINT (md5 output is bit-identical across engines).
+    - ``bucket``: the HIGH ``p`` bits of h, extracted as
+      ``(h - h % 2^W) / 2^W``. The numerator is a multiple of 2^W with
+      only ``p`` significant bits, so the double division is exact.
+    - ``rho``: position of the leftmost 1-bit of the LOW ``W = 60 - p``
+      bits ``w``, via ``(W + 1) - length(bin(w))`` — ``bin()`` renders
+      the minimal binary string in both engines, making bit-length (and
+      hence the leading-zero count) available without shift operators.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    if engine not in ("spark", "duckdb"):
+        raise ValueError(f"engine must be spark|duckdb, got {engine}")
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    two_w = 1 << w_bits
+    if engine == "spark":
+        h = (
+            f"cast(conv(substring(md5(cast({key_sql} as string)), 1, 15), "
+            f"16, 10) as bigint)"
+        )
+    else:
+        h = (
+            f"cast('0x' || substring(md5(cast({key_sql} as varchar)), "
+            f"1, 15) as bigint)"
+        )
+    w = f"({h} % {two_w})"
+    bucket = f"cast(({h} - {h} % {two_w}) / {two_w} as bigint)"
+    rho = (
+        f"(case when {w} = 0 then {w_bits + 1} "
+        f"else cast({w_bits + 1} - length(bin({w})) as bigint) end)"
+    )
+    return {"bucket": bucket, "rho": rho, "m": m, "w_bits": w_bits}
+
+
+def hll_estimate_exprs(p: int = 6) -> dict:
+    """SQL fragments turning per-group register aggregates into the HLL
+    estimate. Expects two BIGINT columns computed from the register table
+    (one row per set register, ``r`` = max rho in that register):
+
+    - ``n_set``  = COUNT(*)              (registers with r >= 1)
+    - ``s_set``  = SUM(2^(W + 1 - r))    (exact: each term <= 2^W, at most
+      m terms, so the sum fits a BIGINT for every p <= 16)
+
+    The raw estimate alpha_m * m^2 / Z with Z = sum_j 2^(-r_j) over ALL m
+    registers (absent registers contribute 2^0) is algebraically
+    alpha_m * m^2 * 2^(W+1) / (s_set + (m - n_set) * 2^(W+1)): one exact
+    integer denominator, one embedded double constant, one cast, one
+    division — bit-identical across engines. The small-range correction
+    (linear counting m*ln(m/V) when E <= 2.5m and V > 0) needs ln, so the
+    m possible values are precomputed here and emitted as a CASE lookup of
+    double literals. The large-range correction fires above 2^60/30 —
+    unreachable for real key domains — and is omitted.
+    """
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    two_w1 = 1 << (w_bits + 1)
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    c_num = float(alpha * m * m * two_w1)
+    raw = (
+        f"({_dlit(c_num)} / cast(s_set + ({m} - n_set) * "
+        f"cast({two_w1} as bigint) as double))"
+    )
+    lc_branches = " ".join(
+        f"when {v} then {_dlit(m * math.log(m / v))}"
+        for v in range(1, m + 1)
+    )
+    lc = f"(case ({m} - n_set) {lc_branches} end)"
+    est = (
+        f"(case when n_set < {m} and {raw} <= {_dlit(2.5 * m)} "
+        f"then {lc} else {raw} end)"
+    )
+    return {"raw_est": raw, "est": est, "m": m}
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_sql: str,
+    group_exprs: dict,
+    p: int = 6,
+    exact_audit: bool = True,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) per group with FIXED per-group
+    state: ``m = 2^p`` max-registers instead of one state entry per
+    distinct key.
+
+    Why this matters at 100 TB: exact distinct-count shuffles every
+    distinct (group, key) pair — at billions of users the shuffle IS the
+    job. The register pass here is a ``groupBy(group, bucket).max(rho)``
+    whose map-side partial aggregation bounds every partition's output at
+    m rows per group (8*m bytes of state), and whose merge is a plain
+    ``max`` — the sketch is mergeable across partitions, days, or
+    clusters by construction. Accuracy is the standard 1.04/sqrt(m).
+
+    ``exact_audit=True`` adds the exact COUNT(DISTINCT) arm and the
+    relative error column — the accuracy audit a pipeline runs at small
+    scale before trusting the sketch at large scale (and what makes the
+    operator oracle-checkable end-to-end). Production at 100 TB runs with
+    ``exact_audit=False``: registers only, no per-key shuffle.
+
+    All estimate arithmetic is shared-expression-string exact (see
+    ``hll_register_exprs`` / ``hll_estimate_exprs``), so the output is
+    bit-identical to an ANSI-SQL oracle evaluating the same strings.
+    """
+    reg = hll_register_exprs(key_sql, p, engine="spark")
+    est = hll_estimate_exprs(p)
+    w_bits = reg["w_bits"]
+    groups = list(group_exprs)
+    projected = df.filter(F.expr(f"{key_sql} is not null")).selectExpr(
+        *[f"{sql} as {alias}" for alias, sql in group_exprs.items()],
+        f"{reg['bucket']} as bucket",
+        f"{reg['rho']} as rho",
+    )
+    registers = projected.groupBy(*groups, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    per_group = registers.groupBy(*groups).agg(
+        F.expr("count(*)").alias("n_set"),
+        F.expr(
+            f"sum(shiftleft(cast(1 as bigint), "
+            f"cast({w_bits + 1} - r as int)))"
+        ).alias("s_set"),
+    )
+    cols = [
+        *groups,
+        "n_set",
+        f"{est['raw_est']} as raw_est",
+        f"{est['est']} as hll_est",
+    ]
+    if not exact_audit:
+        return per_group.selectExpr(*cols)
+    exact = (
+        df.filter(F.expr(f"{key_sql} is not null"))
+        .selectExpr(
+            *[f"{sql} as {alias}" for alias, sql in group_exprs.items()],
+            f"{key_sql} as __k",
+        )
+        .groupBy(*groups)
+        .agg(F.countDistinct("__k").alias("n_exact"))
+    )
+    return per_group.join(exact, on=groups).selectExpr(
+        *cols,
+        "n_exact",
+        f"(({est['est']}) - cast(n_exact as double)) "
+        "/ cast(n_exact as double) as rel_err",
+    )
+
+
+def hll_oracle_sql(
+    table_sql: str,
+    key_sql: str,
+    group_exprs: dict,
+    p: int = 6,
+) -> str:
+    """The ANSI-SQL oracle for ``hll_cardinality(exact_audit=True)`` —
+    the SAME register/estimate expression strings, composed with plain
+    GROUP BYs (DuckDB spells the power-of-two register sum with ``<<``
+    and the md5-hex->int step with ``CAST('0x'||...)``; Spark needs
+    ``shiftleft`` / ``conv`` — all exact integer ops, so the spelling
+    differences cannot perturb the result)."""
+    reg = hll_register_exprs(key_sql, p, engine="duckdb")
+    est = hll_estimate_exprs(p)
+    w_bits = reg["w_bits"]
+    g_aliases = ", ".join(group_exprs)
+    g_sql = ", ".join(
+        f"{sql} AS {alias}" for alias, sql in group_exprs.items()
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT {g_sql}, {reg["bucket"]} AS bucket, {reg["rho"]} AS rho
+      FROM {table_sql} WHERE {key_sql} IS NOT NULL
+    ),
+    registers AS (
+      SELECT {g_aliases}, bucket, MAX(rho) AS r
+      FROM keyed GROUP BY {g_aliases}, bucket
+    ),
+    per_group AS (
+      SELECT {g_aliases}, COUNT(*) AS n_set,
+             SUM(CAST(1 AS BIGINT) << CAST({w_bits + 1} - r AS INT)) AS s_set
+      FROM registers GROUP BY {g_aliases}
+    ),
+    exact AS (
+      SELECT {g_sql}, COUNT(DISTINCT {key_sql}) AS n_exact
+      FROM {table_sql} WHERE {key_sql} IS NOT NULL
+      GROUP BY {g_aliases}
+    )
+    SELECT {g_aliases}, n_set,
+           {est["raw_est"]} AS raw_est,
+           {est["est"]} AS hll_est,
+           n_exact,
+           (({est["est"]}) - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE) AS rel_err
+    FROM per_group JOIN exact USING ({g_aliases})
+    """
+
 
 def _misra_gries_partition(
     batches: Iterator[pd.DataFrame], key: str, counters: int

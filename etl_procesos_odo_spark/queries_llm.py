@@ -3218,3 +3218,85 @@ def q158_pii_redaction(spark: SparkSession, sf_dir: str):
         red["n_phone"].alias("n_phone"),
         F.md5(red["text_clean"]).alias("clean_digest"),
     )
+
+
+def _hll_oracle() -> str:
+    from .llm.sketches import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "events",
+        "user_id",
+        {"wk": "cast(date_trunc('week', ts) as date)"},
+        p=6,
+    )
+
+
+@register(
+    "q159_hll_cardinality",
+    _hll_oracle(),
+    doc="HyperLogLog distinct-user count per week (m=64 registers) with "
+    "the exact-audit arm: the cardinality sketch a 100 TB pipeline runs "
+    "instead of COUNT(DISTINCT) — per-group state is FIXED at m "
+    "max-registers (8*m bytes) instead of one shuffle row per distinct "
+    "key, the register pass is map-side combinable, and registers merge "
+    "across partitions/days/clusters with a plain max. Every estimate "
+    "step is exact integer math or one correctly-rounded double op; the "
+    "libm-dependent constants (alpha_m, the linear-counting ln table) "
+    "are precomputed in Python and embedded as literals in BOTH engines' "
+    "plans, so the estimate is bit-identical to the SQL oracle. The "
+    "rel_err column is the accuracy audit (|err| ~ 1.04/sqrt(64) = 13%).",
+)
+def q159_hll_cardinality(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import hll_cardinality
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return hll_cardinality(
+        ev,
+        "user_id",
+        {"wk": "cast(date_trunc('week', ts) as date)"},
+        p=6,
+    )
+
+
+_LINE_DEDUP_ORACLE = """
+    WITH d AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+    l AS (
+      SELECT doc_id, i AS li,
+             array_to_string(words[i*3+1 : i*3+3], ' ') AS line
+      FROM d, UNNEST(range(0, CAST(ceil(len(words)/3.0) AS BIGINT))) AS t(i)
+    ),
+    k AS (
+      SELECT doc_id, li, line,
+             CASE WHEN row_number() OVER (
+               PARTITION BY line ORDER BY doc_id, li) = 1
+             THEN 1 ELSE 0 END AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(line, ' ' ORDER BY li)
+                      FILTER (WHERE kept = 1), '') AS text_clean
+    FROM k GROUP BY doc_id
+    """
+
+
+@register(
+    "q160_line_dedup",
+    _LINE_DEDUP_ORACLE,
+    doc="Corpus-level line deduplication (C4 / CCNet cleaning: repeated "
+    "lines are boilerplate — keep only the first occurrence corpus-wide, "
+    "reassemble documents in line order). Lines are deterministic 3-word "
+    "chunks (the corpus has no newlines — q158's injected-structure "
+    "convention). First-occurrence is min(struct(doc_id, li)) per line — "
+    "map-side-combinable aggregation, NOT a row_number window, so a "
+    "billion-copy boilerplate line collapses to one row per map task "
+    "instead of sorting in a single reducer; the keep flag is an AQE "
+    "skew-safe join; the oracle is the equivalent window formulation.",
+)
+def q160_line_dedup(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import line_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_corpus(docs, line_words=3)

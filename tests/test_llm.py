@@ -1696,3 +1696,121 @@ def test_redact_pii_randomized_span_parity(spark):
         want = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
         assert g["c"] == want, (t, g["c"], want)
         assert g2["c2"] == g["c"], (t, g["c"], g2["c2"])
+
+
+def test_hll_accuracy_bounded_state_and_partition_invariance(spark):
+    """HLL estimate lands inside the theoretical error envelope
+    (sigma = 1.04/sqrt(m)), per-group sketch state never exceeds m
+    registers, the tiny-cardinality branch (linear counting) is sharp,
+    and the result is BIT-identical under a different partition layout
+    (register max is order- and layout-invariant)."""
+    import math as _m
+
+    from etl_procesos_odo_spark.llm.sketches import hll_cardinality
+
+    rows = (
+        [("big", i) for i in range(5000)]
+        + [("mid", i) for i in range(200)]
+        + [("tiny", i) for i in range(3)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    out = {
+        r["grp"]: r
+        for r in hll_cardinality(
+            df, "k", {"grp": "grp"}, p=6
+        ).collect()
+    }
+    m = 64
+    sigma = 1.04 / _m.sqrt(m)
+    for grp, n in (("big", 5000), ("mid", 200), ("tiny", 3)):
+        r = out[grp]
+        assert r["n_exact"] == n
+        assert r["n_set"] <= m
+        assert abs(r["rel_err"]) < 4 * sigma, (grp, r["rel_err"])
+    # 3 distinct keys -> linear counting regime, much sharper than sigma
+    assert abs(out["tiny"]["rel_err"]) < 0.2
+    relaid = {
+        r["grp"]: r
+        for r in hll_cardinality(
+            df.repartition(13, "k"), "k", {"grp": "grp"}, p=6
+        ).collect()
+    }
+    for grp in out:
+        assert relaid[grp]["hll_est"] == out[grp]["hll_est"]  # bit-equal
+        assert relaid[grp]["raw_est"] == out[grp]["raw_est"]
+
+
+def test_hll_bitexact_vs_duckdb_and_validation(spark):
+    """The shared expression strings produce BIT-identical doubles in
+    Spark and DuckDB on a cardinality wide enough to exercise the raw
+    (non-linear-counting) branch; p outside [4, 16] raises."""
+    import duckdb as _duck
+    import pandas as _pd
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.llm.sketches import (
+        hll_cardinality,
+        hll_oracle_sql,
+    )
+
+    pdf = _pd.DataFrame(
+        {
+            "grp": ["a"] * 4000 + ["b"] * 300,
+            "user_id": [i * 7 + 1 for i in range(4000)]
+            + [i * 11 + 3 for i in range(300)],
+        }
+    )
+    got = (
+        hll_cardinality(
+            spark.createDataFrame(pdf), "user_id", {"grp": "grp"}, p=6
+        )
+        .orderBy("grp")
+        .collect()
+    )
+    con = _duck.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        hll_oracle_sql("t", "user_id", {"grp": "grp"}, p=6)
+        + " ORDER BY grp"
+    ).fetchall()
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g["grp"] == w[0]
+        assert g["n_set"] == w[1]
+        assert g["raw_est"] == w[2]  # bit-exact doubles
+        assert g["hll_est"] == w[3]
+        assert g["n_exact"] == w[4]
+        assert g["rel_err"] == w[5]
+
+    with _pytest.raises(ValueError, match="p must be"):
+        hll_cardinality(spark.createDataFrame(pdf), "user_id", {"grp": "grp"}, p=3)
+
+
+def test_line_dedup_corpus_semantics(spark):
+    """First corpus-wide occurrence (by doc_id, line idx) of a repeated
+    line survives; later copies are removed; fully-deduped docs reassemble
+    to ''; a short tail line is its own line; counts are exact."""
+    from etl_procesos_odo_spark.llm.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c x y z"),
+            (2, "a b c"),
+            (3, "p q r s"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_corpus(docs, line_words=3).collect()
+    }
+    assert out[0]["text_clean"] == "a b c d e f"
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (2, 0)
+    assert out[1]["text_clean"] == "x y z"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["text_clean"] == ""
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (1, 1)
+    # 4-word doc -> one full line + one 1-word tail line, both unique
+    assert out[3]["text_clean"] == "p q r s"
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 0)
