@@ -559,3 +559,76 @@ def q156_streaming_decontaminate(spark: SparkSession, sf_dir: str):
         F.sum("n_shared").alias("n_shared_shingles"),
         F.max("n_shared").alias("max_shared"),
     )
+
+
+def _streaming_hll_oracle() -> str:
+    from .llm.sketches import hll_estimate_exprs, hll_register_exprs
+
+    reg = hll_register_exprs("user_id", p=6, engine="duckdb")
+    est = hll_estimate_exprs(p=6)
+    return f"""
+    WITH keyed AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {reg["bucket"]} AS bucket, {reg["rho"]} AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    registers AS (
+      SELECT day, bucket, MAX(rho) AS r FROM keyed GROUP BY day, bucket
+    ),
+    per_group AS (
+      SELECT day, COUNT(*) AS n_set,
+             SUM(CAST(1 AS BIGINT)
+                   << CAST({reg["w_bits"] + 1} - r AS INT)) AS s_set
+      FROM registers GROUP BY day
+    )
+    SELECT day, n_set, {est["raw_est"]} AS raw_est, {est["est"]} AS hll_est
+    FROM per_group
+    """
+
+
+@register(
+    "q161_streaming_hll",
+    _streaming_hll_oracle(),
+    doc="Streaming HyperLogLog: daily distinct users maintained as "
+    "per-(day, register) max-rho streaming state — the real-time "
+    "cardinality dashboard a pipeline keeps. The reason the sketch "
+    "beats streaming COUNT(DISTINCT) is STATE SIZE: exact distinct "
+    "state grows with the number of distinct keys per day (billions), "
+    "while register state is fixed at days x m=64 rows regardless of "
+    "traffic, and the per-batch update is an associative max — no "
+    "rescan, no key explosion. The estimate rollup runs on the sink "
+    "output (serving-layer read). Oracle: the identical register/"
+    "estimate expression strings over the batch table — streaming and "
+    "batch answers are bit-identical (mode invariance, the q155/q156 "
+    "pairing convention with q159's batch sketch).",
+)
+def q161_streaming_hll(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import hll_estimate_exprs, hll_register_exprs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reg = hll_register_exprs("user_id", p=6, engine="spark")
+    est = hll_estimate_exprs(p=6)
+    s = events_stream(spark, sf_dir)
+    regs = (
+        s.filter(F.expr("user_id is not null"))
+        .selectExpr(
+            "ts", f"{reg['bucket']} as bucket", f"{reg['rho']} as rho"
+        )
+        .groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("w.start").cast("date").alias("day"), "bucket", "r")
+    )
+    batch = run_to_memory(regs, "q161_hll_regs", "complete")
+    per = batch.groupBy("day").agg(
+        F.expr("count(*)").alias("n_set"),
+        F.expr(
+            f"sum(shiftleft(cast(1 as bigint), "
+            f"cast({reg['w_bits'] + 1} - r as int)))"
+        ).alias("s_set"),
+    )
+    return per.selectExpr(
+        "day",
+        "n_set",
+        f"{est['raw_est']} as raw_est",
+        f"{est['est']} as hll_est",
+    )

@@ -1814,3 +1814,41 @@ def test_line_dedup_corpus_semantics(spark):
     # 4-word doc -> one full line + one 1-word tail line, both unique
     assert out[3]["text_clean"] == "p q r s"
     assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 0)
+
+
+def test_streaming_hll_mode_invariance(spark):
+    """q161's streaming register maintenance produces BIT-identical
+    estimates to the batch sketch (q159 without the audit arm) on the
+    same data — max-rho registers are associative/commutative, so
+    micro-batch order cannot perturb them (the q155/q156 mode-invariance
+    convention)."""
+    from etl_procesos_odo_spark.llm.sketches import hll_cardinality
+    from etl_procesos_odo_spark.queries_streaming_ml import (
+        q161_streaming_hll,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["day"]: r for r in q161_streaming_hll(spark, sf).collect()
+    }
+    from etl_procesos_odo_spark.session import load_table
+
+    batch = {
+        r["day"]: r
+        for r in hll_cardinality(
+            load_table(spark, sf, "events"),
+            "user_id",
+            {"day": "cast(date_trunc('day', ts) as date)"},
+            p=6,
+            exact_audit=False,
+        ).collect()
+    }
+    assert set(streamed) == set(batch) and len(streamed) > 0
+    for day, s in streamed.items():
+        b = batch[day]
+        assert (s["n_set"], s["raw_est"], s["hll_est"]) == (
+            b["n_set"],
+            b["raw_est"],
+            b["hll_est"],
+        )
