@@ -206,3 +206,64 @@ def check_partition(
         .count()
     )
     return {"duplicated_keys": dup, "imbalanced_units": imbalance}
+
+
+def skew_profile(
+    df,
+    key_col: str,
+    target_rows_per_task: int = 1_000_000,
+    top_k: int = 5,
+):
+    """Join-key skew diagnostic: the measurement a pipeline runs BEFORE
+    choosing a join strategy at scale. Emits the ``top_k`` hottest keys,
+    each annotated with the global distribution summary — key count,
+    max/avg per-key rows, interpolated p50/p90/p99, the max/avg skew
+    ratio, and the salting factor ``ceil(max_cnt / target_rows_per_task)``
+    that would bound the hottest key's per-task rows (1 = no salting
+    needed; the input `salt_n` a salted join like q63's expects).
+
+    Scale design: per-key counts are one map-side-combinable groupBy (the
+    only wide dependency — the profile never shuffles rows, only key
+    counts); the summary is a second aggregation over one row per key;
+    the top-k is a TakeOrdered (per-partition heap + driver merge of k
+    rows, never a global sort); the 1-row summary joins the top-k rows
+    via broadcast. Every output is exact, so the profile is
+    oracle-checkable — percentiles use the standard (n-1)*p linear
+    interpolation both engines implement.
+    """
+    if target_rows_per_task < 1:
+        raise ValueError(
+            f"target_rows_per_task must be >= 1, got {target_rows_per_task}"
+        )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = counts.agg(
+        F.expr("cast(sum(cnt) as bigint)").alias("n_rows"),
+        F.expr("count(*)").alias("n_keys"),
+        F.expr("max(cnt)").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.9)").alias("p90_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+    ).selectExpr(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        "cast(n_rows as double) / cast(n_keys as double) as avg_cnt",
+        "cast(max_cnt as double) * cast(n_keys as double) "
+        "/ cast(n_rows as double) as skew_ratio",
+        f"cast(ceil(cast(max_cnt as double) / {target_rows_per_task}.0) "
+        "as bigint) as rec_salt",
+    )
+    hot = (
+        counts.orderBy(F.desc("cnt"), F.col(key_col))
+        .limit(top_k)
+        .select(
+            F.col(key_col).alias("hot_key"),
+            F.col("cnt").alias("hot_cnt"),
+        )
+    )
+    # 1-row stat frame x top_k rows: the documented broadcast-tiny
+    # cross join shape (same as the centroid/stat-frame precedents)
+    return hot.crossJoin(F.broadcast(summary))

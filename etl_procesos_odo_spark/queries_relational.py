@@ -1736,3 +1736,124 @@ def q149_sorted_neighborhood(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+@register(
+    "q162_skew_profile",
+    """
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    summary AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys,
+             MAX(cnt) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50_cnt,
+             quantile_cont(cnt, 0.9) AS p90_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt
+      FROM counts
+    ),
+    s2 AS (
+      SELECT *,
+             CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+             CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS skew_ratio,
+             CAST(CEIL(CAST(max_cnt AS DOUBLE) / 50.0) AS BIGINT)
+               AS rec_salt
+      FROM summary
+    ),
+    hot AS (
+      SELECT l_partkey AS hot_key, cnt AS hot_cnt
+      FROM counts ORDER BY cnt DESC, l_partkey LIMIT 5
+    )
+    SELECT hot_key, hot_cnt, n_rows, n_keys, max_cnt,
+           p50_cnt, p90_cnt, p99_cnt, avg_cnt, skew_ratio, rec_salt
+    FROM hot CROSS JOIN s2
+    """,
+    doc="Join-key skew profile of lineitem.l_partkey (X4-X6's diagnostic "
+    "complement; feeds q63's salted join its salt_n): per-key counts via "
+    "ONE map-side-combinable groupBy — the profile shuffles key counts, "
+    "never rows — then a one-row distribution summary (max/avg/p50/p90/"
+    "p99, skew ratio, recommended salt = ceil(max_cnt / target)) "
+    "broadcast onto the top-5 hottest keys (TakeOrdered heap, no global "
+    "sort). The measurement a 100 TB pipeline runs BEFORE choosing "
+    "broadcast vs salted vs plain shuffle join. target_rows_per_task=50 "
+    "is fixture-scaled (the real default is 1M rows/task); percentiles "
+    "are the standard (n-1)*p interpolation in both engines.",
+)
+def q162_skew_profile(spark: SparkSession, sf_dir: str):
+    from .operators.partitioner import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_partkey", target_rows_per_task=50, top_k=5)
+
+
+_DIGEST_P61 = 2305843009213693951  # Mersenne 2^61 - 1
+
+
+def _o_digest(table_expr: str, arm: str, row_expr: str) -> str:
+    return f"""
+    SELECT '{arm}' AS arm, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5({row_expr}), 1, 15)
+                              AS BIGINT) AS DECIMAL(38,0)))
+                  % {_DIGEST_P61} AS BIGINT) AS digest
+    FROM {table_expr}
+    """
+
+
+_ORDERS_ROW = (
+    "concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '␀'), "
+    "COALESCE(CAST(o_custkey AS VARCHAR), '␀'), "
+    "COALESCE(CAST(o_orderstatus AS VARCHAR), '␀'), "
+    "COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '␀'), "
+    "COALESCE(CAST(o_orderpriority AS VARCHAR), '␀'))"
+)
+_CUST_ROW = (
+    "concat_ws('|', COALESCE(CAST(c_custkey AS VARCHAR), '␀'), "
+    "COALESCE(CAST(c_name AS VARCHAR), '␀'), "
+    "COALESCE(CAST(c_nationkey AS VARCHAR), '␀'), "
+    "COALESCE(CAST(c_mktsegment AS VARCHAR), '␀'))"
+)
+
+
+@register(
+    "q163_replication_digest",
+    _o_digest("orders", "orders_source", _ORDERS_ROW)
+    + " UNION ALL "
+    + _o_digest("orders", "orders_relaid", _ORDERS_ROW)
+    + " UNION ALL "
+    + _o_digest("customer", "customer_source", _CUST_ROW),
+    doc="Order-independent table content digests (operators/layout.py "
+    "table_digest): SUM of per-row 60-bit md5 hashes in DECIMAL(38,0) "
+    "mod 2^61-1 — commutative, so the digest is invariant under "
+    "partitioning, file layout, and row order. The orders_relaid arm "
+    "digests the SAME content through a repartition(17) relayout and "
+    "must equal orders_source — the validation a 100 TB estate runs "
+    "after a bucketed rewrite, Z-order compaction, or cross-cluster "
+    "copy: one map-side-combinable aggregation per side, no sort, no "
+    "join, constant memory. Digest columns are string-cast-stable "
+    "types only (doubles excluded; timestamps cast to date).",
+)
+def q163_replication_digest(spark: SparkSession, sf_dir: str):
+    from .operators.layout import table_digest
+
+    ords = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "cast(o_orderdate as date) as o_odate",
+        "o_orderpriority",
+    )
+    ocols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_odate",
+             "o_orderpriority"]
+    cust = load_table(spark, sf_dir, "customer")
+    a = table_digest(ords, ocols).selectExpr(
+        "'orders_source' as arm", "n_rows", "digest"
+    )
+    b = table_digest(ords.repartition(17), ocols).selectExpr(
+        "'orders_relaid' as arm", "n_rows", "digest"
+    )
+    c = table_digest(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    ).selectExpr("'customer_source' as arm", "n_rows", "digest")
+    return a.unionByName(b).unionByName(c)

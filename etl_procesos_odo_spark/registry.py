@@ -92,15 +92,33 @@ DRIVER_HEAD: tuple[str, ...] = (
     # decontamination gate — the round-6 flagship scale operator
     # (scan-side bitmap probe + exact verify join, bloom≡exact) with no
     # driver-row class until now.)
+    # (r7 swap q82 -> q160: q82's block-level keep-first dedup is the
+    # same groupBy-first-occurrence family as corpus line dedup, and
+    # q160 strictly widens it — finer (line) granularity, corpus-wide
+    # first-occurrence policy, AND order-preserving document reassembly
+    # with removal accounting (the q34 -> q107 "strictly widens"
+    # precedent); q82 stays green in the back-half censuses.)
+    # (r7 swap q71 -> q158: q71's exact inverted-index decontamination
+    # join runs INSIDE q155's verify stage — the bloom gate's exact
+    # verify join is that same shingle equi-join, and bloom≡exact is
+    # property-tested — so the row was doubly covered; q71 stays green
+    # in the back-half censuses. q158 is PII redaction, the corpus-
+    # hygiene family new in r7 with no driver-row class.)
     "q155_decontaminate_bloom", "q103_semantic_dedup",
     "q67_minhash_lsh_collapsed",
-    "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q82_block_dedup",
-    "q71_decontaminate",
+    "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q160_line_dedup",
+    "q158_pii_redaction",
     # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
     # sampled scan, S4 — AND the q74 IVF arm; r4 swap q34 -> q107, which
     # strictly widens what the row exercises; q34 stays green in the
-    # back-half full-registry runs), IVF multi-probe, k-means step
-    "q107_ann_recall", "q74_ann_ivf_multiprobe",
+    # back-half full-registry runs), k-means step
+    # (r7 swap q74 -> q159: the q107 recall row CONTAINS the q74 IVF
+    # multi-probe arm — the containment note above has documented it
+    # since r4 — so the row was doubly covered; q74 stays green in the
+    # back-half censuses. q159 is the HyperLogLog cardinality sketch,
+    # the fixed-state distinct-count family new in r7 with no driver-row
+    # class — the cardinality complement of q106's frequency sketch.)
+    "q107_ann_recall", "q159_hll_cardinality",
     "q87_kmeans_step",
     # text analysis
     "q35_langid", "q38_fingerprint", "q73_repetition_metrics",

@@ -129,3 +129,38 @@ def test_zorder_beats_linear_on_nonleading_dim(spark):
     # must not touch every file)
     z_user = files_hit(zord, "user_id", 40, 50)
     assert z_user < n_files * 0.6, z_user
+
+
+def test_table_digest_invariance_and_sensitivity(spark):
+    """digest is bit-identical under repartitioning and row order,
+    changes when any row changes, and distinguishes NULL from empty
+    string (the concat_ws-collapse trap the sentinel guards)."""
+    from etl_procesos_odo_spark.operators.layout import table_digest
+
+    rows = [(1, "a"), (2, "b"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    base = table_digest(df, ["k", "v"]).collect()[0]
+    assert base["n_rows"] == 4
+    relaid = table_digest(
+        df.repartition(7, "v"), ["k", "v"]
+    ).collect()[0]
+    reversed_ = table_digest(
+        spark.createDataFrame(rows[::-1], "k bigint, v string"), ["k", "v"]
+    ).collect()[0]
+    assert relaid["digest"] == base["digest"] == reversed_["digest"]
+
+    mutated = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "")], "k bigint, v string"
+    )
+    assert (
+        table_digest(mutated, ["k", "v"]).collect()[0]["digest"]
+        != base["digest"]
+    )
+    # NULL and '' must hash differently
+    null_vs_empty = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, ""), (4, "")], "k bigint, v string"
+    )
+    assert (
+        table_digest(null_vs_empty, ["k", "v"]).collect()[0]["digest"]
+        != base["digest"]
+    )

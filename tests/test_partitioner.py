@@ -86,3 +86,34 @@ def test_constrained_partition_respects_allowed(spark, customer):
         .collect()[0][0]
     )
     assert spread <= 1
+
+
+def test_skew_profile_semantics_and_plan(spark):
+    """skew_profile on a crafted skewed frame: exact summary stats, the
+    hot key ranked first with deterministic tie-break, the recommended
+    salt bounds the hottest key at target_rows_per_task, and the top-k
+    plans as TakeOrderedAndProject (heap, not a global sort)."""
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.operators.partitioner import skew_profile
+
+    rows = [("hot",)] * 90 + [("warm",)] * 8 + [("a",), ("b",)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = skew_profile(df, "k", target_rows_per_task=10, top_k=2)
+    got = out.orderBy(F.desc("hot_cnt"), "hot_key").collect()
+    assert [(r["hot_key"], r["hot_cnt"]) for r in got] == [
+        ("hot", 90),
+        ("warm", 8),
+    ]
+    r = got[0]
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"]) == (100, 4, 90)
+    assert r["avg_cnt"] == 25.0
+    assert r["skew_ratio"] == 90 * 4 / 100.0
+    assert r["rec_salt"] == 9  # ceil(90 / 10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+    with _pytest.raises(ValueError, match="target_rows_per_task"):
+        skew_profile(df, "k", target_rows_per_task=0)

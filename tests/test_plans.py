@@ -232,7 +232,15 @@ def test_driver_head_curation():
         # the round-6 families get their first driver rows
         "dedup": "q67_minhash_lsh_collapsed",
         "semantic_dedup": "q103_semantic_dedup",
-        "similarity": "q74_ann_ivf_multiprobe",
+        # r7 swaps: q74 rotates out (its IVF multi-probe arm is contained
+        # in q107's recall row, documented since r4), q82/q71 rotate out
+        # (block keep-first widened by q160's line dedup; the exact
+        # decontamination join runs inside q155's verify stage) —
+        # COVERAGE.md round-7; the new r7 families get driver rows
+        "similarity": "q107_ann_recall",
+        "cardinality_sketch": "q159_hll_cardinality",
+        "line_dedup": "q160_line_dedup",
+        "pii_hygiene": "q158_pii_redaction",
         "text": "q35_langid",
         # r5 swap: q97's stateful smoothing is evidenced by q58; q137
         # carries the time-series anomaly family in the head
