@@ -3300,3 +3300,113 @@ def q160_line_dedup(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return line_dedup_corpus(docs, line_words=3)
+
+
+def _hll_rollup_oracle() -> str:
+    from .llm.sketches import hll_estimate_exprs, hll_register_exprs
+
+    reg = hll_register_exprs("user_id", p=6, engine="duckdb")
+    est = hll_estimate_exprs(p=6)
+    w1 = reg["w_bits"] + 1
+    return f"""
+    WITH keyed AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {reg["bucket"]} AS bucket, {reg["rho"]} AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    daily AS (
+      SELECT day, bucket, MAX(rho) AS r FROM keyed GROUP BY day, bucket
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS wk, bucket,
+             MAX(r) AS r
+      FROM daily GROUP BY 1, bucket
+    ),
+    alltime AS (SELECT bucket, MAX(r) AS r FROM daily GROUP BY bucket),
+    d_est AS (
+      SELECT 'day' AS level, CAST(day AS VARCHAR) AS key,
+             COUNT(*) AS n_set,
+             SUM(CAST(1 AS BIGINT) << CAST({w1} - r AS INT)) AS s_set
+      FROM daily GROUP BY day
+    ),
+    w_est AS (
+      SELECT 'week' AS level, CAST(wk AS VARCHAR) AS key,
+             COUNT(*) AS n_set,
+             SUM(CAST(1 AS BIGINT) << CAST({w1} - r AS INT)) AS s_set
+      FROM weekly GROUP BY wk
+    ),
+    a_est AS (
+      SELECT 'all' AS level, '*' AS key, COUNT(*) AS n_set,
+             SUM(CAST(1 AS BIGINT) << CAST({w1} - r AS INT)) AS s_set
+      FROM alltime
+    ),
+    u AS (
+      SELECT * FROM d_est UNION ALL SELECT * FROM w_est
+      UNION ALL SELECT * FROM a_est
+    )
+    SELECT level, key, n_set, {est["est"]} AS hll_est FROM u
+    """
+
+
+@register(
+    "q164_hll_rollup",
+    _hll_rollup_oracle(),
+    doc="Hierarchical HLL rollup — the property exact COUNT(DISTINCT) "
+    "CANNOT offer: distinct users per day, per week, and overall, where "
+    "the week and all-time levels are derived by re-aggregating the "
+    "STORED daily register table (max per bucket = sketch union) "
+    "without ever rescanning raw events. At 100 TB this is the "
+    "pre-aggregated sketch-table pattern: persist days x m registers "
+    "(KBs), answer any coarser distinct-count rollup from them — exact "
+    "distinct counts do not compose (|A ∪ B| != |A| + |B|), HLL "
+    "registers do, associatively and bit-reproducibly. Rollup "
+    "estimates are bit-identical to direct estimates over the raw "
+    "rows (unit-tested), and the whole query is bit-identical to the "
+    "SQL oracle.",
+)
+def q164_hll_rollup(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import hll_estimate_exprs, hll_register_exprs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reg = hll_register_exprs("user_id", p=6, engine="spark")
+    est = hll_estimate_exprs(p=6)
+    w1 = reg["w_bits"] + 1
+    s_sum = (
+        f"sum(shiftleft(cast(1 as bigint), cast({w1} - r as int)))"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.expr("user_id is not null"))
+        .selectExpr(
+            "cast(date_trunc('day', ts) as date) as day",
+            f"{reg['bucket']} as bucket",
+            f"{reg['rho']} as rho",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    weekly = (
+        daily.selectExpr(
+            "cast(date_trunc('week', day) as date) as wk", "bucket", "r"
+        )
+        .groupBy("wk", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    alltime = daily.groupBy("bucket").agg(F.max("r").alias("r"))
+    d_est = daily.groupBy("day").agg(
+        F.expr("count(*)").alias("n_set"), F.expr(s_sum).alias("s_set")
+    ).selectExpr(
+        "'day' as level", "cast(day as string) as key", "n_set", "s_set"
+    )
+    w_est = weekly.groupBy("wk").agg(
+        F.expr("count(*)").alias("n_set"), F.expr(s_sum).alias("s_set")
+    ).selectExpr(
+        "'week' as level", "cast(wk as string) as key", "n_set", "s_set"
+    )
+    a_est = alltime.agg(
+        F.expr("count(*)").alias("n_set"), F.expr(s_sum).alias("s_set")
+    ).selectExpr("'all' as level", "'*' as key", "n_set", "s_set")
+    u = d_est.unionByName(w_est).unionByName(a_est)
+    return u.selectExpr(
+        "level", "key", "n_set", f"{est['est']} as hll_est"
+    )

@@ -1852,3 +1852,43 @@ def test_streaming_hll_mode_invariance(spark):
             b["raw_est"],
             b["hll_est"],
         )
+
+
+def test_hll_rollup_equals_direct(spark):
+    """Sketch-union associativity: the weekly and all-time estimates
+    derived by rolling up STORED daily registers are BIT-identical to
+    direct estimates computed from the raw rows — the property that
+    makes persisted sketch tables answer coarser rollups without
+    rescans (exact distinct counts do not compose; registers do)."""
+    from etl_procesos_odo_spark.llm.sketches import hll_cardinality
+    from etl_procesos_odo_spark.queries_llm import q164_hll_rollup
+    from etl_procesos_odo_spark.session import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = "/root/testdata/sf0.001"
+    rolled = {
+        (r["level"], r["key"]): r
+        for r in q164_hll_rollup(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    direct_week = {
+        str(r["wk"]): r
+        for r in hll_cardinality(
+            ev,
+            "user_id",
+            {"wk": "cast(date_trunc('week', ts) as date)"},
+            p=6,
+            exact_audit=False,
+        ).collect()
+    }
+    weeks = [k for (lvl, k) in rolled if lvl == "week"]
+    assert set(weeks) == set(direct_week) and weeks
+    for wk in weeks:
+        assert (
+            rolled[("week", wk)]["hll_est"] == direct_week[wk]["hll_est"]
+        )
+        assert rolled[("week", wk)]["n_set"] == direct_week[wk]["n_set"]
+    direct_all = hll_cardinality(
+        ev, "user_id", {"g": "'*'"}, p=6, exact_audit=False
+    ).collect()[0]
+    assert rolled[("all", "*")]["hll_est"] == direct_all["hll_est"]
