@@ -131,3 +131,66 @@ def table_digest(df, cols: Sequence[str]) -> "DataFrame":
             "as bigint)"
         ).alias("digest"),
     )
+
+
+def bucketed_digest(
+    df, cols: Sequence[str], key_col: str, n_buckets: int = 64
+) -> "DataFrame":
+    """Per-bucket content digests — the Merkle-style refinement of
+    ``table_digest``: rows are assigned to ``n_buckets`` stable hash
+    buckets by ``key_col`` (md5-derived, engine-portable), and each
+    bucket gets its own order-independent digest + row count.
+
+    Two copies of a 100 TB table that disagree are then DIFFED by
+    joining 2 x n_buckets summary rows — divergence is localized to the
+    damaged key range(s) without comparing, sorting, or shuffling any
+    rows; repair re-syncs only the mismatched buckets. Same aggregation
+    shape as ``table_digest`` (map-side combinable, constant memory),
+    plus one tiny bucket key."""
+    from ..llm.dedup import hash60
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    sentinel = F.lit("␀")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), sentinel) for c in cols
+    ]
+    h = hash60(F.concat_ws("|", *parts))
+    bucket = hash60(F.col(key_col).cast("string")) % n_buckets
+    return (
+        df.select(bucket.alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(h as decimal(38,0))) "
+                "% 2305843009213693951 as bigint)"
+            ).alias("digest"),
+        )
+    )
+
+
+def digest_diff(
+    a, b, cols: Sequence[str], key_col: str, n_buckets: int = 64
+) -> "DataFrame":
+    """Full-outer comparison of two tables' bucketed digests: one row
+    per bucket present on either side, with per-side row counts/digests
+    and an ``is_match`` verdict. The repair planner for replicated
+    estates — only ``is_match = false`` buckets need re-sync."""
+    da = bucketed_digest(a, cols, key_col, n_buckets)
+    db = bucketed_digest(b, cols, key_col, n_buckets)
+    return (
+        da.alias("a")
+        .join(db.alias("b"), on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.col("a.n_rows").alias("n_rows_a"),
+            F.col("b.n_rows").alias("n_rows_b"),
+            F.col("a.digest").alias("digest_a"),
+            F.col("b.digest").alias("digest_b"),
+            (
+                F.col("a.digest").eqNullSafe(F.col("b.digest"))
+                & F.col("a.n_rows").eqNullSafe(F.col("b.n_rows"))
+            ).alias("is_match"),
+        )
+    )

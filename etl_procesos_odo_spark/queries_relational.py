@@ -1857,3 +1857,74 @@ def q163_replication_digest(spark: SparkSession, sf_dir: str):
         cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     ).selectExpr("'customer_source' as arm", "n_rows", "digest")
     return a.unionByName(b).unionByName(c)
+
+
+_BDIG_H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _bucketed_digest_sql(src: str, row_expr: str) -> str:
+    h = _BDIG_H.format(x=row_expr)
+    bkt = _BDIG_H.format(x="CAST(o_orderkey AS VARCHAR)")
+    return f"""
+      SELECT ({bkt}) % 64 AS bucket, COUNT(*) AS n_rows,
+             CAST(SUM(CAST({h} AS DECIMAL(38,0)))
+                    % {_DIGEST_P61} AS BIGINT) AS digest
+      FROM {src} GROUP BY 1
+    """
+
+
+_REPLICA_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+           CASE WHEN o_orderkey % 9973 = 0 THEN 'CORRUPTED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+"""
+
+
+@register(
+    "q165_digest_diff",
+    f"""
+    WITH replica AS ({_REPLICA_SQL}),
+    da AS ({_bucketed_digest_sql("orders", _ORDERS_ROW)}),
+    db AS ({_bucketed_digest_sql("replica", _ORDERS_ROW)})
+    SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           da.n_rows AS n_rows_a, db.n_rows AS n_rows_b,
+           da.digest AS digest_a, db.digest AS digest_b,
+           (da.digest IS NOT DISTINCT FROM db.digest
+            AND da.n_rows IS NOT DISTINCT FROM db.n_rows) AS is_match
+    FROM da FULL JOIN db ON da.bucket = db.bucket
+    """,
+    doc="Merkle-style divergence localization (operators/layout.py "
+    "bucketed_digest / digest_diff), the WHERE to q163's WHETHER: both "
+    "copies of the orders table reduce to 64 per-bucket "
+    "order-independent digests (same map-side-combinable sum-mod "
+    "aggregation as q163, plus a stable md5 bucket key), and the diff "
+    "is a full-outer join of 2x64 summary rows — at 100 TB, divergence "
+    "between replicas is pinned to the damaged key ranges without "
+    "comparing, sorting, or shuffling any rows, and repair re-syncs "
+    "only is_match=false buckets. The replica arm injects a "
+    "deterministic corruption (priority overwritten where o_orderkey % "
+    "9973 = 0), identically in both engines; buckets containing no "
+    "corrupted key must report is_match=true.",
+)
+def q165_digest_diff(spark: SparkSession, sf_dir: str):
+    from .operators.layout import digest_diff
+
+    ords = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "cast(o_orderdate as date) as o_odate",
+        "o_orderpriority",
+    )
+    replica = ords.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_odate",
+        "case when o_orderkey % 9973 = 0 then 'CORRUPTED' "
+        "else o_orderpriority end as o_orderpriority",
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_odate",
+            "o_orderpriority"]
+    return digest_diff(ords, replica, cols, "o_orderkey", n_buckets=64)

@@ -164,3 +164,38 @@ def test_table_digest_invariance_and_sensitivity(spark):
         table_digest(null_vs_empty, ["k", "v"]).collect()[0]["digest"]
         != base["digest"]
     )
+
+
+def test_digest_diff_localizes_divergence(spark):
+    """digest_diff pins a single-row corruption to exactly the buckets
+    holding the corrupted key; every other bucket reports is_match=true,
+    and a side missing a bucket entirely (deleted keys) surfaces as a
+    NULL-side mismatch via the full-outer join."""
+    from etl_procesos_odo_spark.llm.dedup import hash60
+    from etl_procesos_odo_spark.operators.layout import digest_diff
+
+    rows = [(i, f"v{i}") for i in range(200)]
+    a = spark.createDataFrame(rows, "k bigint, v string")
+    mutated = [(i, "XX" if i == 42 else f"v{i}") for i in range(200)]
+    b = spark.createDataFrame(mutated, "k bigint, v string")
+    out = digest_diff(a, b, ["k", "v"], "k", n_buckets=8).collect()
+    # compute the corrupted key's bucket the same way the operator does
+    bad = spark.createDataFrame([(42,)], "k bigint").select(
+        (hash60(F.col("k").cast("string")) % 8).alias("bk")
+    ).collect()[0]["bk"]
+    for r in out:
+        if r["bucket"] == bad:
+            assert not r["is_match"]
+            assert r["n_rows_a"] == r["n_rows_b"]  # same rows, new bytes
+        else:
+            assert r["is_match"], r
+    # deletion: drop every key in one bucket from b -> count mismatch
+    keyed = a.select(
+        "k", "v", (hash60(F.col("k").cast("string")) % 8).alias("bk")
+    )
+    b2 = keyed.where(F.col("bk") != 0).select("k", "v")
+    out2 = {r["bucket"]: r for r in digest_diff(
+        a, b2, ["k", "v"], "k", n_buckets=8
+    ).collect()}
+    assert not out2[0]["is_match"] and out2[0]["n_rows_b"] is None
+    assert all(r["is_match"] for bk, r in out2.items() if bk != 0)
