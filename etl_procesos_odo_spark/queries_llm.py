@@ -3410,3 +3410,68 @@ def q164_hll_rollup(spark: SparkSession, sf_dir: str):
     return u.selectExpr(
         "level", "key", "n_set", f"{est['est']} as hll_est"
     )
+
+
+@register(
+    "q166_conjunctive_search",
+    """
+    WITH qdocs AS (
+      SELECT doc_id AS qid, str_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 8
+    ),
+    q AS (
+      SELECT qid,
+             UNNEST(list_distinct(list_filter(
+               [words[1], words[3], words[5]],
+               x -> x IS NOT NULL))) AS term
+      FROM qdocs
+    ),
+    qn AS (SELECT qid, COUNT(*) AS n_terms FROM q GROUP BY qid),
+    postings AS (
+      SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS term
+      FROM documents
+    ),
+    m AS (
+      SELECT q.qid, p.doc_id, COUNT(*) AS n_matched
+      FROM q JOIN postings p USING (term) GROUP BY 1, 2
+    )
+    SELECT m.qid, m.doc_id, qn.n_terms
+    FROM m JOIN qn USING (qid) WHERE m.n_matched = qn.n_terms
+    """,
+    doc="Conjunctive (ALL-terms) boolean retrieval — relational "
+    "division, the AND-semantics complement to q110's ranked BM25 and "
+    "the RRF fusion arms: a broadcast query-term panel equi-joins the "
+    "distinct-word posting lists and a counting groupBy keeps (query, "
+    "doc) pairs matching EVERY query term (n_matched == n_terms) — "
+    "containment without a cross join, NOT EXISTS, or per-term "
+    "re-scans. At 100 TB the postings explode is the only wide "
+    "dependency (shuffled by term, skew bounded by df like q154's "
+    "inverted index); the panel side is broadcast-tiny. Query terms "
+    "derive deterministically from the panel docs' word positions "
+    "1/3/5, null-guarded for short docs identically in both engines.",
+)
+def q166_conjunctive_search(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    qdocs = docs.filter(F.col("doc_id") < 8).selectExpr(
+        "doc_id as qid", "split(text, ' ') as words"
+    )
+    q = qdocs.selectExpr(
+        "qid",
+        "explode(array_distinct(filter("
+        "array(try_element_at(words, 1), try_element_at(words, 3), "
+        "try_element_at(words, 5)), x -> x is not null))) as term",
+    )
+    qn = q.groupBy("qid").agg(F.count(F.lit(1)).alias("n_terms"))
+    postings = docs.selectExpr(
+        "doc_id", "explode(array_distinct(split(text, ' '))) as term"
+    )
+    m = (
+        postings.join(F.broadcast(q), on="term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        m.join(F.broadcast(qn), on="qid")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+        .select("qid", "doc_id", "n_terms")
+    )

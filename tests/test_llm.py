@@ -1892,3 +1892,47 @@ def test_hll_rollup_equals_direct(spark):
         ev, "user_id", {"g": "'*'"}, p=6, exact_audit=False
     ).collect()[0]
     assert rolled[("all", "*")]["hll_est"] == direct_all["hll_est"]
+
+
+def test_conjunctive_search_containment_and_short_docs(spark):
+    """ALL-semantics: only docs containing every query term match; a
+    query doc shorter than the sampled positions null-guards to fewer
+    terms; duplicate sampled terms dedupe before counting (else
+    n_matched could never reach n_terms)."""
+    from etl_procesos_odo_spark.queries_llm import q166_conjunctive_search
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            # qid 0 -> terms at positions 1,3,5: alpha, beta, gamma
+            (0, "alpha x beta y gamma z"),
+            # qid 1 -> two words only: single term 'p' (position 1)
+            (1, "p q"),
+            (10, "gamma beta alpha filler"),          # all 3 -> match q0
+            (11, "alpha beta only"),                  # missing gamma
+            (12, "p r s"),                            # contains p -> q1
+            # duplicate-position probe: positions 1,3,5 = dup dup dup
+            (2, "dup x dup y dup z"),
+            (13, "dup elsewhere"),                    # contains dup
+        ],
+        "doc_id bigint, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.withColumn(
+            "lang", F.lit("en")
+        ).withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text")
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r["qid"], r["doc_id"]): r["n_terms"]
+            for r in q166_conjunctive_search(spark, td).collect()
+        }
+    q0_hits = {d for (q, d) in got if q == 0}
+    assert q0_hits == {0, 10}  # self + the full-containment doc
+    assert got[(0, 0)] == 3
+    q1_hits = {d for (q, d) in got if q == 1}
+    assert q1_hits == {1, 12}
+    assert got[(1, 1)] == 1  # short doc -> 1 null-guarded term
+    q2_hits = {d for (q, d) in got if q == 2}
+    assert q2_hits == {2, 13} and got[(2, 13)] == 1  # deduped to 1 term
