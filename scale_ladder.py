@@ -51,6 +51,9 @@ QUERIES = [
     "q71_decontaminate",
     "q102_incremental_dedup",
     "q155_decontaminate_bloom",
+    # r7 second wave: corpus line dedup — the min(struct) first-
+    # occurrence aggregation's curve vs corpus growth
+    "q160_line_dedup",
 ]
 N_DOCS_SF1 = 50_000
 SF10_DIR = os.path.join(REPO_ROOT, ".scaledata", "sf10")
