@@ -138,3 +138,53 @@ def mix_rebalance(
         .filter(hash_uniform(F.col(id_col), salt) < F.col("rate"))
         .drop("_w")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: tuple = (("train", 0.8), ("val", 0.9), ("test", 1.0)),
+    salt: str = "split1",
+) -> DataFrame:
+    """Train/val/test assignment keyed by DUPLICATE CLUSTER, not by
+    document: all copies of the same content land in the same split by
+    construction, closing the train/test contamination a per-document
+    hash split (q86/q126's shape) cannot — duplicated documents straddle
+    splits there, and a model evaluated on the test half of a dup pair
+    has seen its twin in training.
+
+    Mechanics: exact-duplicate clusters via ``groupBy(md5(text))`` with
+    ``min(id)`` as the cluster representative (one map-side-combinable
+    shuffle keyed by digest — q30's exact-dedup shape); the split draw is
+    ``hash_uniform(cluster_id)`` against cumulative ``fractions``
+    thresholds (ordered (name, cumulative_upper) pairs, last must be
+    1.0), so the assignment is deterministic, re-runnable, and
+    cluster-atomic. Near-dup-atomic splits swap the digest for a
+    connected-component cluster id (q47/q70) — same join shape.
+
+    Output: every document with its ``cluster_id``, ``n_members``, and
+    ``split``.
+    """
+    uppers = [u for _, u in fractions]
+    if sorted(uppers) != uppers or abs(uppers[-1] - 1.0) > 1e-12:
+        raise ValueError(
+            f"fractions must have ascending cumulative uppers ending at "
+            f"1.0, got {fractions}"
+        )
+    d = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("dg")
+    )
+    c = d.groupBy("dg").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    j = d.join(c, on="dg").select(id_col, "cluster_id", "n_members")
+    r = hash_uniform(F.col("cluster_id"), salt)
+    # build the cumulative CASE inside-out: the final ELSE is the last
+    # band, each earlier band wraps it with its (lower) upper bound, so
+    # evaluation order is ascending and first match wins
+    split: Column = F.lit(fractions[-1][0])
+    for name, upper in reversed(fractions[:-1]):
+        split = F.when(r < F.lit(upper), F.lit(name)).otherwise(split)
+    return j.withColumn("split", split)

@@ -3475,3 +3475,48 @@ def q166_conjunctive_search(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_matched") == F.col("n_terms"))
         .select("qid", "doc_id", "n_terms")
     )
+
+
+@register(
+    "q167_leakage_safe_split",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+    c AS (
+      SELECT dg, MIN(doc_id) AS cluster_id, COUNT(*) AS n_members
+      FROM d GROUP BY dg
+    ),
+    j AS (
+      SELECT d.doc_id, c.cluster_id, c.n_members
+      FROM d JOIN c USING (dg)
+    ),
+    u AS (
+      SELECT *,
+             CAST('0x' || substr(md5('split1'
+                 || CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 AS r
+      FROM j
+    )
+    SELECT doc_id, cluster_id, n_members,
+           CASE WHEN r < 0.8 THEN 'train'
+                WHEN r < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+    doc="Leakage-safe train/val/test split (llm/sampling.py "
+    "leakage_safe_split): the split draw is keyed by DUPLICATE CLUSTER "
+    "(md5-exact groups, min-id representative — q30's digest-groupBy "
+    "shape), so every copy of the same content lands in the same split "
+    "by construction. A per-document hash split (q86/q126) lets dup "
+    "pairs straddle train/test — the model then trains on its test "
+    "set's twins; this closes that contamination channel, the "
+    "post-dedup splitting step a real pretraining pipeline runs. One "
+    "digest-keyed map-side-combinable shuffle + one equi-join; the "
+    "assignment is deterministic and re-runnable (hash_uniform on "
+    "cluster_id). Near-dup-atomic variant swaps the digest for the "
+    "q47/q70 connected-component cluster id — same join shape.",
+)
+def q167_leakage_safe_split(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)

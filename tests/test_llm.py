@@ -1936,3 +1936,54 @@ def test_conjunctive_search_containment_and_short_docs(spark):
     assert got[(1, 1)] == 1  # short doc -> 1 null-guarded term
     q2_hits = {d for (q, d) in got if q == 2}
     assert q2_hits == {2, 13} and got[(2, 13)] == 1  # deduped to 1 term
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every duplicate cluster lands wholly in one split; the naive
+    per-document draw (the contamination channel this operator closes)
+    demonstrably WOULD have straddled splits for at least one planted
+    dup pair; fractions validation raises on non-cumulative input."""
+    import pytest as _pytest
+
+    from etl_procesos_odo_spark.llm.sampling import (
+        hash_uniform,
+        leakage_safe_split,
+    )
+
+    # 60 planted dup pairs (ids i and i+1000 share text) + 80 uniques
+    rows = (
+        [(i, f"dup text {i}") for i in range(60)]
+        + [(i + 1000, f"dup text {i}") for i in range(60)]
+        + [(i + 5000, f"unique text {i}") for i in range(80)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = leakage_safe_split(docs).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    dup_clusters = [
+        c for c, _ in by_cluster.items()
+        if any(r["cluster_id"] == c and r["n_members"] == 2 for r in out)
+    ]
+    assert len(dup_clusters) == 60
+    # contrast: the naive per-doc draw splits at least one pair
+    naive = {
+        r["doc_id"]: r["naive"]
+        for r in docs.select(
+            "doc_id",
+            F.when(hash_uniform(F.col("doc_id"), "split1") < 0.8, "train")
+            .when(hash_uniform(F.col("doc_id"), "split1") < 0.9, "val")
+            .otherwise("test")
+            .alias("naive"),
+        ).collect()
+    }
+    straddled = sum(
+        1 for i in range(60) if naive[i] != naive[i + 1000]
+    )
+    assert straddled > 0  # the leak exists without cluster keying
+
+    with _pytest.raises(ValueError, match="fractions"):
+        leakage_safe_split(
+            docs, fractions=(("a", 0.5), ("b", 0.4), ("c", 1.0))
+        )
