@@ -1554,6 +1554,17 @@ def line_dedup_corpus(
             "as (li, line)",
         )
     )
+    # `lines` feeds BOTH the first-occurrence aggregate and the flag
+    # join, and the split+explode re-runs per consumer (the partial agg
+    # below the aggregate-side exchange defeats ReuseExchange). That is
+    # DELIBERATE: a position-matched A/B at sf0.1 measured persisting
+    # the exploded frame within noise of recomputing (4.1 vs 4.5 s cold,
+    # 2 runs each — an earlier "2.5x slower" reading was a session-
+    # position artifact), and at 100 TB the exploded corpus cannot be
+    # cached at all, so recompute is the only plan that survives scale.
+    # Contrast leakage_safe_split, which DOES persist: its reused frame
+    # is ~40 bytes/row vs a full-text re-hash — persist iff cached bytes
+    # are far below recompute cost.
     firsts = lines.groupBy("line").agg(
         F.min(F.struct("doc_id", "li")).alias("first")
     )

@@ -175,6 +175,13 @@ def leakage_safe_split(
     d = docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("dg")
     )
+    # `d` feeds both the cluster aggregate and the assignment join;
+    # unpersisted, the full-text md5 scan runs twice (the partial agg
+    # below the exchange defeats ReuseExchange). ~40 bytes/row persisted
+    # vs re-hashing every document — the capped slot bounds memory.
+    from .dedup import _persist_capped
+
+    d = _persist_capped(d)
     c = d.groupBy("dg").agg(
         F.min(id_col).alias("cluster_id"),
         F.count(F.lit(1)).alias("n_members"),

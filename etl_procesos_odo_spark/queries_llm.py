@@ -3384,6 +3384,11 @@ def q164_hll_rollup(spark: SparkSession, sf_dir: str):
         )
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("r"))
+        # the stored-sketch table is consumed by all three rollup
+        # levels; unmaterialized, each level re-scans raw events
+        # (plan-audited: 6 scans -> 2). days x m rows — tiny, exactly
+        # what a real pipeline would persist as its sketch table.
+        .localCheckpoint()
     )
     weekly = (
         daily.selectExpr(
@@ -3460,7 +3465,8 @@ def q166_conjunctive_search(spark: SparkSession, sf_dir: str):
         "explode(array_distinct(filter("
         "array(try_element_at(words, 1), try_element_at(words, 3), "
         "try_element_at(words, 5)), x -> x is not null))) as term",
-    )
+    ).localCheckpoint()  # <= panel x 3 rows, read by qn AND the join —
+    # unmaterialized, each reference re-scans documents (plan-audited)
     qn = q.groupBy("qid").agg(F.count(F.lit(1)).alias("n_terms"))
     postings = docs.selectExpr(
         "doc_id", "explode(array_distinct(split(text, ' '))) as term"
