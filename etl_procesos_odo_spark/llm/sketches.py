@@ -365,3 +365,89 @@ def heavy_hitters(
         )
         out = out.unionByName(null_row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct-value sketch (Bar-Yossef et al., RANDOM 2002;
+# Beyer et al., SIGMOD 2007 "On synopses for distinct-value estimation
+# under multiset operations"). The property HLL registers cannot offer:
+# a KMV sketch is a SAMPLE of the distinct-key hash space, so sketches
+# compose under set INTERSECTION, not just union — the k smallest hashes
+# of A ∪ B are computable from the two sketches alone, and the fraction
+# of them present in both sketches is an unbiased Jaccard estimator
+# (exactly the MinHash argument, but with ONE hash function and a
+# bottom-k sample instead of k independent permutations — one md5 per
+# key instead of k).
+#
+# Cross-engine exactness: the hash is the shared md5/hash60 primitive;
+# "k smallest distinct" is exact integer ordering (collision-free in
+# practice at 60 bits, and identical in both engines even on collision);
+# the estimator (k-1) * 2^60 / h_(k) is one division of two exactly-
+# representable doubles ((k-1)*2^60 is a 7-significant-bit multiple of a
+# power of two; h_(k) < 2^60 int->double casts round identically), so
+# every estimate is bit-identical to an ANSI-SQL oracle.
+# ---------------------------------------------------------------------------
+
+#: Size of the hash60 value space — KMV scales the k-th order statistic
+#: against this to recover the distinct count.
+_KMV_SPACE = 1 << _HLL_HASH_BITS
+
+
+def kmv_min_k(
+    df: DataFrame,
+    group_cols: list[str],
+    h_col: str = "h",
+    k: int = 128,
+    stripes: int = 8,
+) -> DataFrame:
+    """The ``k`` smallest DISTINCT ``h_col`` values per group, with their
+    rank: the KMV sketch build. Returns ``group_cols + [h_col, 'rn']``.
+
+    Scale shape: the distinct pass is a map-side-combinable shuffle on
+    (group, h). The min-k pass is a TWO-stage window — stage 1 ranks
+    within (group, h % stripes) and keeps k per stripe, so the
+    per-group sort parallelizes ``stripes``-way and stage 2's exact
+    global rank orders at most ``stripes * k`` survivors per group
+    (the q50 striped-rank pattern; a single window per group would
+    funnel every distinct hash of a hot group through one reducer).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if stripes < 1:
+        raise ValueError(f"stripes must be >= 1, got {stripes}")
+    d = df.select(*group_cols, h_col).distinct()
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col(h_col), F.lit(stripes))
+    ).orderBy(h_col)
+    pruned = (
+        d.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(h_col)
+    return (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate_expr(
+    k: int, n_col: str = "n_set", hk_col: str = "hk"
+) -> str:
+    """SQL fragment (valid in Spark and DuckDB) turning the per-group
+    sketch aggregates ``n_col`` = COUNT(*) (<= k) and ``hk_col`` = MAX(h)
+    into the KMV distinct-count estimate:
+
+    - short sketch (n < k): every distinct hash was kept — the count is
+      EXACT, returned as-is.
+    - full sketch: the k-th order statistic of n uniform draws on
+      [0, 2^60) sits at ~ k/(n+1) * 2^60, so the unbiased estimator is
+      (k-1) * 2^60 / h_(k)  (Beyer et al. 2007, eq. 2).
+    """
+    num = _dlit(float((k - 1) * _KMV_SPACE))
+    return (
+        f"(case when {n_col} < {k} then cast({n_col} as double) "
+        f"else {num} / cast({hk_col} as double) end)"
+    )

@@ -3526,3 +3526,170 @@ def q167_leakage_safe_split(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs)
+
+
+def _kmv_oracle() -> str:
+    from .llm.sketches import kmv_estimate_expr
+
+    K = 128
+    est_src = kmv_estimate_expr(K, "n_set", "hk")
+    est_pair = kmv_estimate_expr(K, "ku", "hku")
+    jacc = "(cast(x as double) / cast(ku as double))"
+    return f"""
+    WITH w AS (SELECT doc_id, source, {O_TOKENS} AS w FROM documents),
+    g AS (SELECT source, unnest({O_SHINGLES}) AS sh FROM w),
+    d AS (SELECT DISTINCT source, {o_h60('sh')} AS h FROM g),
+    s AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM d),
+    sk AS (SELECT source, h FROM s WHERE rn <= {K}),
+    ex AS (SELECT source, COUNT(*) AS n_ex FROM d GROUP BY 1),
+    src AS (SELECT source, COUNT(*) AS n_set, MAX(h) AS hk
+            FROM sk GROUP BY 1),
+    src_rows AS (
+      SELECT 'source' AS level, src.source AS key,
+             src.n_set AS n_sketch, {est_src} AS kmv_est,
+             CAST(ex.n_ex AS BIGINT) AS exact_n,
+             CAST(NULL AS DOUBLE) AS jacc_est,
+             CAST(NULL AS DOUBLE) AS jacc_exact
+      FROM src JOIN ex USING (source)
+    ),
+    prs AS (SELECT a.source AS sa, a.n_ex AS na,
+                   b.source AS sb, b.n_ex AS nb
+            FROM ex a JOIN ex b ON a.source < b.source),
+    pu AS (
+      SELECT p.sa, p.sb, p.na, p.nb, s.h,
+             MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+      FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    pr AS (SELECT sa, sb, na, nb, h, ia, ib,
+                  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+           FROM pu),
+    pagg AS (SELECT sa, sb, na, nb, COUNT(*) AS ku, MAX(h) AS hku,
+                    SUM(ia * ib) AS x
+             FROM pr WHERE rn <= {K} GROUP BY 1, 2, 3, 4),
+    pex AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+            FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2),
+    pair_rows AS (
+      SELECT 'pair' AS level, g.sa || '|' || g.sb AS key,
+             g.ku AS n_sketch,
+             {jacc} * ({est_pair}) AS kmv_est,
+             CAST(COALESCE(px.shared, 0) AS BIGINT) AS exact_n,
+             {jacc} AS jacc_est,
+             CAST(COALESCE(px.shared, 0) AS DOUBLE)
+               / CAST(g.na + g.nb - COALESCE(px.shared, 0) AS DOUBLE)
+               AS jacc_exact
+      FROM pagg g
+      LEFT JOIN pex px ON px.sa = g.sa AND px.sb = g.sb
+    )
+    SELECT * FROM src_rows UNION ALL SELECT * FROM pair_rows
+    """
+
+
+@register(
+    "q168_kmv_source_sketch",
+    _kmv_oracle(),
+    doc="KMV / bottom-k distinct sketch per source with SET-INTERSECTION "
+    "algebra (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007): per "
+    "source, the k=128 smallest distinct shingle hashes estimate the "
+    "source's distinct-shingle count; for every source PAIR, the k "
+    "smallest of the two sketches' union give an unbiased Jaccard "
+    "estimate (fraction present in both sketches — the one-hash bottom-k "
+    "form of MinHash) and an intersection-size estimate jacc * |union|. "
+    "This is the composition HLL registers cannot do: HLL unions, KMV "
+    "intersects — the overlap matrix of 1000 corpus sources falls out of "
+    "1000 tiny sketches (k rows each) with NO pass over the corpus "
+    "cross-product. Sketch build is a map-side-combinable distinct + the "
+    "q50-style striped min-k (llm/sketches.py kmv_min_k); pair algebra "
+    "touches only sketch rows (pairs x 2k). The exact_n / jacc_exact "
+    "columns are the audit arms (full distinct counts + h-keyed "
+    "equi-join intersections — the expensive plan the sketch replaces "
+    "at 100 TB). Every estimate is exact-int ordering plus one "
+    "correctly-rounded double division, bit-identical to the oracle.",
+)
+def q168_kmv_source_sketch(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import hash60
+    from .llm.sketches import kmv_estimate_expr, kmv_min_k
+
+    K = 128
+    est_src = kmv_estimate_expr(K, "n_set", "hk")
+    est_pair = kmv_estimate_expr(K, "ku", "hku")
+    jacc = "(cast(x as double) / cast(ku as double))"
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
+        )
+        .select("source", hash60(F.col("sh")).alias("h"))
+        .distinct()
+        # consumed by the sketch build, the exact-count arm, and BOTH
+        # sides of the exact-intersection join — checkpoint so the
+        # tokenize+shingle+hash scan runs once, not four times
+        .localCheckpoint(eager=True)
+    )
+    sk = kmv_min_k(d, ["source"], "h", k=K, stripes=8).select("source", "h")
+    ex = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_ex"))
+    src = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_set"), F.max("h").alias("hk")
+    )
+    src_rows = src.join(ex, "source").selectExpr(
+        "'source' as level",
+        "source as key",
+        "n_set as n_sketch",
+        f"{est_src} as kmv_est",
+        "cast(n_ex as bigint) as exact_n",
+        "cast(null as double) as jacc_est",
+        "cast(null as double) as jacc_exact",
+    )
+    # pair frame: n_sources^2 rows (tiny dim x tiny dim — broadcast
+    # inequality join; 1000 sources => 500k rows, still driver-trivial)
+    ea = ex.selectExpr("source as sa", "n_ex as na")
+    eb = ex.selectExpr("source as sb", "n_ex as nb")
+    prs = ea.join(F.broadcast(eb), F.col("sa") < F.col("sb"))
+    ra = prs.join(sk.selectExpr("source as sa", "h"), "sa").select(
+        "sa", "sb", "na", "nb", "h",
+        F.lit(1).alias("ia"), F.lit(0).alias("ib"),
+    )
+    rb = prs.join(sk.selectExpr("source as sb", "h"), "sb").select(
+        "sa", "sb", "na", "nb", "h",
+        F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+    )
+    from pyspark.sql import Window
+
+    u = (
+        ra.unionByName(rb)
+        .groupBy("sa", "sb", "na", "nb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("h")
+    pagg = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("sa", "sb", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("ku"),
+            F.max("h").alias("hku"),
+            F.sum(F.col("ia") * F.col("ib")).alias("x"),
+        )
+    )
+    da = d.selectExpr("source as sa", "h")
+    db = d.selectExpr("source as sb", "h as h2")
+    pex = (
+        da.join(db, (F.col("h") == F.col("h2")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pair_rows = pagg.join(pex, ["sa", "sb"], "left").selectExpr(
+        "'pair' as level",
+        "concat(sa, '|', sb) as key",
+        "ku as n_sketch",
+        f"{jacc} * ({est_pair}) as kmv_est",
+        "cast(coalesce(shared, 0) as bigint) as exact_n",
+        f"{jacc} as jacc_est",
+        "cast(coalesce(shared, 0) as double)"
+        " / cast(na + nb - coalesce(shared, 0) as double) as jacc_exact",
+    )
+    return src_rows.unionByName(pair_rows)

@@ -1987,3 +1987,82 @@ def test_leakage_safe_split_cluster_atomic(spark):
         leakage_safe_split(
             docs, fractions=(("a", 0.5), ("b", 0.4), ("c", 1.0))
         )
+
+
+def test_kmv_min_k_is_exact_bottom_k(spark):
+    import random
+
+    from etl_procesos_odo_spark.llm.sketches import kmv_min_k
+
+    rnd = random.Random(7)
+    rows = [("g%d" % (i % 3), rnd.randrange(1 << 60)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, h long")
+    got = kmv_min_k(df, ["grp"], "h", k=16, stripes=4).collect()
+    by_grp = {}
+    for g, h in rows:
+        by_grp.setdefault(g, set()).add(h)
+    for g, hs in by_grp.items():
+        want = sorted(hs)[:16]
+        rows_g = sorted(
+            [(r["rn"], r["h"]) for r in got if r["grp"] == g]
+        )
+        assert [h for _, h in rows_g] == want
+        assert [rn for rn, _ in rows_g] == list(range(1, 17))
+
+
+def test_kmv_estimate_accuracy_and_exact_regime(spark):
+    from etl_procesos_odo_spark.llm.dedup import hash60
+    from etl_procesos_odo_spark.llm.sketches import (
+        kmv_estimate_expr,
+        kmv_min_k,
+    )
+
+    # 5000 distinct keys in the estimation regime; 40 in the exact regime
+    df = spark.range(5000).selectExpr(
+        "'big' as grp", "cast(id as string) as key"
+    ).unionByName(
+        spark.range(40).selectExpr(
+            "'small' as grp", "cast(id as string) as key"
+        )
+    ).select("grp", hash60(F.col("key")).alias("h"))
+    sk = kmv_min_k(df, ["grp"], "h", k=128, stripes=8)
+    est = (
+        sk.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_set"), F.max("h").alias("hk"))
+        .selectExpr("grp", kmv_estimate_expr(128) + " as est")
+        .collect()
+    )
+    by = {r["grp"]: r["est"] for r in est}
+    # k=128 => stderr ~ 1/sqrt(k-2) ~ 9%; allow 4 sigma
+    assert abs(by["big"] - 5000) / 5000 < 0.36
+    # short sketch: exact by construction
+    assert by["small"] == 40.0
+
+
+def test_kmv_pair_identity_and_disjoint(spark):
+    """Identical sets give jacc_est exactly 1; disjoint sets exactly 0."""
+    from etl_procesos_odo_spark.llm.dedup import hash60
+    from etl_procesos_odo_spark.llm.sketches import kmv_min_k
+
+    base = spark.range(1000).selectExpr("cast(id as string) as key")
+    a = base.selectExpr("'a' as grp", "key")
+    b = base.selectExpr("'b' as grp", "key")  # identical to a
+    c = spark.range(1000, 2000).selectExpr(
+        "'c' as grp", "cast(id as string) as key"
+    )
+    df = a.unionByName(b).unionByName(c).select(
+        "grp", hash60(F.col("key")).alias("h")
+    )
+    sk = kmv_min_k(df, ["grp"], "h", k=64, stripes=4)
+    rows = sk.collect()
+    sa = {r["h"] for r in rows if r["grp"] == "a"}
+    sb = {r["h"] for r in rows if r["grp"] == "b"}
+    sc = {r["h"] for r in rows if r["grp"] == "c"}
+    # identical inputs -> identical sketches; union sketch == either,
+    # and every union-sketch member is in both => jacc_est = 64/64 = 1
+    assert sa == sb
+    union_ab = sorted(sa | sb)[:64]
+    assert sum(1 for h in union_ab if h in sa and h in sb) == 64
+    # disjoint inputs -> no union-sketch member is in both
+    union_ac = sorted(sa | sc)[:64]
+    assert sum(1 for h in union_ac if h in sa and h in sc) == 0
