@@ -195,3 +195,131 @@ def leakage_safe_split(
     for name, upper in reversed(fractions[:-1]):
         split = F.when(r < F.lit(upper), F.lit(name)).otherwise(split)
     return j.withColumn("split", split)
+
+
+# exact double literal for 2^60 (the hash60 value space) — scientific
+# suffix so BOTH engines parse it as DOUBLE, not DECIMAL
+_PS_TWO60 = "1.152921504606846976e18"
+
+
+def priority_exprs(
+    w_sql: str, key_sql: str, salt: str, engine: str
+) -> dict:
+    """SQL fragments for the priority-sampling draw (Duffield, Lund &
+    Thorup, JACM 2007), bit-identical across Spark and DuckDB:
+
+    - ``u``: deterministic uniform in (0, 1] — (hash60(salt‖key) + 1)
+      / 2^60, one int->double cast + one correctly-rounded division
+      (never 0, so ``q`` cannot divide by zero).
+    - ``q``: the priority w / u. Items are sampled by TOP-k priority;
+      every double step (+1 cast, two divisions) is correctly-rounded
+      IEEE on exactly-representable operands, so the PRIORITY ORDER is
+      identical in both engines — no libm (ln/pow) anywhere, unlike the
+      exponential-key formulation of weighted sampling.
+    """
+    if engine == "spark":
+        h = (
+            f"cast(conv(substring(md5(concat('{salt}', "
+            f"cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
+        )
+    elif engine == "duckdb":
+        h = (
+            f"CAST('0x' || substr(md5('{salt}' || "
+            f"CAST({key_sql} AS VARCHAR)), 1, 15) AS BIGINT)"
+        )
+    else:
+        raise ValueError(f"engine must be spark|duckdb, got {engine}")
+    u = f"(cast({h} + 1 as double) / {_PS_TWO60})"
+    q = f"(cast({w_sql} as double) / {u})"
+    return {"u": u, "q": q}
+
+
+def priority_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ps1",
+    stripes: int = 8,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` items per group with
+    an unbiased subset-sum estimator (priority sampling, Duffield-Lund-
+    Thorup JACM 2007): draw u_i deterministic-uniform per key, rank by
+    priority q_i = w_i / u_i, keep the top k; the threshold tau is the
+    (k+1)-th priority and each kept item's adjusted weight is
+    max(w_i, tau) — E[sum of adjusted weights] = true total weight, with
+    near-optimal variance among k-sample estimators. Heavy items
+    (w >= tau) are kept with certainty at weight w; light items are kept
+    with probability w/tau and up-weighted to tau.
+
+    Scale shape: the draw is a per-row scan expression (no RNG state —
+    deterministic across runs/retries/engines); top-(k+1) uses the
+    q50-style striped two-stage window (stripes-way parallel per group);
+    the audit total is a map-side-combinable sum. Groups with <= k items
+    return exactly (tau = 0, adjusted = raw, estimate exact).
+
+    Returns one row per sampled item: group cols, key, ``w`` (raw
+    weight), ``w_adj``, ``tau``, ``est_total`` (sum of adjusted weights
+    over the group's sample, decomposed into exact integer sums so the
+    double total is order-independent), ``exact_total`` (true group total — the
+    audit arm the estimator replaces when only a sample can be read).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ex = priority_exprs(weight_col, key_col, salt, "spark")
+    pr = df.selectExpr(
+        *group_cols,
+        f"{key_col} as key",
+        f"cast({weight_col} as bigint) as w",
+        f"{ex['q']} as q",
+        # deterministic stripe key for the two-stage top-k (NOT the
+        # priority itself — stripes must spread each group arbitrarily)
+        f"pmod(cast(conv(substring(md5(cast({key_col} as string)), 1, "
+        f"15), 16, 10) as bigint), {stripes}) as _stripe",
+    )
+    w1 = Window.partitionBy(*group_cols, "_stripe").orderBy(
+        F.desc("q"), F.asc("key")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.desc("q"), F.asc("key"))
+    top = (
+        pr.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k + 1)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k + 1)
+        .drop("_rn1", "_stripe")
+    )
+    tau = top.groupBy(*group_cols).agg(
+        F.expr(
+            f"coalesce(max(case when rn = {k + 1} then q end), 0e0)"
+        ).alias("tau")
+    )
+    samp = (
+        top.filter(F.col("rn") <= k)
+        .join(F.broadcast(tau), group_cols)
+        .withColumn("w_adj", F.expr("greatest(cast(w as double), tau)"))
+    )
+    # est_total = sum(max(w, tau)) decomposed into EXACT integer sums
+    # plus ONE rounded multiply and ONE rounded add — heavy items
+    # (w >= tau) contribute w, light items contribute tau each. Summing
+    # w_adj doubles directly is order-dependent, and the
+    # double->DECIMAL(28,18) workaround diverges across engines
+    # (DuckDB's conversion scales in double arithmetic; Spark's goes
+    # through the shortest decimal repr).
+    est = samp.groupBy(*group_cols).agg(
+        F.expr(
+            "cast(sum(case when cast(w as double) >= tau then w "
+            "else 0 end) as double) + cast(sum(case when "
+            "cast(w as double) < tau then 1 else 0 end) as double) "
+            "* max(tau)"
+        ).alias("est_total")
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.expr(f"sum(cast({weight_col} as bigint))").alias("exact_total")
+    )
+    return (
+        samp.join(F.broadcast(est), group_cols)
+        .join(F.broadcast(exact), group_cols)
+        .select(*group_cols, "key", "w", "w_adj", "tau",
+                "est_total", "exact_total")
+    )

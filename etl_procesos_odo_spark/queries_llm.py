@@ -3693,3 +3693,72 @@ def q168_kmv_source_sketch(spark: SparkSession, sf_dir: str):
         " / cast(na + nb - coalesce(shared, 0) as double) as jacc_exact",
     )
     return src_rows.unionByName(pair_rows)
+
+
+def _priority_sample_oracle() -> str:
+    from .llm.sampling import priority_exprs
+
+    K = 32
+    q = priority_exprs("n_chars", "doc_id", "ps1", "duckdb")["q"]
+    return f"""
+    WITH pr AS (
+      SELECT source, doc_id AS key, CAST(n_chars AS BIGINT) AS w,
+             {q} AS q
+      FROM documents
+    ),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY q DESC, key ASC) AS rn
+          FROM pr),
+    tau AS (SELECT source,
+                   COALESCE(MAX(CASE WHEN rn = {K + 1} THEN q END), 0e0)
+                     AS tau
+            FROM r GROUP BY 1),
+    samp AS (
+      SELECT r.source, r.key, r.w,
+             greatest(CAST(r.w AS DOUBLE), t.tau) AS w_adj, t.tau
+      FROM r JOIN tau t USING (source) WHERE r.rn <= {K}
+    ),
+    est AS (SELECT source,
+                   CAST(SUM(CASE WHEN CAST(w AS DOUBLE) >= tau
+                            THEN w ELSE 0 END) AS DOUBLE)
+                   + CAST(SUM(CASE WHEN CAST(w AS DOUBLE) < tau
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                   * MAX(tau) AS est_total
+            FROM samp GROUP BY 1),
+    exact AS (SELECT source, SUM(CAST(n_chars AS BIGINT)) AS exact_total
+              FROM documents GROUP BY 1)
+    SELECT s.source, s.key, s.w, s.w_adj, s.tau,
+           e.est_total, x.exact_total
+    FROM samp s JOIN est e USING (source) JOIN exact x USING (source)
+    """
+
+
+@register(
+    "q169_priority_sample",
+    _priority_sample_oracle(),
+    doc="Priority sampling (Duffield-Lund-Thorup, JACM 2007 — "
+    "llm/sampling.py priority_sample): per source, a k=32 weighted "
+    "sample of documents WITHOUT replacement by char weight, with the "
+    "unbiased subset-sum estimator: priority q = w/u for a "
+    "deterministic hash uniform u in (0,1], keep the top k, tau = the "
+    "(k+1)-th priority, adjusted weight max(w, tau) — the sum of "
+    "adjusted weights over the SAMPLE is an unbiased, near-variance-"
+    "optimal estimate of the group's true total (exact_total is the "
+    "audit arm). The sampling/estimation core of sample-based corpus "
+    "accounting at 100 TB: token-cost estimates from k rows per source "
+    "instead of a full scan, reproducible across runs/retries/engines "
+    "because the draw is content-hashed, not RNG state. The "
+    "exponential-key formulation (Efraimidis-Spirakis) needs ln() — "
+    "libm-dependent, not bit-portable; priorities need only casts and "
+    "correctly-rounded divisions, so the full sample AND both "
+    "estimator columns are bit-identical to the oracle. Draw = scan "
+    "expression; top-(k+1) = q50-style striped windows; totals = "
+    "map-side-combinable exact-integer aggs.",
+)
+def q169_priority_sample(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, ["source"], "doc_id", "n_chars", k=32, salt="ps1"
+    )

@@ -2066,3 +2066,82 @@ def test_kmv_pair_identity_and_disjoint(spark):
     # disjoint inputs -> no union-sketch member is in both
     union_ac = sorted(sa | sc)[:64]
     assert sum(1 for h in union_ac if h in sa and h in sc) == 0
+
+
+def _py_priorities(keys_weights, salt):
+    import hashlib
+
+    out = []
+    for key, w in keys_weights:
+        h = int(
+            hashlib.md5((salt + str(key)).encode()).hexdigest()[:15], 16
+        )
+        u = float(h + 1) / 1.152921504606846976e18
+        out.append((key, w, float(w) / u))
+    return out
+
+
+def test_priority_sample_matches_bruteforce(spark):
+    import random
+
+    from etl_procesos_odo_spark.llm.sampling import priority_sample
+
+    rnd = random.Random(11)
+    rows = [
+        ("g%d" % (i % 2), i, rnd.randrange(1, 1000)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long, w long")
+    k = 20
+    got = priority_sample(df, ["grp"], "key", "w", k=k, salt="t1").collect()
+    for g in ("g0", "g1"):
+        pri = _py_priorities(
+            [(key, w) for grp, key, w in rows if grp == g], "t1"
+        )
+        pri.sort(key=lambda t: (-t[2], t[0]))
+        want_keys = {key for key, _, _ in pri[:k]}
+        tau = pri[k][2]
+        rows_g = [r for r in got if r["grp"] == g]
+        assert {r["key"] for r in rows_g} == want_keys
+        assert all(r["tau"] == tau for r in rows_g)
+        # adjusted weight: max(w, tau); estimator: exact ints + n*tau
+        heavy = sum(w for key, w, q in pri[:k] if float(w) >= tau)
+        n_light = sum(1 for key, w, q in pri[:k] if float(w) < tau)
+        want_est = float(heavy) + float(n_light) * tau
+        assert all(r["est_total"] == want_est for r in rows_g)
+        assert all(
+            r["w_adj"] == max(float(r["w"]), tau) for r in rows_g
+        )
+
+
+def test_priority_sample_small_group_exact(spark):
+    from etl_procesos_odo_spark.llm.sampling import priority_sample
+
+    rows = [("a", i, 10 * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, key long, w long")
+    got = priority_sample(df, ["grp"], "key", "w", k=8).collect()
+    assert len(got) == 5
+    assert all(r["tau"] == 0.0 for r in got)
+    assert all(r["w_adj"] == float(r["w"]) for r in got)
+    assert all(r["est_total"] == float(sum(w for *_, w in rows)) for r in got)
+    assert all(r["exact_total"] == sum(w for *_, w in rows) for r in got)
+
+
+def test_priority_sample_estimator_unbiased_across_salts():
+    """Pure-python check of the DLT estimator property on the exact
+    arithmetic the operator uses: averaged over independent hash draws
+    (salts), the subset-sum estimate converges to the true total."""
+    import random
+
+    rnd = random.Random(3)
+    kw = [(i, rnd.randrange(1, 500)) for i in range(400)]
+    true_total = sum(w for _, w in kw)
+    k = 40
+    ests = []
+    for s in range(300):
+        pri = _py_priorities(kw, "u%d" % s)
+        pri.sort(key=lambda t: (-t[2], t[0]))
+        tau = pri[k][2]
+        est = sum(max(float(w), tau) for _, w, _ in pri[:k])
+        ests.append(est)
+    mean = sum(ests) / len(ests)
+    assert abs(mean - true_total) / true_total < 0.03
