@@ -106,3 +106,98 @@ def chunk_documents(
         F.size("c.toks").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "c.toks").alias("chunk_text"),
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    salt: str = "il1",
+    seq_stripes: int = 256,
+) -> DataFrame:
+    """Deterministic proportional interleave — the global training-data
+    ordering step: shuffle each stratum (source/language) by a content
+    hash, then stride-merge the strata so every prefix of the stream
+    carries approximately the corpus mix (a doc ranked r of n in its
+    stratum lands at position key (r - 1/2) / n in [0, 1]). Any prefix
+    of length L then holds between floor(L·n_s/N) - 1 and
+    ceil(L·n_s/N) + 1 docs of each stratum s — the curriculum/mixing
+    guarantee batch-local random shuffles do NOT give (a random order
+    leaves Θ(sqrt(L)) mix drift; stride interleave caps it at 1).
+
+    No single-reducer pass at any step: the within-stratum shuffle rank
+    is computed per (stratum, hash-stripe) window + tiny offset table
+    (the q50 `_striped_global_rank` pattern, md5-hash-keyed so the
+    order is engine-portable); the GLOBAL sequence number uses the same
+    two-phase trick striped by ``floor(pos_key * seq_stripes)`` —
+    monotone in pos_key, so local ranks + a ≤ ``seq_stripes``-row
+    offset table compose to the exact global rank. At 100 TB the export
+    writes with ``repartitionByRange(pos_key)`` + per-file local sort;
+    the seq/stripe machinery here also hands each doc its shard.
+
+    Returns one row per doc: stratum, id, ``r_src``/``n_src`` (rank and
+    size within stratum), ``pos_key`` (double — exact (r - 0.5)/n, one
+    correctly-rounded division), ``seq`` (1-based global position).
+    """
+    from .dedup import hash60
+
+    # within-stratum rank by (hash, id): striped local windows + offsets
+    keyed = df.select(
+        F.col(stratum_col).alias("stratum"), F.col(id_col).alias("id")
+    ).withColumn(
+        "_h", hash60(F.concat(F.lit(salt), F.col("id").cast("string")))
+    ).withColumn(
+        "_st", F.shiftright(F.col("_h"), 52)
+    )
+    wl = Window.partitionBy("stratum", "_st").orderBy("_h", "id")
+    wp = Window.partitionBy("stratum", "_st")
+    local = keyed.withColumn("_lrk", F.row_number().over(wl)).withColumn(
+        "_c", F.count("*").over(wp)
+    )
+    cnts = local.filter(F.col("_lrk") == 1).select("stratum", "_st", "_c")
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("_st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "stratum",
+        "_st",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy("stratum")).alias("n_src"),
+    )
+    ranked = (
+        local.join(F.broadcast(offs), ["stratum", "_st"])
+        .withColumn("r_src", (F.col("_off") + F.col("_lrk")).cast("long"))
+        .select(
+            "stratum", "id", "r_src", F.col("n_src").cast("long").alias("n_src")
+        )
+        .withColumn(
+            "pos_key",
+            F.expr("(cast(r_src as double) - 0.5e0) / cast(n_src as double)"),
+        )
+    )
+    # global sequence: same two-phase rank, striped monotonically in the
+    # position key (pos_key in (0, 1) by construction)
+    g = ranked.withColumn(
+        "_gs", F.expr(f"cast(floor(pos_key * {seq_stripes}e0) as int)")
+    )
+    wgl = Window.partitionBy("_gs").orderBy("pos_key", "stratum", "id")
+    wgp = Window.partitionBy("_gs")
+    glocal = g.withColumn("_glrk", F.row_number().over(wgl)).withColumn(
+        "_gc", F.count("*").over(wgp)
+    )
+    gcnts = glocal.filter(F.col("_glrk") == 1).select("_gs", "_gc")
+    w_goff = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_gs")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    goffs = gcnts.select(
+        "_gs", F.coalesce(F.sum("_gc").over(w_goff), F.lit(0)).alias("_goff")
+    )
+    return (
+        glocal.join(F.broadcast(goffs), "_gs")
+        .withColumn("seq", (F.col("_goff") + F.col("_glrk")).cast("long"))
+        .select("stratum", "id", "r_src", "n_src", "pos_key", "seq")
+    )

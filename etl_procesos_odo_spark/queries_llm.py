@@ -3762,3 +3762,55 @@ def q169_priority_sample(spark: SparkSession, sf_dir: str):
     return priority_sample(
         docs, ["source"], "doc_id", "n_chars", k=32, salt="ps1"
     )
+
+
+_INTERLEAVE_ORACLE = f"""
+    WITH h AS (
+      SELECT source AS stratum, doc_id AS id,
+             {o_h60("'il1' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT stratum, id,
+             row_number() OVER (PARTITION BY stratum ORDER BY h, id)
+               AS r_src,
+             COUNT(*) OVER (PARTITION BY stratum) AS n_src
+      FROM h
+    ),
+    p AS (
+      SELECT stratum, id, r_src, CAST(n_src AS BIGINT) AS n_src2,
+             (CAST(r_src AS DOUBLE) - 0.5e0) / CAST(n_src AS DOUBLE)
+               AS pos_key
+      FROM r
+    )
+    SELECT stratum, id, r_src, n_src2 AS n_src, pos_key,
+           row_number() OVER (ORDER BY pos_key, stratum, id) AS seq
+    FROM p
+    """
+
+
+@register(
+    "q170_interleave_export",
+    _INTERLEAVE_ORACLE,
+    doc="Deterministic proportional interleave (llm/packing.py "
+    "interleave_order) — the global ordering step of a training-data "
+    "export: shuffle each source by a content hash, stride-merge at "
+    "position key (r - 1/2)/n so EVERY prefix of the stream carries the "
+    "corpus mix to within +-1 doc per source (a random shuffle leaves "
+    "Theta(sqrt(L)) mix drift in an L-prefix; stride interleave caps it "
+    "at 1 — the curriculum/mixing property data loaders assume). No "
+    "single-reducer pass anywhere: within-source shuffle rank AND the "
+    "global sequence both use the q50 two-phase striped-window rank "
+    "(the global one striped by floor(pos_key * 256), monotone in the "
+    "sort key), each composing local row_numbers with a tiny broadcast "
+    "offset table — bit-identical to the oracle's single-window "
+    "row_number at any partitioning. pos_key is one correctly-rounded "
+    "double division of exact operands. At 100 TB the export writes "
+    "repartitionByRange(pos_key) + per-file local sort; seq hands each "
+    "doc its shard and offset.",
+)
+def q170_interleave_export(spark: SparkSession, sf_dir: str):
+    from .llm.packing import interleave_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_order(docs, "source", "doc_id", salt="il1")

@@ -2145,3 +2145,66 @@ def test_priority_sample_estimator_unbiased_across_salts():
         ests.append(est)
     mean = sum(ests) / len(ests)
     assert abs(mean - true_total) / true_total < 0.03
+
+
+def test_interleave_order_prefix_mix_bound(spark):
+    """Stride interleave: every prefix of length L holds between
+    floor(L*n_s/N) - 1 and ceil(L*n_s/N) + 1 docs of each stratum."""
+    import math
+
+    from etl_procesos_odo_spark.llm.packing import interleave_order
+
+    rows = (
+        [("a", i) for i in range(60)]
+        + [("b", i + 1000) for i in range(30)]
+        + [("c", i + 5000) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "src string, id long")
+    got = interleave_order(df, "src", "id").collect()
+    n = {"a": 60, "b": 30, "c": 10}
+    total = 100
+    assert sorted(r["seq"] for r in got) == list(range(1, total + 1))
+    order = [r["stratum"] for r in sorted(got, key=lambda r: r["seq"])]
+    seen = {"a": 0, "b": 0, "c": 0}
+    for pos, s in enumerate(order, start=1):
+        seen[s] += 1
+        for t in n:
+            lo = math.floor(pos * n[t] / total) - 1
+            hi = math.ceil(pos * n[t] / total) + 1
+            assert lo <= seen[t] <= hi, (pos, t, seen[t], lo, hi)
+
+
+def test_interleave_order_matches_single_window(spark):
+    """The two-phase striped ranks equal the plain-window formulation."""
+    from pyspark.sql import Window
+
+    from etl_procesos_odo_spark.llm.dedup import hash60
+    from etl_procesos_odo_spark.llm.packing import interleave_order
+
+    rows = [("s%d" % (i % 4), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    got = {
+        (r["stratum"], r["id"]): (r["r_src"], r["seq"])
+        for r in interleave_order(df, "src", "id").collect()
+    }
+    h = hash60(F.concat(F.lit("il1"), F.col("id").cast("string")))
+    base = df.withColumn("_h", h)
+    w = Window.partitionBy("src").orderBy("_h", "id")
+    ref = (
+        base.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("src")))
+        .withColumn(
+            "pos",
+            F.expr("(cast(r as double) - 0.5e0) / cast(n as double)"),
+        )
+        .withColumn(
+            "seq",
+            F.row_number().over(
+                Window.orderBy("pos", "src", "id")
+            ),
+        )
+        .collect()
+    )
+    assert got == {
+        (r["src"], r["id"]): (r["r"], r["seq"]) for r in ref
+    }
