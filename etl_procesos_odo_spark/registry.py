@@ -118,10 +118,26 @@ DRIVER_HEAD: tuple[str, ...] = (
     # back-half censuses. q159 is the HyperLogLog cardinality sketch,
     # the fixed-state distinct-count family new in r7 with no driver-row
     # class — the cardinality complement of q106's frequency sketch.)
-    "q107_ann_recall", "q159_hll_cardinality",
+    # (r7 swap q159 -> q164: q164 STRICTLY WIDENS q159 — it evaluates
+    # the SAME p=6 register/estimate expression strings (one shared
+    # generator, llm/sketches.py) and adds the rollup algebra on top:
+    # the stored daily register table re-aggregated into week/all-time
+    # estimates, the sketch-union property exact COUNT(DISTINCT) cannot
+    # compose. The q34 -> q107 strictly-widens precedent; q159 stays
+    # green in the back-half censuses.)
+    "q107_ann_recall", "q164_hll_rollup",
     "q87_kmeans_step",
     # text analysis
-    "q35_langid", "q38_fingerprint", "q73_repetition_metrics",
+    # (r7 swap q38 -> q168: q38's order-sensitive fingerprint is a
+    # tokens -> per-token md5/hash60 -> array-fold expression — the same
+    # expression family the q78 SimHash head row builds its signatures
+    # from (per-token base hashes folded/summed into a 60-bit
+    # signature); q38 stays green in the back-half censuses. q168 is
+    # the KMV bottom-k sketch — the set-INTERSECTION sketch family with
+    # no driver-row class: q106 covers frequency, q159/q164 cover
+    # cardinality-with-union; KMV adds sketch intersections (pairwise
+    # Jaccard / overlap matrices from tiny per-source sketches).)
+    "q35_langid", "q168_kmv_source_sketch", "q73_repetition_metrics",
     # enrichment + retrieval
     # (r5 swap q85 -> q110: q85's token-rarity idf shape runs INSIDE
     # q110's per-term df/idf stats, so the row strictly widens — BM25
@@ -152,7 +168,16 @@ DRIVER_HEAD: tuple[str, ...] = (
     # top) and q75 stays green in the back-half censuses. q153 is the
     # interval-overlap join + gaps-and-islands coalesce, a new-in-r6
     # operator family with no driver-row class.)
-    "q149_sorted_neighborhood", "q109_mix_rebalance",
+    # (r7 swap q109 -> q167: q109's two constituent shapes stay head-
+    # evidenced — the deterministic hash-uniform draw runs verbatim
+    # inside q100's head row (its q86-shape train/val/test split), and
+    # the tiny-key partial-agg + broadcast rate-table pattern is the
+    # q53/q57 pipeline spine-join shape; q109 stays green in the
+    # back-half censuses. q167 is the leakage-safe split — duplicate-
+    # cluster-atomic train/val/test governance, the post-dedup splitting
+    # step with no driver-row class (a per-document split, q86/q100's
+    # shape, lets dup twins straddle train/test).)
+    "q149_sorted_neighborhood", "q167_leakage_safe_split",
     "q153_incident_session_overlap",
     "q76_chunk_documents",
     # multimodal + capstone

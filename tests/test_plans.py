@@ -238,7 +238,14 @@ def test_driver_head_curation():
         # decontamination join runs inside q155's verify stage) —
         # COVERAGE.md round-7; the new r7 families get driver rows
         "similarity": "q107_ann_recall",
-        "cardinality_sketch": "q159_hll_cardinality",
+        # r7 second-wave swaps: q159 widened by q164's register rollup
+        # (same expression generator + sketch-union algebra); q38's
+        # hash-fold fingerprint family carried by q78's SimHash
+        # signatures; q109's hash-uniform draw carried by q100's split
+        # stage — COVERAGE.md round-7
+        "cardinality_sketch": "q164_hll_rollup",
+        "intersection_sketch": "q168_kmv_source_sketch",
+        "split_governance": "q167_leakage_safe_split",
         "line_dedup": "q160_line_dedup",
         "pii_hygiene": "q158_pii_redaction",
         "text": "q35_langid",
