@@ -176,6 +176,14 @@ def interleave_order(
             "pos_key",
             F.expr("(cast(r_src as double) - 0.5e0) / cast(n_src as double)"),
         )
+        # one narrow row per doc, consumed by the global-seq local-rank
+        # branch, its offset-table branch, and the final join;
+        # unmaterialized each consumer re-runs the scan + the striped
+        # within-stratum window (measured 4 scans). ~40 B/row — at
+        # cluster scale this is persist(MEMORY_AND_DISK) territory, in
+        # a single JVM an eager checkpoint; either way cache bytes beat
+        # three recomputes of the rank subtree.
+        .localCheckpoint(eager=True)
     )
     # global sequence: same two-phase rank, striped monotonically in the
     # position key (pos_key in (0, 1) by construction)

@@ -288,6 +288,11 @@ def priority_sample(
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k + 1)
         .drop("_rn1", "_stripe")
+        # (k+1) rows per group — consumed by the tau branch, the sample
+        # branch, and (via samp) the estimator agg; unmaterialized, each
+        # consumer re-runs the scan + both window sorts (measured 5
+        # scans in the executed plan). Tiny by construction: checkpoint.
+        .localCheckpoint(eager=True)
     )
     tau = top.groupBy(*group_cols).agg(
         F.expr(
