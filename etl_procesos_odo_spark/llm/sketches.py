@@ -451,3 +451,93 @@ def kmv_estimate_expr(
         f"(case when {n_col} < {k} then cast({n_col} as double) "
         f"else {num} / cast({hk_col} as double) end)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): a
+# d x w grid of counters; key k increments cell (j, h_j(k) % w) in each
+# of the d rows, and a point query reads the MIN over the d cells — an
+# OVERestimate, never an under (each cell >= the key's true count), with
+# error <= eps * N at probability 1 - delta for w = ceil(e/eps),
+# d = ceil(ln 1/delta). The frequency complement to Misra-Gries (q106:
+# exact top-k only) and the HLL/KMV cardinality arms: CMS answers "how
+# often does ANY key occur" in fixed d*w state, and sketches of disjoint
+# streams merge by cellwise ADDITION. The same grid also estimates JOIN
+# sizes (AGM-style planner statistics): sum_k cA(k)*cB(k) <= the
+# row-wise inner product of two sketches, minimized over rows.
+#
+# Everything is exact integer arithmetic on md5-derived cells, so sketch
+# contents, point estimates, and inner products are bit-identical to an
+# ANSI-SQL oracle by construction.
+# ---------------------------------------------------------------------------
+
+
+def cms_cell_exprs(
+    key_sql: str, d: int, w: int, salt: str, engine: str
+) -> list[str]:
+    """Per-row cell expressions ``h_j(key) % w`` for j in [0, d): the
+    shared md5/hash60 primitive seeded by ``salt || j``."""
+    if not (1 <= d <= 8 and 2 <= w):
+        raise ValueError(f"need 1 <= d <= 8 and w >= 2, got d={d} w={w}")
+    cells = []
+    for j in range(d):
+        if engine == "spark":
+            h = (
+                f"cast(conv(substring(md5(concat('{salt}{j}:', "
+                f"cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
+            )
+        elif engine == "duckdb":
+            h = (
+                f"CAST('0x' || substr(md5('{salt}{j}:' || "
+                f"CAST({key_sql} AS VARCHAR)), 1, 15) AS BIGINT)"
+            )
+        else:
+            raise ValueError(f"engine must be spark|duckdb, got {engine}")
+        cells.append(f"({h} % {w})")
+    return cells
+
+
+def cms_sketch(
+    df: DataFrame, key_sql: str, d: int = 4, w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the CMS counter grid as a DataFrame ``(j, cell, cnt)`` —
+    at most d*w rows regardless of input volume. One pass: ``stack``
+    emits the d (row, cell) coordinates per input row and the groupBy
+    partial-aggregates map-side, so the shuffle carries counter
+    partials (<= d*w per task), not raw rows. Disjoint-stream sketches
+    merge by unioning the frames and re-summing (cellwise addition) —
+    the mergeable-summaries property that lets 1000 executors sketch
+    independently."""
+    cells = cms_cell_exprs(key_sql, d, w, salt, "spark")
+    stack_args = ", ".join(f"{j}, {c}" for j, c in enumerate(cells))
+    return (
+        df.selectExpr(f"stack({d}, {stack_args}) as (j, cell)")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame, keys: DataFrame, key_col: str,
+    d: int = 4, w: int = 256, salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for a key panel: each key's d cells
+    (same seeded expressions), left-joined against the counter grid,
+    MIN over rows (absent cell = 0). Returns ``(key_col, est)``; the
+    estimate is >= the true count always, and the grid side of the
+    join is broadcast-tiny (d*w rows)."""
+    cells = cms_cell_exprs(key_col, d, w, salt, "spark")
+    stack_args = ", ".join(f"{j}, {c}" for j, c in enumerate(cells))
+    probes = keys.selectExpr(
+        key_col, f"stack({d}, {stack_args}) as (j, cell)"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -3814,3 +3814,132 @@ def q170_interleave_export(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return interleave_order(docs, "source", "doc_id", salt="il1")
+
+
+def _cms_oracle() -> str:
+    from .llm.sketches import cms_cell_exprs
+
+    D, W = 4, 256
+
+    def build(src: str) -> str:
+        cells = cms_cell_exprs("user_id", D, W, "cms", "duckdb")
+        sel = " UNION ALL ".join(
+            f"SELECT {j} AS j, {c} AS cell FROM {src}"
+            for j, c in enumerate(cells)
+        )
+        return f"SELECT j, cell, COUNT(*) AS cnt FROM ({sel}) GROUP BY 1, 2"
+
+    probe_cells = cms_cell_exprs("user_id", D, W, "cms", "duckdb")
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, {c} AS cell FROM panel"
+        for j, c in enumerate(probe_cells)
+    )
+    return f"""
+    WITH e1 AS (SELECT user_id FROM events
+                WHERE ts < TIMESTAMP '2024-01-08'
+                  AND user_id IS NOT NULL),
+    e2 AS (SELECT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08'
+             AND ts < TIMESTAMP '2024-01-15' AND user_id IS NOT NULL),
+    sk1 AS ({build("e1")}),
+    sk2 AS ({build("e2")}),
+    panel AS (SELECT DISTINCT user_id FROM e1 WHERE user_id % 13 = 0),
+    probes AS ({probes}),
+    pest AS (SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+             FROM probes p LEFT JOIN sk1 s USING (j, cell) GROUP BY 1),
+    pexact AS (SELECT user_id, COUNT(*) AS ex FROM e1 GROUP BY 1),
+    point_rows AS (
+      SELECT 'point' AS level, CAST(p.user_id AS VARCHAR) AS key,
+             CAST(pe.est AS BIGINT) AS est, CAST(px.ex AS BIGINT) AS exact
+      FROM panel p JOIN pest pe USING (user_id)
+      JOIN pexact px USING (user_id)
+    ),
+    ip AS (SELECT a.j, SUM(a.cnt * b.cnt) AS s
+           FROM sk1 a JOIN sk2 b ON a.j = b.j AND a.cell = b.cell
+           GROUP BY 1),
+    jest AS (SELECT MIN(s) AS est FROM ip),
+    c1 AS (SELECT user_id, COUNT(*) AS c FROM e1 GROUP BY 1),
+    c2 AS (SELECT user_id, COUNT(*) AS c FROM e2 GROUP BY 1),
+    jex AS (SELECT COALESCE(SUM(c1.c * c2.c), 0) AS ex
+            FROM c1 JOIN c2 USING (user_id)),
+    join_rows AS (
+      SELECT 'join_size' AS level, '*' AS key,
+             CAST(jest.est AS BIGINT) AS est, CAST(jex.ex AS BIGINT) AS exact
+      FROM jest, jex
+    )
+    SELECT * FROM point_rows UNION ALL SELECT * FROM join_rows
+    """
+
+
+@register(
+    "q171_cms_frequency",
+    _cms_oracle(),
+    doc="Count-Min sketch (Cormode-Muthukrishnan 2005 — llm/sketches.py "
+    "cms_sketch/cms_point_estimates): a 4x256 counter grid per weekly "
+    "event stream answers point-frequency queries for ANY key (min over "
+    "4 seeded cells — an overestimate, never an under) in fixed d*w "
+    "state, and the row-wise sketch INNER PRODUCT (min over rows of "
+    "sum cell_a * cell_b) upper-bounds the equi-join size between the "
+    "two weeks' activity — the AGM-style planner statistic that prices "
+    "a join without running it. Completes the sketch shelf: q106 = "
+    "exact heavy hitters (frequency top-k), q159/q164 = cardinality "
+    "with union algebra, q168 = distinct-sample with intersection "
+    "algebra, q171 = any-key frequency + join-size, mergeable by "
+    "cellwise addition (disjoint executors sketch independently, the "
+    "groupBy partial-aggregates map-side, the shuffle carries <= d*w "
+    "counter partials per task). The est/exact column pairs are the "
+    "audit arms; everything is exact integer arithmetic on md5 cells — "
+    "bit-identical to the oracle.",
+)
+def q171_cms_frequency(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import cms_point_estimates, cms_sketch
+
+    D, W = 4, 256
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter("user_id is not null")
+    e1 = ev.filter("ts < timestamp'2024-01-08'").select("user_id")
+    e2 = ev.filter(
+        "ts >= timestamp'2024-01-08' and ts < timestamp'2024-01-15'"
+    ).select("user_id")
+    # the grid is <= d*w rows and feeds both the point probes and the
+    # inner product — checkpoint instead of re-sketching the stream
+    sk1 = cms_sketch(e1, "user_id", D, W, "cms").localCheckpoint(eager=True)
+    sk2 = cms_sketch(e2, "user_id", D, W, "cms")
+    panel = e1.filter("user_id % 13 = 0").distinct()
+    pest = cms_point_estimates(sk1, panel, "user_id", D, W, "cms")
+    pexact = e1.groupBy("user_id").agg(F.count(F.lit(1)).alias("ex"))
+    point_rows = (
+        panel.join(pest, "user_id")
+        .join(pexact, "user_id")
+        .selectExpr(
+            "'point' as level",
+            "cast(user_id as string) as key",
+            "cast(est as bigint) as est",
+            "cast(ex as bigint) as exact",
+        )
+    )
+    ip = (
+        sk1.join(
+            sk2.withColumnRenamed("cnt", "cnt2"), ["j", "cell"]
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("s"))
+    )
+    jest = ip.agg(F.min("s").alias("est"))
+    c1 = e1.groupBy("user_id").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = e2.groupBy("user_id").agg(F.count(F.lit(1)).alias("c2"))
+    jex = (
+        c1.join(c2, "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c1") * F.col("c2")), F.lit(0)
+            ).alias("ex")
+        )
+    )
+    join_rows = jest.crossJoin(jex).selectExpr(
+        "'join_size' as level",
+        "'*' as key",
+        "cast(est as bigint) as est",
+        "cast(ex as bigint) as exact",
+    )
+    return point_rows.unionByName(join_rows)

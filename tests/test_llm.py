@@ -2208,3 +2208,74 @@ def test_interleave_order_matches_single_window(spark):
     assert got == {
         (r["src"], r["id"]): (r["r"], r["seq"]) for r in ref
     }
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    import random
+    from collections import Counter
+
+    from etl_procesos_odo_spark.llm.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    rnd = random.Random(5)
+    # zipf-ish stream over a key space larger than w to force collisions
+    keys = [rnd.randrange(200) ** 2 % 97 for _ in range(3000)]
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sk = cms_sketch(df, "k", d=4, w=32, salt="t")
+    panel = spark.createDataFrame(
+        [(k,) for k in sorted(truth)], "k long"
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in cms_point_estimates(sk, panel, "k", 4, 32, "t").collect()
+    }
+    assert all(est[k] >= c for k, c in truth.items())
+    # absent key: still >= 0 and bounded by the grid row minima
+    # mergeability: sketch(A ++ B) == cellwise sum of sketch(A), sketch(B)
+    a, b = keys[:1500], keys[1500:]
+    ska = cms_sketch(
+        spark.createDataFrame([(k,) for k in a], "k long"), "k", 4, 32, "t"
+    )
+    skb = cms_sketch(
+        spark.createDataFrame([(k,) for k in b], "k long"), "k", 4, 32, "t"
+    )
+    merged = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in ska.unionByName(skb)
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    full = {(r["j"], r["cell"]): r["cnt"] for r in sk.collect()}
+    assert merged == full
+
+
+def test_cms_inner_product_bounds_join_size(spark):
+    import random
+    from collections import Counter
+
+    from etl_procesos_odo_spark.llm.sketches import cms_sketch
+
+    rnd = random.Random(9)
+    a = [rnd.randrange(60) for _ in range(1000)]
+    b = [rnd.randrange(60) for _ in range(800)]
+    ca, cb = Counter(a), Counter(b)
+    true_join = sum(ca[k] * cb[k] for k in ca if k in cb)
+    ska = cms_sketch(
+        spark.createDataFrame([(k,) for k in a], "k long"), "k", 4, 64, "t"
+    )
+    skb = cms_sketch(
+        spark.createDataFrame([(k,) for k in b], "k long"), "k", 4, 64, "t"
+    )
+    ip = (
+        ska.join(skb.withColumnRenamed("cnt", "c2"), ["j", "cell"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("c2")).alias("s"))
+        .agg(F.min("s").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert ip >= true_join  # never an underestimate
+    assert ip <= true_join * 3  # and a useful bound at this w
