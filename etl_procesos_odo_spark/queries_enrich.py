@@ -2387,3 +2387,108 @@ def q153_incident_session_overlap(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("long").alias("n_incidents"),
         F.sum("overlap_us").cast("long").alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — incremental rollup maintenance (partial-aggregate algebra)
+# ---------------------------------------------------------------------------
+
+_INC_ROLLUP_ORACLE = """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q172_incremental_rollup",
+    _INC_ROLLUP_ORACLE,
+    doc="Incremental rollup maintenance via partial-aggregate algebra: "
+    "a STORED daily-partials table (one row per (day, event_type): "
+    "count, decimal-exact sum, min/max ts) absorbs a delta batch — new "
+    "days AND late-arriving rows for old days (event_id % 37 == 0 in "
+    "days 15-20 withheld from the initial state) — by a full-outer "
+    "merge that adds counts/sums and min/maxes bounds, NO re-read of "
+    "historical raw data; the weekly rollup re-aggregates the merged "
+    "partials. The oracle computes the same rollup DIRECTLY from all "
+    "raw events, so the green row proves merge(state, delta) == "
+    "recompute(everything) bit-exactly — count/sum/min/max compose "
+    "associatively (decimal sums are exact integer arithmetic, so even "
+    "the double total is order-independent); COUNT(DISTINCT) is "
+    "exactly what does NOT compose, which is q164's register-table "
+    "job. At 100 TB this is the nightly-pipeline pattern: state is "
+    "days x types rows, a delta touches only its own partials, and "
+    "late data folds in without reprocessing its partition.",
+)
+def q172_incremental_rollup(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "cast(date_trunc('day', ts) as date) as day",
+    )
+    late = (
+        "(event_id % 37 = 0 and day between date'2024-01-15' "
+        "and date'2024-01-20')"
+    )
+    initial = ev.filter(f"day <= date'2024-01-20' and not {late}")
+    delta = ev.filter(f"day > date'2024-01-20' or {late}")
+
+    def partials(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("decimal(25,6)")
+            .alias("vsum"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+
+    # the stored state table — materialized, as it would be on disk
+    state = partials(initial).localCheckpoint(eager=True)
+    dpart = partials(delta)
+    merged = (
+        state.selectExpr(
+            "day", "event_type", "cnt as c1", "vsum as s1",
+            "mn as mn1", "mx as mx1",
+        )
+        .join(
+            dpart.selectExpr(
+                "day", "event_type", "cnt as c2", "vsum as s2",
+                "mn as mn2", "mx as mx2",
+            ),
+            ["day", "event_type"],
+            "full_outer",
+        )
+        .selectExpr(
+            "day",
+            "event_type",
+            "coalesce(c1, 0) + coalesce(c2, 0) as cnt",
+            "cast(coalesce(s1, cast(0 as decimal(25,6))) "
+            "+ coalesce(s2, cast(0 as decimal(25,6))) "
+            "as decimal(25,6)) as vsum",
+            "least(coalesce(mn1, mn2), coalesce(mn2, mn1)) as mn",
+            "greatest(coalesce(mx1, mx2), coalesce(mx2, mx1)) as mx",
+        )
+    )
+    return merged.groupBy(
+        F.expr("cast(date_trunc('week', day) as date)").alias("week"),
+        "event_type",
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum(F.col("vsum")).cast("double").alias("total_value"),
+        (
+            F.sum(F.col("vsum")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("avg_value"),
+        F.min("mn").alias("first_ts"),
+        F.max("mx").alias("last_ts"),
+    )

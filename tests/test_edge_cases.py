@@ -383,3 +383,72 @@ def test_sorted_neighborhood_adaptive_stripe(spark):
         .count()
     )
     assert n_stripes == 8
+
+
+def test_incremental_rollup_merge_cases(spark):
+    """The full-outer partial merge must handle state-only days,
+    delta-only days, and overlap (late-data) days identically to a
+    direct recompute over all raw rows."""
+    from etl_procesos_odo_spark.queries_enrich import (
+        q172_incremental_rollup,  # noqa: F401 — import proves registration
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # day 1: state-only
+        (1, "a", "2024-01-01 10:00:00", 1.5),
+        # day 17: both state rows and a late row (id % 37 == 0)
+        (2, "a", "2024-01-17 09:00:00", 2.25),
+        (37, "a", "2024-01-17 23:00:00", 4.0),
+        # day 25: delta-only
+        (3, "b", "2024-01-25 01:00:00", 8.125),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).selectExpr(
+        "event_id", "event_type",
+        "cast(ts_s as timestamp) as ts", "value",
+        "cast(date_trunc('day', cast(ts_s as timestamp)) as date) as day",
+    )
+    late = (
+        "(event_id % 37 = 0 and day between date'2024-01-15' "
+        "and date'2024-01-20')"
+    )
+    initial = ev.filter(f"day <= date'2024-01-20' and not {late}")
+    delta = ev.filter(f"day > date'2024-01-20' or {late}")
+    assert initial.count() + delta.count() == len(rows)
+    assert delta.filter("event_id = 37").count() == 1  # late row in delta
+
+    def partials(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("decimal(25,6)").alias("vsum"),
+            F.min("ts").alias("mn"), F.max("ts").alias("mx"),
+        )
+
+    merged = (
+        partials(initial).selectExpr(
+            "day", "event_type", "cnt as c1", "vsum as s1",
+            "mn as mn1", "mx as mx1")
+        .join(
+            partials(delta).selectExpr(
+                "day", "event_type", "cnt as c2", "vsum as s2",
+                "mn as mn2", "mx as mx2"),
+            ["day", "event_type"], "full_outer")
+        .selectExpr(
+            "day", "event_type",
+            "coalesce(c1, 0) + coalesce(c2, 0) as cnt",
+            "cast(coalesce(s1, cast(0 as decimal(25,6))) "
+            "+ coalesce(s2, cast(0 as decimal(25,6))) "
+            "as decimal(25,6)) as vsum",
+            "least(coalesce(mn1, mn2), coalesce(mn2, mn1)) as mn",
+            "greatest(coalesce(mx1, mx2), coalesce(mx2, mx1)) as mx")
+    )
+    direct = partials(ev)
+    key = lambda r: (str(r["day"]), r["event_type"])  # noqa: E731
+    got = {key(r): (r["cnt"], r["vsum"], r["mn"], r["mx"])
+           for r in merged.collect()}
+    want = {key(r): (r["cnt"], r["vsum"], r["mn"], r["mx"])
+            for r in direct.collect()}
+    assert got == want and len(got) == 3
