@@ -2492,3 +2492,123 @@ def q172_incremental_rollup(spark: SparkSession, sf_dir: str):
         F.min("mn").alias("first_ts"),
         F.max("mx").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — mergeable histogram quantile sketch (q88's documented scale path)
+# ---------------------------------------------------------------------------
+
+_HISTQ_BIN = 16
+_HISTQ_DIM = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _histq_oracle() -> str:
+    qdim = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS qtile, {num} AS num, {den} AS den"
+        for lbl, num, den in _HISTQ_DIM
+    )
+    return f"""
+    WITH v AS (
+      SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT lang, SUM(c) AS n FROM v GROUP BY 1),
+    qd AS ({qdim}),
+    rq AS (
+      SELECT n.lang, qd.qtile,
+             (qd.num * n.n + qd.den - 1) // qd.den AS r, n.n
+      FROM n, qd
+    ),
+    vc AS (
+      SELECT lang, n_chars,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+      FROM v
+    ),
+    exact AS (
+      SELECT rq.lang, rq.qtile, rq.n, MIN(vc.n_chars) AS exact
+      FROM rq JOIN vc ON vc.lang = rq.lang AND vc.cum >= rq.r
+      GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT lang, n_chars // {_HISTQ_BIN} AS bin, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    bc AS (
+      SELECT lang, bin,
+             SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum
+      FROM b
+    ),
+    est AS (
+      SELECT rq.lang, rq.qtile,
+             MIN(bc.bin) * {_HISTQ_BIN} AS est_lo
+      FROM rq JOIN bc ON bc.lang = rq.lang AND bc.cum >= rq.r
+      GROUP BY 1, 2
+    )
+    SELECT e.lang, e.qtile, CAST(x.n AS BIGINT) AS n,
+           CAST(e.est_lo AS BIGINT) AS est_lo,
+           CAST(x.exact AS BIGINT) AS exact
+    FROM est e JOIN exact x ON x.lang = e.lang AND x.qtile = e.qtile
+    """
+
+
+@register(
+    "q173_histogram_quantiles",
+    _histq_oracle(),
+    doc="Mergeable histogram quantile sketch — the scale path q88's "
+    "docstring promises: per-language p50/p90/p99 of doc length from "
+    "FIXED-WIDTH bin counts (state = langs x 256 bins regardless of "
+    "corpus size; bins build with one map-side-combinable groupBy and "
+    "MERGE across partitions/days/clusters by bin-count addition — the "
+    "property an exact sort-based quantile does not have), with the "
+    "exact discrete quantile as the audit arm (bin lower bound <= "
+    "exact < bound + width, pinned in the unit test). Rank targets "
+    "ceil(q*N) are computed in exact integer arithmetic ((num*N + "
+    "den - 1) div den) and selection is a cumulative-count threshold "
+    "over the tiny bin table — no doubles anywhere, bit-identical to "
+    "the oracle. At 100 TB this is the ANALYZE-statistics / data-"
+    "quality-monitor shape: distribution summaries from a KB-sized "
+    "mergeable state table, exact arms run on demand.",
+)
+def q173_histogram_quantiles(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    n = v.groupBy("lang").agg(F.sum("c").alias("n"))
+    qd = docs.sparkSession.createDataFrame(
+        _HISTQ_DIM, "qtile string, num int, den int"
+    )
+    rq = n.crossJoin(F.broadcast(qd)).selectExpr(
+        "lang", "qtile", "(num * n + den - 1) div den as r", "n"
+    )
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vc = v.withColumn("cum", F.sum("c").over(wv))
+    exact = (
+        rq.join(vc, "lang")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("lang", "qtile", "n")
+        .agg(F.min("n_chars").alias("exact"))
+    )
+    b = docs.selectExpr(
+        "lang", f"n_chars div {_HISTQ_BIN} as bin"
+    ).groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bc = b.withColumn("cum", F.sum("c").over(wb))
+    est = (
+        rq.join(bc, "lang")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("lang", "qtile")
+        .agg((F.min("bin") * _HISTQ_BIN).alias("est_lo"))
+    )
+    return est.join(exact, ["lang", "qtile"]).selectExpr(
+        "lang", "qtile", "cast(n as bigint) as n",
+        "cast(est_lo as bigint) as est_lo",
+        "cast(exact as bigint) as exact",
+    )

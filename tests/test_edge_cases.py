@@ -452,3 +452,45 @@ def test_incremental_rollup_merge_cases(spark):
     want = {key(r): (r["cnt"], r["vsum"], r["mn"], r["mx"])
             for r in direct.collect()}
     assert got == want and len(got) == 3
+
+
+def test_histogram_quantile_bound_and_merge(spark):
+    """Sketch estimate is the bin lower bound: est_lo <= exact <
+    est_lo + width; and bin tables of disjoint shards merge by count
+    addition to the full table's bins."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(13)
+    vals = [rnd.randrange(0, 4000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    W = 16
+    bins = df.selectExpr(f"n div {W} as bin").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # merge property
+    half = len(vals) // 2
+    b1 = spark.createDataFrame(
+        [(v,) for v in vals[:half]], "n long"
+    ).selectExpr(f"n div {W} as bin").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    b2 = spark.createDataFrame(
+        [(v,) for v in vals[half:]], "n long"
+    ).selectExpr(f"n div {W} as bin").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    merged = {r["bin"]: r["c"] for r in b1.unionByName(b2)
+              .groupBy("bin").agg(F.sum("c").alias("c")).collect()}
+    full = {r["bin"]: r["c"] for r in bins.collect()}
+    assert merged == full
+    # bound property at several quantiles
+    svals = sorted(vals)
+    cum, bounds = 0, {}
+    for b, c in sorted(full.items()):
+        cum += c
+        bounds[b] = cum
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        r = (num * len(vals) + den - 1) // den
+        exact = svals[r - 1]
+        est_lo = min(b for b, cu in bounds.items() if cu >= r) * W
+        assert est_lo <= exact < est_lo + W
