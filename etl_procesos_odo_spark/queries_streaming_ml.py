@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import load_table, register
 from .streaming.temporal import (
     dedup_first_stream,
     events_stream,
@@ -631,4 +631,85 @@ def q161_streaming_hll(spark: SparkSession, sf_dir: str):
         "n_set",
         f"{est['raw_est']} as raw_est",
         f"{est['est']} as hll_est",
+    )
+
+
+def _streaming_cms_oracle() -> str:
+    from .llm.sketches import cms_cell_exprs
+
+    D, W = 4, 256
+
+    def build(src: str) -> str:
+        cells = cms_cell_exprs("user_id", D, W, "cms", "duckdb")
+        sel = " UNION ALL ".join(
+            f"SELECT {j} AS j, {c} AS cell FROM {src}"
+            for j, c in enumerate(cells)
+        )
+        return f"SELECT j, cell, COUNT(*) AS cnt FROM ({sel}) GROUP BY 1, 2"
+
+    probe_cells = cms_cell_exprs("user_id", D, W, "cms", "duckdb")
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, {c} AS cell FROM panel"
+        for j, c in enumerate(probe_cells)
+    )
+    return f"""
+    WITH e1 AS (SELECT user_id FROM events
+                WHERE ts < TIMESTAMP '2024-01-08'
+                  AND user_id IS NOT NULL),
+    sk1 AS ({build("e1")}),
+    panel AS (SELECT DISTINCT user_id FROM e1 WHERE user_id % 13 = 0),
+    probes AS ({probes}),
+    pest AS (SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+             FROM probes p LEFT JOIN sk1 s USING (j, cell) GROUP BY 1),
+    pexact AS (SELECT user_id, COUNT(*) AS ex FROM e1 GROUP BY 1)
+    SELECT CAST(p.user_id AS VARCHAR) AS key,
+           CAST(pe.est AS BIGINT) AS est, CAST(px.ex AS BIGINT) AS exact
+    FROM panel p JOIN pest pe USING (user_id)
+    JOIN pexact px USING (user_id)
+    """
+
+
+@register(
+    "q174_streaming_cms",
+    _streaming_cms_oracle(),
+    doc="Streaming Count-Min sketch: the week-1 counter grid maintained "
+    "as streaming aggregation state — d*w = 1024 counter rows "
+    "REGARDLESS of traffic (the same fixed-state argument as q161's "
+    "streaming HLL, here for frequencies instead of cardinality); each "
+    "micro-batch folds in via the associative count. Point estimates "
+    "for the key panel run against the SINK output (serving-layer "
+    "read) with the exact batch counts as the audit arm. Oracle: the "
+    "identical cell expressions over the batch table — streaming and "
+    "batch grids are bit-identical (mode invariance, the q155/q156 "
+    "and q159/q161 pairing convention with q171's batch sketch).",
+)
+def q174_streaming_cms(spark: SparkSession, sf_dir: str):
+    from .llm.sketches import cms_cell_exprs, cms_point_estimates
+    from .streaming.temporal import events_stream, run_to_memory
+
+    D, W = 4, 256
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cells = cms_cell_exprs("user_id", D, W, "cms", "spark")
+    stack_args = ", ".join(f"{j}, {c}" for j, c in enumerate(cells))
+    s = events_stream(spark, sf_dir)
+    grid = (
+        s.filter("user_id is not null and ts < timestamp'2024-01-08'")
+        .selectExpr(f"stack({D}, {stack_args}) as (j, cell)")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sk1 = run_to_memory(grid, "q174_cms_grid", "complete")
+    ev = load_table(spark, sf_dir, "events").filter("user_id is not null")
+    e1 = ev.filter("ts < timestamp'2024-01-08'").select("user_id")
+    panel = e1.filter("user_id % 13 = 0").distinct()
+    pest = cms_point_estimates(sk1, panel, "user_id", D, W, "cms")
+    pexact = e1.groupBy("user_id").agg(F.count(F.lit(1)).alias("ex"))
+    return (
+        panel.join(pest, "user_id")
+        .join(pexact, "user_id")
+        .selectExpr(
+            "cast(user_id as string) as key",
+            "cast(est as bigint) as est",
+            "cast(ex as bigint) as exact",
+        )
     )
