@@ -3725,7 +3725,9 @@ def _priority_sample_oracle() -> str:
                               THEN 1 ELSE 0 END) AS DOUBLE)
                    * MAX(tau) AS est_total
             FROM samp GROUP BY 1),
-    exact AS (SELECT source, SUM(CAST(n_chars AS BIGINT)) AS exact_total
+    exact AS (SELECT source,
+                     CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+                       AS exact_total
               FROM documents GROUP BY 1)
     SELECT s.source, s.key, s.w, s.w_adj, s.tau,
            e.est_total, x.exact_total

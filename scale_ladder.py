@@ -54,6 +54,12 @@ QUERIES = [
     # r7 second wave: corpus line dedup — the min(struct) first-
     # occurrence aggregation's curve vs corpus growth
     "q160_line_dedup",
+    # r7 third wave: the KMV sketch (fixed k=128 rows/source — the pair
+    # algebra should stay flat while the distinct build scales with the
+    # corpus) and the interleave export (two striped-window ranks — the
+    # no-single-reducer claim's curve)
+    "q168_kmv_source_sketch",
+    "q170_interleave_export",
 ]
 N_DOCS_SF1 = 50_000
 SF10_DIR = os.path.join(REPO_ROOT, ".scaledata", "sf10")

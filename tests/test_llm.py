@@ -2279,3 +2279,24 @@ def test_cms_inner_product_bounds_join_size(spark):
     )
     assert ip >= true_join  # never an underestimate
     assert ip <= true_join * 3  # and a useful bound at this w
+
+
+def test_interleave_order_partition_invariant(spark):
+    """The striped two-phase ranks must be identical under any input
+    partitioning (the bit-identity claim in the q170 docstring)."""
+    from etl_procesos_odo_spark.llm.packing import interleave_order
+
+    rows = [("s%d" % (i % 3), i) for i in range(150)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    base = {
+        (r["stratum"], r["id"]): (r["r_src"], r["pos_key"], r["seq"])
+        for r in interleave_order(df, "src", "id").collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r["stratum"], r["id"]): (r["r_src"], r["pos_key"], r["seq"])
+            for r in interleave_order(
+                df.repartition(parts), "src", "id"
+            ).collect()
+        }
+        assert got == base
