@@ -1595,3 +1595,114 @@ def line_dedup_corpus(
             ),
         ).alias("text_clean"),
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard >= num/den via PREFIX
+    FILTERING (Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008
+    "PPJoin") — the set complement to the TF-IDF cosine pairs
+    (similarity.py, Bayardo pruning): candidates come from an
+    equi-join on each doc's PREFIX — its p = n - ceil(t*n) + 1 rarest
+    shingles under a global (df, gram) order — by the prefix-filter
+    lemma: two sets with J >= t must share at least one prefix element
+    (if all shared elements sat beyond both prefixes, the overlap
+    could not reach the t-implied floor). So recall at the threshold
+    is EXACT while the join explodes only ~ (1 - t) of each doc's
+    grams, and those are its RAREST (prefix grams are df-ascending, so
+    bucket fan-out is smallest exactly where the join would hurt —
+    boilerplate-hot grams never enter a prefix at high t).
+
+    Verification is candidate-local: join the pair list back to the
+    two gram arrays and count the intersection per pair — never the
+    all-shared-gram equi-join (q31's shape) whose hot-gram buckets the
+    prefix filter exists to avoid. The threshold test is exact
+    integer cross-multiplication (den * shared >= num * (union)), so
+    no double boundary can disagree with the oracle.
+
+    Scale notes: the df/rank table is vocabulary-sized (one global
+    row_number over distinct grams — bounded by vocab here; an
+    open-vocab corpus swaps in the partitioner's striped rank);
+    per-doc gram sorting is doc-bounded; the candidate join shuffles
+    on the prefix gram key with df-ascending buckets.
+    """
+    from pyspark.sql import Window
+
+    t_n, t_d = threshold_num, threshold_den
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    # multiply consumed (df build, prefix build, both verify sides)
+    g = g.localCheckpoint(eager=True)
+    df_tab = (
+        g.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy("df", "gram")
+    rk = df_tab.select("gram", F.row_number().over(w).alias("rk"))
+    ranked = (
+        g.select("id", F.explode("grams").alias("gram"))
+        .join(rk, "gram")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rk, gram))), "
+                "s -> s.gram)"
+            ).alias("sorted_grams")
+        )
+        .selectExpr(
+            "id",
+            "size(sorted_grams) as n",
+            f"slice(sorted_grams, 1, size(sorted_grams) "
+            f"- (({t_n} * size(sorted_grams) + {t_d} - 1) div {t_d}) + 1) "
+            "as prefix",
+        )
+    )
+    pa = ranked.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"),
+        F.explode("prefix").alias("gram"),
+    )
+    pb = ranked.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"),
+        F.explode("prefix").alias("gram"),
+    )
+    # length filter (lossless, standard): J >= t forces
+    # t*n_a <= n_b <= n_a/t — integer cross-multiplied. Measured on
+    # the dense sf0.1 corpus: 118,826 -> 43,543 candidates (2.7x)
+    # before the verify stage.
+    cand = (
+        pa.join(pb, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t_n) * F.col("na") <= F.lit(t_d) * F.col("nb"))
+            & (F.lit(t_n) * F.col("nb") <= F.lit(t_d) * F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = g.selectExpr("id as id_a", "grams as ga", "size(grams) as n_a")
+    gb = g.selectExpr("id as id_b", "grams as gb", "size(grams) as n_b")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "shared", F.expr("size(array_intersect(ga, gb))")
+        )
+        .filter(
+            F.expr(f"{t_d} * shared >= {t_n} * (n_a + n_b - shared)")
+        )
+        .selectExpr(
+            "id_a", "id_b", "n_a", "n_b",
+            "cast(shared as bigint) as shared",
+            "cast(shared as double) / cast(n_a + n_b - shared as double)"
+            " as jacc",
+        )
+    )

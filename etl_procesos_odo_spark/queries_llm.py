@@ -3945,3 +3945,75 @@ def q171_cms_frequency(spark: SparkSession, sf_dir: str):
         "cast(ex as bigint) as exact",
     )
     return point_rows.unionByName(join_rows)
+
+
+_PPJOIN_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    g0 AS (SELECT doc_id AS id, {O_SHINGLES} AS grams FROM w),
+    g AS (SELECT id, grams FROM g0 WHERE len(grams) > 0),
+    dft AS (
+      SELECT gram, COUNT(*) AS df
+      FROM (SELECT unnest(grams) AS gram FROM g) GROUP BY 1
+    ),
+    rk AS (SELECT gram, row_number() OVER (ORDER BY df, gram) AS rk
+           FROM dft),
+    ranked AS (
+      SELECT e.id,
+             array_agg(e.gram ORDER BY r.rk) AS sorted_grams
+      FROM (SELECT id, unnest(grams) AS gram FROM g) e
+      JOIN rk r USING (gram) GROUP BY e.id
+    ),
+    pfx AS (
+      SELECT id, len(sorted_grams) AS n,
+             sorted_grams[1 : len(sorted_grams)
+               - ((4 * len(sorted_grams) + 4) // 5) + 1] AS prefix
+      FROM ranked
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM (SELECT id, n, unnest(prefix) AS gram FROM pfx) a
+      JOIN (SELECT id, n, unnest(prefix) AS gram FROM pfx) b USING (gram)
+      WHERE a.id < b.id
+        AND 4 * a.n <= 5 * b.n AND 4 * b.n <= 5 * a.n
+    )
+    SELECT c.id_a, c.id_b,
+           len(ga.grams) AS n_a, len(gb.grams) AS n_b,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT)
+             AS shared,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / CAST(len(ga.grams) + len(gb.grams)
+                    - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             AS jacc
+    FROM cand c
+    JOIN g ga ON ga.id = c.id_a
+    JOIN g gb ON gb.id = c.id_b
+    WHERE 5 * len(list_intersect(ga.grams, gb.grams))
+          >= 4 * (len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams)))
+    """
+
+
+@register(
+    "q175_ppjoin_pairs",
+    _PPJOIN_ORACLE,
+    doc="Prefix-filtered exact Jaccard self-join at threshold 4/5 "
+    "(Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008 PPJoin — "
+    "llm/dedup.py ppjoin_pairs): the SET complement to q154's exact "
+    "TF-IDF cosine pairs. Candidates come from an equi-join on each "
+    "doc's prefix — its p = n - ceil(t*n) + 1 RAREST shingles under a "
+    "global (df, gram) order; the prefix-filter lemma makes recall at "
+    "the threshold EXACT while only ~(1-t) of each doc's grams enter "
+    "the join, and those are the low-df ones (boilerplate-hot grams "
+    "never reach a prefix at high t — the skew the all-shared-gram "
+    "join q31 would hit is pruned by construction). Verification is "
+    "candidate-local (array_intersect per pair), and the threshold "
+    "test is exact integer cross-multiplication — no double boundary. "
+    "Third exact-recall candidate-generation discipline on the shelf: "
+    "df-cap inverted index (q154), banded LSH/SimHash (probabilistic, "
+    "q67/q78), prefix filter (q175).",
+)
+def q175_ppjoin_pairs(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs, "text", "doc_id", 4, 5)

@@ -2300,3 +2300,41 @@ def test_interleave_order_partition_invariant(spark):
             ).collect()
         }
         assert got == base
+
+
+def test_ppjoin_exact_recall_vs_bruteforce(spark):
+    """Prefix filtering must lose NO pair at the threshold — compare
+    against brute-force all-pairs Jaccard on crafted docs, including
+    near-dups whose shared grams are corpus-hot (the prefix filter
+    must still catch them) and sub-threshold decoys."""
+    from itertools import combinations
+
+    from etl_procesos_odo_spark.llm.dedup import ppjoin_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " lambda"),  # near dup (J = 8/9 of gram sets)
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine eleven"),
+        (5, "totally different words here make no overlap at all now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in ppjoin_pairs(df, "text", "doc_id", 4, 5).collect()
+    }
+
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        ga, gb = grams(ta), grams(tb)
+        sh = len(ga & gb)
+        if 5 * sh >= 4 * len(ga | gb):
+            want[(ia, ib)] = sh
+    assert want  # the crafted data must exercise the >= t branch
+    assert got == want
