@@ -2612,3 +2612,151 @@ def q173_histogram_quantiles(spark: SparkSession, sf_dir: str):
         "cast(est_lo as bigint) as est_lo",
         "cast(exact as bigint) as exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — A-priori frequent itemsets (Agrawal & Srikant, VLDB 1994)
+# ---------------------------------------------------------------------------
+
+_ITEMSETS_ORACLE = """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    ms AS (SELECT (3 * COUNT(DISTINCT o) + 999) // 1000 AS ms FROM b),
+    l1 AS (
+      SELECT br FROM b GROUP BY br
+      HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ),
+    bf AS (SELECT b.o, b.br FROM b SEMI JOIN l1 ON b.br = l1.br),
+    l2 AS (
+      SELECT a.br AS x, c.br AS y, COUNT(*) AS support
+      FROM bf a JOIN bf c ON a.o = c.o AND a.br < c.br
+      GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ),
+    cand3 AS (
+      SELECT p1.x, p1.y, p2.y AS z
+      FROM l2 p1 JOIN l2 p2 ON p1.x = p2.x AND p1.y < p2.y
+      WHERE EXISTS (SELECT 1 FROM l2 q
+                    WHERE q.x = p1.y AND q.y = p2.y)
+    ),
+    t3 AS (
+      -- c.o = d.o is implied by transitivity but stated explicitly: the
+      -- join-order optimizer is otherwise free to start with (c, d),
+      -- whose only direct predicate is the inequality c.br < d.br — a
+      -- quadratic blowup (measured: >10 min at sf0.1 vs ~1 s with the
+      -- redundant equality in place).
+      SELECT a.br AS x, c.br AS y, d.br AS z, a.o
+      FROM bf a JOIN bf c ON a.o = c.o AND a.br < c.br
+      JOIN bf d ON a.o = d.o AND c.o = d.o AND c.br < d.br
+    ),
+    l3 AS (
+      SELECT t.x, t.y, t.z, COUNT(*) AS support
+      FROM t3 t SEMI JOIN cand3 cd
+        ON t.x = cd.x AND t.y = cd.y AND t.z = cd.z
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT ms FROM ms)
+    )
+    SELECT 2 AS level, x || '|' || y AS itemset,
+           CAST(support AS BIGINT) AS support
+    FROM l2
+    UNION ALL
+    SELECT 3 AS level, x || '|' || y || '|' || z AS itemset,
+           CAST(support AS BIGINT) AS support
+    FROM l3
+    """
+
+
+@register(
+    "q176_frequent_itemsets",
+    _ITEMSETS_ORACLE,
+    doc="A-priori frequent itemsets (Agrawal-Srikant, VLDB 1994): "
+    "frequent brand pairs and triples across order baskets at support "
+    ">= ceil(0.3% of baskets), the association-mining family. The "
+    "scale discipline is the A-priori property: level-3 CANDIDATES are "
+    "generated only from frequent level-2 pairs (join L2 with itself "
+    "on the shared first item, then require the third face (y,z) to "
+    "also be frequent via a semi-join), so basket triple enumeration "
+    "aggregates through a broadcast-tiny candidate list instead of "
+    "counting all C(brands,3) combinations — on a Zipfian real-world "
+    "catalog the candidate set is orders of magnitude below the cube. "
+    "Basket build is one broadcast dim join + distinct; pair/triple "
+    "enumeration fans out C(k,2)/C(k,3) per basket (k = avg 3.75 "
+    "distinct brands here — basket-bounded, shuffle keyed on the "
+    "itemset for map-side combine); minsup is derived in-query with "
+    "exact integer ceil arithmetic. Pure counting — bit-identical to "
+    "the oracle by construction.",
+)
+def q176_frequent_itemsets(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .selectExpr("l_orderkey as o", "p_brand as br")
+        .distinct()
+        # consumed by the L1 count, the semi-join filter, and the
+        # pair/triple enumerations
+        .localCheckpoint(eager=True)
+    )
+    ms = b.agg(
+        F.expr("(3 * count(distinct o) + 999) div 1000").alias("ms")
+    )
+    l1 = (
+        b.groupBy("br")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(ms))
+        .filter("c >= ms")
+        .select("br")
+    )
+    bf = b.join(F.broadcast(l1), "br", "left_semi").localCheckpoint(
+        eager=True
+    )
+    ba = bf.selectExpr("o", "br as x")
+    bb = bf.selectExpr("o", "br as y")
+    bc = bf.selectExpr("o", "br as z")
+    l2 = (
+        ba.join(bb, "o")
+        .filter("x < y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .filter("support >= ms")
+        .select("x", "y", "support")
+        .localCheckpoint(eager=True)
+    )
+    p1 = l2.selectExpr("x", "y")
+    p2 = l2.selectExpr("x as x2", "y as z")
+    face = l2.selectExpr("x as fy", "y as fz")
+    cand3 = (
+        p1.join(p2, F.expr("x = x2 and y < z"))
+        .select("x", "y", "z")
+        .join(
+            face,
+            (F.col("y") == F.col("fy")) & (F.col("z") == F.col("fz")),
+            "left_semi",
+        )
+    )
+    t3 = (
+        ba.join(bb, "o")
+        .filter("x < y")
+        .join(bc, "o")
+        .filter("y < z")
+    )
+    l3 = (
+        t3.join(F.broadcast(cand3), ["x", "y", "z"], "left_semi")
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .filter("support >= ms")
+        .select("x", "y", "z", "support")
+    )
+    r2 = l2.selectExpr(
+        "2 as level",
+        "concat(x, '|', y) as itemset",
+        "cast(support as bigint) as support",
+    )
+    r3 = l3.selectExpr(
+        "3 as level",
+        "concat(x, '|', y, '|', z) as itemset",
+        "cast(support as bigint) as support",
+    )
+    return r2.unionByName(r3)

@@ -494,3 +494,41 @@ def test_histogram_quantile_bound_and_merge(spark):
         exact = svals[r - 1]
         est_lo = min(b for b, cu in bounds.items() if cu >= r) * W
         assert est_lo <= exact < est_lo + W
+
+
+def test_frequent_itemsets_bruteforce(spark):
+    """q176's A-priori pipeline must equal a brute-force itertools
+    enumeration of frequent pairs/triples at sf0.001 — an oracle
+    independent of the SQL side's shared A-priori structure."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_procesos_odo_spark.queries_enrich import q176_frequent_itemsets
+    from tests.conftest import SF_DIR
+
+    out = {
+        (r["level"], r["itemset"]): r["support"]
+        for r in q176_frequent_itemsets(spark, SF_DIR).collect()
+    }
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    rows = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    minsup = -(-3 * len(baskets) // 1000)  # ceil(0.3% of baskets)
+    c2, c3 = Counter(), Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        c2.update(combinations(s, 2))
+        c3.update(combinations(s, 3))
+    want = {
+        (2, "|".join(k)): v for k, v in c2.items() if v >= minsup
+    } | {(3, "|".join(k)): v for k, v in c3.items() if v >= minsup}
+    assert out == want
