@@ -2760,3 +2760,111 @@ def q176_frequent_itemsets(spark: SparkSession, sf_dir: str):
         "cast(support as bigint) as support",
     )
     return r2.unionByName(r3)
+
+
+# ---------------------------------------------------------------------------
+# q177 — association rules from frequent itemsets (Agrawal & Srikant, 1994)
+# ---------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+    ms AS (SELECT (3 * n + 999) // 1000 AS ms FROM n),
+    s1 AS (
+      SELECT br, COUNT(*) AS sup FROM b GROUP BY br
+      HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ),
+    bf AS (SELECT b.o, b.br FROM b SEMI JOIN s1 ON b.br = s1.br),
+    s2 AS (
+      SELECT a.br AS x, c.br AS y, COUNT(*) AS sup
+      FROM bf a JOIN bf c ON a.o = c.o AND a.br < c.br
+      GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ),
+    dir2 AS (
+      SELECT x AS ante, y AS cons, sup FROM s2
+      UNION ALL
+      SELECT y AS ante, x AS cons, sup FROM s2
+    ),
+    rules AS (
+      SELECT d.ante, d.cons, d.sup,
+             CAST(d.sup AS DOUBLE) / sa.sup AS confidence,
+             CAST((SELECT n FROM n) * d.sup AS DOUBLE)
+               / (sa.sup * sc.sup) AS lift
+      FROM dir2 d
+      JOIN s1 sa ON d.ante = sa.br
+      JOIN s1 sc ON d.cons = sc.br
+    )
+    SELECT ante, cons, CAST(sup AS BIGINT) AS support, confidence, lift
+    FROM rules
+    WHERE 5 * sup >= (SELECT sup FROM s1 WHERE br = rules.ante)
+    """
+
+
+@register(
+    "q177_association_rules",
+    _RULES_ORACLE,
+    doc="Association-rule generation from frequent pairs (the second "
+    "half of Agrawal-Srikant 1994, after q176's itemset mining): every "
+    "directed rule x -> y over frequent brand pairs with support, "
+    "confidence = sup(x,y)/sup(x), and lift = N*sup(x,y)/(sup(x)*"
+    "sup(y)), kept at confidence >= 20%. The confidence gate is "
+    "applied by exact integer cross-multiplication (5*sup >= sup_ante) "
+    "so the threshold has no double boundary; confidence and lift "
+    "themselves are each ONE correctly-rounded IEEE division of exact "
+    "integer counts — bit-identical across engines (the repo's "
+    "single-rounded-op doubles rule; never a double SUM). All joins "
+    "are on the tiny frequent-item/pair tables (<=|brands|^2 rows) and "
+    "broadcast; the only corpus-scale work is the basket build and the "
+    "pair count, both map-side-combining groupBys.",
+)
+def q177_association_rules(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .selectExpr("l_orderkey as o", "p_brand as br")
+        .distinct()
+        # consumed by the basket count, item supports, and pair counts
+        .localCheckpoint(eager=True)
+    )
+    n = b.agg(F.expr("count(distinct o)").alias("n"))
+    ms = n.selectExpr("(3 * n + 999) div 1000 as ms")
+    s1 = (
+        b.groupBy("br")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter("sup >= ms")
+        .select("br", "sup")
+    )
+    bf = b.join(F.broadcast(s1.select("br")), "br", "left_semi")
+    s2 = (
+        bf.selectExpr("o", "br as x")
+        .join(bf.selectExpr("o", "br as y"), "o")
+        .filter("x < y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter("sup >= ms")
+        .select("x", "y", "sup")
+    )
+    dir2 = s2.selectExpr("x as ante", "y as cons", "sup").unionByName(
+        s2.selectExpr("y as ante", "x as cons", "sup")
+    )
+    sa = s1.selectExpr("br as ante", "sup as sup_a")
+    sc = s1.selectExpr("br as cons", "sup as sup_c")
+    return (
+        dir2.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n))
+        .filter("5 * sup >= sup_a")
+        .selectExpr(
+            "ante",
+            "cons",
+            "cast(sup as bigint) as support",
+            "cast(sup as double) / sup_a as confidence",
+            "cast(n * sup as double) / (sup_a * sup_c) as lift",
+        )
+    )

@@ -532,3 +532,46 @@ def test_frequent_itemsets_bruteforce(spark):
         (2, "|".join(k)): v for k, v in c2.items() if v >= minsup
     } | {(3, "|".join(k)): v for k, v in c3.items() if v >= minsup}
     assert out == want
+
+
+def test_association_rules_bruteforce(spark):
+    """q177's rules must equal brute-force counting: confidence and
+    lift recomputed as single divisions of exact Python-int counts
+    (the same one-rounded-op the engines perform)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_procesos_odo_spark.queries_enrich import q177_association_rules
+    from tests.conftest import SF_DIR
+
+    out = {
+        (r["ante"], r["cons"]): (r["support"], r["confidence"], r["lift"])
+        for r in q177_association_rules(spark, SF_DIR).collect()
+    }
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    rows = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    n = len(baskets)
+    minsup = -(-3 * n // 1000)
+    c1, c2 = Counter(), Counter()
+    for items in baskets.values():
+        c1.update(items)
+        c2.update(combinations(sorted(items), 2))
+    s1 = {k: v for k, v in c1.items() if v >= minsup}
+    want = {}
+    for (x, y), sup in c2.items():
+        if sup < minsup:
+            continue
+        for a, c in ((x, y), (y, x)):
+            if 5 * sup >= s1[a]:
+                want[(a, c)] = (sup, sup / s1[a], n * sup / (s1[a] * s1[c]))
+    assert out == want
