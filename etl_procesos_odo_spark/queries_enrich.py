@@ -2868,3 +2868,114 @@ def q177_association_rules(spark: SparkSession, sf_dir: str):
             "cast(n * sup as double) / (sup_a * sup_c) as lift",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — sequential pattern support (GSP exists-counting, Srikant &
+# Agrawal EDBT 1996) via order-statistics collapse
+# ---------------------------------------------------------------------------
+
+_SEQPAT_ORACLE = """
+    WITH tmm AS (
+      SELECT user_id AS u, event_type AS t, MIN(ts) AS mn, MAX(ts) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    ms AS (SELECT (5 * nu + 99) // 100 AS ms FROM nu),
+    p2 AS (
+      SELECT a.t AS x, c.t AS y, COUNT(*) AS support
+      FROM tmm a JOIN tmm c ON a.u = c.u
+      WHERE a.mn < c.mx
+      GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ),
+    mid AS (
+      SELECT DISTINCT a.u, a.t AS x, e.event_type AS y, c.t AS z
+      FROM tmm a
+      JOIN tmm c ON a.u = c.u
+      JOIN events e ON e.user_id = a.u
+      WHERE e.ts > a.mn AND e.ts < c.mx
+    ),
+    p3 AS (
+      SELECT x, y, z, COUNT(*) AS support
+      FROM mid GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= (SELECT ms FROM ms)
+    )
+    SELECT 2 AS level, x || '>' || y AS pattern,
+           CAST(support AS BIGINT) AS support
+    FROM p2
+    UNION ALL
+    SELECT 3 AS level, x || '>' || y || '>' || z AS pattern,
+           CAST(support AS BIGINT) AS support
+    FROM p3
+    """
+
+
+@register(
+    "q178_sequential_patterns",
+    _SEQPAT_ORACLE,
+    doc="Sequential pattern support (GSP exists-counting, Srikant & "
+    "Agrawal EDBT 1996): how many users' event histories contain the "
+    "subsequence <A,B> (resp. <A,B,C>) in timestamp order, gaps "
+    "allowed, kept at minsup = ceil(5% of users) — the ordered "
+    "complement of q132's adjacent-transition matrix and q116's fixed "
+    "funnel. The scale move is an order-statistics collapse that "
+    "avoids per-user subsequence enumeration entirely: a user "
+    "supports <A,B> iff min_ts(A) < max_ts(B), and <A,B,C> iff some "
+    "B-event lies strictly inside the open interval (min_ts(A), "
+    "max_ts(C))  — so the corpus-scale work is ONE groupBy(user, type) "
+    "min/max aggregation (map-side combining, |users|x|types| output) "
+    "plus, for triples, an events-to-(A,C)-interval equi-join on "
+    "user_id whose fan-out is |types|^2 per event, NEVER C(history,3) "
+    "per user. Handles repeated types correctly (<A,B,A> needs two "
+    "distinct A-events; the strict inequalities enforce it). Pure "
+    "integer counting over micros-exact timestamps — bit-identical "
+    "across engines.",
+)
+def q178_sequential_patterns(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tmm = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        # consumed by the pair join (both sides) and the triple join
+        .localCheckpoint(eager=True)
+    )
+    ms = ev.agg(
+        F.expr("(5 * count(distinct user_id) + 99) div 100").alias("ms")
+    )
+    a = tmm.selectExpr("user_id as u", "event_type as x", "mn")
+    c = tmm.selectExpr("user_id as u", "event_type as z", "mx")
+    p2 = (
+        a.join(c, "u")
+        .filter("mn < mx")
+        .groupBy(F.col("x"), F.col("z").alias("y"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .filter("support >= ms")
+    )
+    mid = (
+        a.join(c, "u")
+        .join(
+            ev.selectExpr("user_id as u", "event_type as y", "ts"),
+            "u",
+        )
+        .filter("ts > mn and ts < mx")
+        .select("u", "x", "y", "z")
+        .distinct()
+    )
+    p3 = (
+        mid.groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(ms))
+        .filter("support >= ms")
+    )
+    r2 = p2.selectExpr(
+        "2 as level",
+        "concat(x, '>', y) as pattern",
+        "cast(support as bigint) as support",
+    )
+    r3 = p3.selectExpr(
+        "3 as level",
+        "concat(x, '>', y, '>', z) as pattern",
+        "cast(support as bigint) as support",
+    )
+    return r2.unionByName(r3)

@@ -575,3 +575,41 @@ def test_association_rules_bruteforce(spark):
             if 5 * sup >= s1[a]:
                 want[(a, c)] = (sup, sup / s1[a], n * sup / (s1[a] * s1[c]))
     assert out == want
+
+
+def test_sequential_patterns_bruteforce(spark):
+    """q178's order-statistics collapse must equal the direct GSP
+    definition — exists events with strictly increasing timestamps
+    matching the pattern — enumerated per user at sf0.001."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_enrich import q178_sequential_patterns
+    from tests.conftest import SF_DIR
+
+    out = {
+        (r["level"], r["pattern"]): r["support"]
+        for r in q178_sequential_patterns(spark, SF_DIR).collect()
+    }
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    users = {}
+    for r in ev.collect():
+        users.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    c2, c3 = Counter(), Counter()
+    for hist in users.values():
+        hist.sort(key=lambda e: e[0])
+        pairs, triples = set(), set()
+        for i, (ts_m, t_m) in enumerate(hist):
+            before = {t for ts, t in hist[:i] if ts < ts_m}
+            after = {t for ts, t in hist[i + 1 :] if ts > ts_m}
+            pairs.update((a, t_m) for a in before)
+            triples.update((a, t_m, c) for a in before for c in after)
+        c2.update(pairs)
+        c3.update(triples)
+    minsup = -(-5 * len(users) // 100)
+    want = {
+        (2, ">".join(k)): v for k, v in c2.items() if v >= minsup
+    } | {(3, ">".join(k)): v for k, v in c3.items() if v >= minsup}
+    assert out == want
