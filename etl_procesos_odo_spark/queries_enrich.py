@@ -2733,14 +2733,17 @@ def q176_frequent_itemsets(spark: SparkSession, sf_dir: str):
         .selectExpr("p.x as x", "p.y as y", "support")
         .localCheckpoint(eager=True)
     )
+    # l2 sits behind a checkpoint (no stats), so the tiny candidate-
+    # generation joins must be broadcast explicitly or they fall back
+    # to SortMergeJoin (plan-tested)
     p1 = l2.selectExpr("x", "y")
     p2 = l2.selectExpr("x as x2", "y as z")
     face = l2.selectExpr("x as fy", "y as fz")
     cand3 = (
-        p1.join(p2, F.expr("x = x2 and y < z"))
+        p1.join(F.broadcast(p2), F.expr("x = x2 and y < z"))
         .select("x", "y", "z")
         .join(
-            face,
+            F.broadcast(face),
             (F.col("y") == F.col("fy")) & (F.col("z") == F.col("fz")),
             "left_semi",
         )

@@ -24,9 +24,20 @@ q67's LSH candidate set combinatorial, but the fixed-14-doc-bench
 decontamination shapes stay well-posed and answer the exact-vs-bloom
 crossover question where data cost, not plan overhead, dominates.
 
+A third arm, ``--mining`` (round 7), does the same for the
+association/sequence-mining family (q176 frequent itemsets, q177
+association rules, q178 sequential patterns): a synthetic 10x point
+with the sf0.1 profile — lineitem 6M rows over 1.5M orders (4 avg
+lines, uniform partkeys), part 200k parts over the same 25 brands,
+events 1M rows over 15k users (same 5 event types, same January-2024
+span) — so the one-shuffle basket-array architecture and the
+order-statistics GSP collapse get measured curves, not inferences.
+Results land under the "mining" key of SCALE_LADDER.json.
+
 Usage:
     python scale_ladder.py            # generate (if absent) + run ladder
     python scale_ladder.py --sf10     # append the 500k fixed-bench point
+    python scale_ladder.py --mining   # append the mining-family curve
     python scale_ladder.py --gen-only
     python scale_ladder.py --run-sf /root/repo/.scaledata/sf1  # internal
 """
@@ -65,6 +76,104 @@ N_DOCS_SF1 = 50_000
 SF10_DIR = os.path.join(REPO_ROOT, ".scaledata", "sf10")
 N_DOCS_SF10 = 500_000
 SEED = 42
+
+MINING_SF1_DIR = os.path.join(REPO_ROOT, ".scaledata", "mining_sf1")
+MINING_QUERIES = [
+    "q176_frequent_itemsets",
+    "q177_association_rules",
+    "q178_sequential_patterns",
+]
+MINING_LADDER = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", MINING_SF1_DIR),
+]
+
+
+def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
+    """10x lineitem/part/events with the sf0.1 profile (module
+    docstring). Deterministic PCG64(seed=42); only the columns the
+    mining queries read are populated with real data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(os.path.join(out_dir, "events.parquet")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+
+    n_orders, lines_per, n_parts = 1_500_000, 4, 200_000
+    n_li = n_orders * lines_per
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    np.repeat(np.arange(n_orders, dtype=np.int64), lines_per)
+                ),
+                "l_partkey": pa.array(
+                    rng.integers(0, n_parts, size=n_li, dtype=np.int64)
+                ),
+            }
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+    brands = np.array(
+        [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+                "p_brand": pa.array(
+                    brands[rng.integers(0, len(brands), size=n_parts)]
+                ),
+            }
+        ),
+        os.path.join(out_dir, "part.parquet"),
+    )
+
+    n_ev, n_users = 1_000_000, 15_000
+    types = np.array(["signup", "error", "click", "view", "purchase"])
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, n_users, size=n_ev, dtype=np.int64)
+                ),
+                "event_type": pa.array(
+                    types[rng.integers(0, len(types), size=n_ev)]
+                ),
+                "ts": pa.array(
+                    t0 + rng.integers(0, span_us, size=n_ev)
+                ),
+            }
+        ),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
+
+def _run_mining_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Time the mining queries at one scale point."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out: dict[str, float] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in MINING_QUERIES:
+        t0 = time.perf_counter()
+        by_name[name].spark_fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    print(json.dumps({"n_lineitem": n, "queries": out}))
 
 
 def generate_sf1(out_dir: str = SF1_DIR, n_docs: int = N_DOCS_SF1) -> str:
@@ -192,6 +301,30 @@ def main() -> None:
         return
     if "--run-fixed" in sys.argv:
         _run_fixed_only(sys.argv[sys.argv.index("--run-fixed") + 1])
+        return
+    if "--run-mining" in sys.argv:
+        _run_mining_sf(sys.argv[sys.argv.index("--run-mining") + 1])
+        return
+    if "--mining" in sys.argv:
+        generate_mining_sf1()
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        mining: dict[str, dict] = {}
+        for label, sf_dir in MINING_LADDER:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-mining",
+                 sf_dir],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"mining segment {label} failed")
+            mining[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results["mining"] = mining
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(mining))
         return
     if "--sf10" in sys.argv:
         generate_sf1(SF10_DIR, N_DOCS_SF10)

@@ -692,3 +692,19 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name", ["q176_frequent_itemsets", "q177_association_rules"]
+)
+def test_basket_mining_no_shuffle_joins(plan, name):
+    """The basket-mining one-shuffle architecture: itemset enumeration
+    is a map-side array-comprehension explode, so the ONLY joins in the
+    plan are broadcasts (dim lookup, 1-row stat frames, tiny candidate
+    semi-joins) — a SortMergeJoin or ShuffledHashJoin would mean the
+    basket table is being re-shuffled per itemset position again."""
+    p = plan(name, "simple")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p  # the enumeration is the explode
