@@ -104,7 +104,16 @@ DRIVER_HEAD: tuple[str, ...] = (
     # property-tested — so the row was doubly covered; q71 stays green
     # in the back-half censuses. q158 is PII redaction, the corpus-
     # hygiene family new in r7 with no driver-row class.)
-    "q155_decontaminate_bloom", "q103_semantic_dedup",
+    # (r7 swap q103 -> q176: q103's two constituent shapes stay head-
+    # evidenced — the cell-keyed cosine equi-join runs verbatim inside
+    # q107's recall head row (the IVF arm's cell equi-join + exact
+    # cosine verify), and the cluster keep-best canonicalization is
+    # q70's big-star head row's policy; q103 stays green in the
+    # back-half censuses. q176 is A-priori frequent-itemset mining —
+    # the association-mining family new in r7 with no driver-row class,
+    # and the flagship of the one-shuffle basket-array architecture
+    # (see SCALE.md mining ladder).)
+    "q155_decontaminate_bloom", "q176_frequent_itemsets",
     "q67_minhash_lsh_collapsed",
     "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q160_line_dedup",
     "q158_pii_redaction",

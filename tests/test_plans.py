@@ -231,7 +231,11 @@ def test_driver_head_curation():
         # q42 widened by q62's fused transform — COVERAGE.md round-7);
         # the round-6 families get their first driver rows
         "dedup": "q67_minhash_lsh_collapsed",
-        "semantic_dedup": "q103_semantic_dedup",
+        # r7 fourth-wave swap: q103 rotates out (cell-keyed cosine
+        # equi-join contained in q107's recall row, keep-best policy in
+        # q70's big-star row — COVERAGE.md round-7); association mining
+        # gets its first driver row
+        "association_mining": "q176_frequent_itemsets",
         # r7 swaps: q74 rotates out (its IVF multi-probe arm is contained
         # in q107's recall row, documented since r4), q82/q71 rotate out
         # (block keep-first widened by q160's line dedup; the exact
