@@ -3003,3 +3003,89 @@ def q178_sequential_patterns(spark: SparkSession, sf_dir: str):
         "cast(support as bigint) as support",
     )
     return r2.unionByName(r3)
+
+
+# ---------------------------------------------------------------------------
+# q179 — embargoed temporal split (purged time-series governance)
+# ---------------------------------------------------------------------------
+
+_EMBARGO_ORACLE = """
+    WITH span AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    cut AS (
+      SELECT mn + (8 * (mx - mn)) // 10 AS cutoff,
+             mn + (8 * (mx - mn)) // 10 + 86400000000 AS emb_end
+      FROM span
+    ),
+    labeled AS (
+      SELECT CASE WHEN epoch_us(e.ts) < c.cutoff THEN 'train'
+                  WHEN epoch_us(e.ts) >= c.emb_end THEN 'test'
+                  ELSE 'embargo' END AS split,
+             e.user_id, epoch_us(e.ts) AS us
+      FROM events e CROSS JOIN cut c
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(us) AS BIGINT) AS min_us,
+           CAST(MAX(us) AS BIGINT) AS max_us
+    FROM labeled
+    GROUP BY split
+    """
+
+
+@register(
+    "q179_embargo_split",
+    _EMBARGO_ORACLE,
+    doc="Embargoed temporal split (the purged walk-forward governance "
+    "of time-series ML, cf. Lopez de Prado 2018 ch.7): train = events "
+    "before the 80%-of-span cutoff, test = events after a 24 h embargo "
+    "gap, embargo-zone rows quarantined and ACCOUNTED FOR (the report "
+    "row proves what was dropped — silent row loss is the failure "
+    "mode). Complements q167's duplicate-cluster-atomic split: q167 "
+    "guards content leakage, this guards temporal leakage (features "
+    "computed near the boundary can straddle it; the gap removes the "
+    "overlap). All boundary arithmetic is exact integer micros "
+    "(epoch_us both engines, span-fraction by integer div) — no "
+    "percentile estimation, no double boundaries. Two scans at corpus "
+    "scale: a min/max stat pass (columnar, partial-agg) and one "
+    "labeling pass with the 1-row cutoff frame broadcast; the report "
+    "is a 3-row map-side-combined groupBy.",
+)
+def q179_embargo_split(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cut = (
+        ev.agg(
+            F.expr("unix_micros(min(ts))").alias("mn"),
+            F.expr("unix_micros(max(ts))").alias("mx"),
+        )
+        .selectExpr(
+            "mn + (8 * (mx - mn)) div 10 as cutoff",
+            "mn + (8 * (mx - mn)) div 10 + 86400000000 as emb_end",
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .selectExpr(
+            "case when unix_micros(ts) < cutoff then 'train' "
+            "when unix_micros(ts) >= emb_end then 'test' "
+            "else 'embargo' end as split",
+            "user_id",
+            "unix_micros(ts) as us",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .selectExpr(
+            "split",
+            "cast(n_events as bigint) as n_events",
+            "cast(n_users as bigint) as n_users",
+            "cast(min_us as bigint) as min_us",
+            "cast(max_us as bigint) as max_us",
+        )
+    )

@@ -613,3 +613,29 @@ def test_sequential_patterns_bruteforce(spark):
         (2, ">".join(k)): v for k, v in c2.items() if v >= minsup
     } | {(3, ">".join(k)): v for k, v in c3.items() if v >= minsup}
     assert out == want
+
+
+def test_embargo_split_boundaries(spark):
+    """q179: the three splits partition the corpus exactly, the
+    train/test gap is at least the 24 h embargo, and every embargo
+    row sits strictly inside (cutoff, emb_end) recomputed directly."""
+    from etl_procesos_odo_spark.queries_enrich import q179_embargo_split
+    from tests.conftest import SF_DIR
+
+    rows = {r["split"]: r for r in q179_embargo_split(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    us = [r[0] for r in ev.selectExpr("unix_micros(ts)").collect()]
+    mn, mx = min(us), max(us)
+    cutoff = mn + (8 * (mx - mn)) // 10
+    emb_end = cutoff + 86_400_000_000
+
+    assert sum(r["n_events"] for r in rows.values()) == len(us)
+    assert rows["train"]["max_us"] < cutoff <= rows["test"]["min_us"]
+    assert rows["test"]["min_us"] >= emb_end
+    assert rows["test"]["min_us"] - rows["train"]["max_us"] >= 86_400_000_000
+    if "embargo" in rows:
+        assert cutoff <= rows["embargo"]["min_us"]
+        assert rows["embargo"]["max_us"] < emb_end
+        assert rows["embargo"]["n_events"] == sum(
+            cutoff <= u < emb_end for u in us
+        )
