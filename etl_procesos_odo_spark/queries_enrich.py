@@ -2694,87 +2694,14 @@ _ITEMSETS_ORACLE = """
     "the oracle by construction.",
 )
 def q176_frequent_itemsets(spark: SparkSession, sf_dir: str):
+    from .operators.mining import frequent_itemsets
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).selectExpr(
         "l_orderkey as o", "p_brand as br"
     )
-    baskets = (
-        b.groupBy("o")
-        .agg(F.sort_array(F.collect_set("br")).alias("it"))
-        # consumed by the basket count, the L1 item counts, and the
-        # pair/triple enumerations
-        .localCheckpoint(eager=True)
-    )
-    ms = baskets.agg(F.expr("(3 * count(1) + 999) div 1000").alias("ms"))
-    l1 = (
-        baskets.select(F.explode("it").alias("br"))
-        .groupBy("br")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .crossJoin(F.broadcast(ms))
-        .filter("c >= ms")
-    )
-    keep = l1.agg(F.sort_array(F.collect_set("br")).alias("keep"))
-    bk = (
-        baskets.crossJoin(F.broadcast(keep))
-        .selectExpr("array_intersect(it, keep) as it")
-        .filter("size(it) >= 2")
-    )
-    pair_expr = (
-        "flatten(transform(it, (x, i) -> "
-        "transform(slice(it, i + 2, size(it)), y -> struct(x, y))))"
-    )
-    l2 = (
-        bk.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(ms))
-        .filter("support >= ms")
-        .selectExpr("p.x as x", "p.y as y", "support")
-        .localCheckpoint(eager=True)
-    )
-    # l2 sits behind a checkpoint (no stats), so the tiny candidate-
-    # generation joins must be broadcast explicitly or they fall back
-    # to SortMergeJoin (plan-tested)
-    p1 = l2.selectExpr("x", "y")
-    p2 = l2.selectExpr("x as x2", "y as z")
-    face = l2.selectExpr("x as fy", "y as fz")
-    cand3 = (
-        p1.join(F.broadcast(p2), F.expr("x = x2 and y < z"))
-        .select("x", "y", "z")
-        .join(
-            F.broadcast(face),
-            (F.col("y") == F.col("fy")) & (F.col("z") == F.col("fz")),
-            "left_semi",
-        )
-    )
-    trip_expr = (
-        "flatten(flatten(transform(it, (x, i) -> "
-        "transform(slice(it, i + 2, size(it)), (y, j) -> "
-        "transform(slice(it, i + j + 3, size(it)), z -> struct(x, y, z))))))"
-    )
-    l3 = (
-        bk.filter("size(it) >= 3")
-        .select(F.explode(F.expr(trip_expr)).alias("p"))
-        .selectExpr("p.x as x", "p.y as y", "p.z as z")
-        .join(F.broadcast(cand3), ["x", "y", "z"], "left_semi")
-        .groupBy("x", "y", "z")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(ms))
-        .filter("support >= ms")
-        .select("x", "y", "z", "support")
-    )
-    r2 = l2.selectExpr(
-        "2 as level",
-        "concat(x, '|', y) as itemset",
-        "cast(support as bigint) as support",
-    )
-    r3 = l3.selectExpr(
-        "3 as level",
-        "concat(x, '|', y, '|', z) as itemset",
-        "cast(support as bigint) as support",
-    )
-    return r2.unionByName(r3)
+    return frequent_itemsets(b, "o", "br", minsup_num=3, minsup_den=1000)
 
 
 # ---------------------------------------------------------------------------
@@ -2837,60 +2764,16 @@ _RULES_ORACLE = """
     "array architecture) and the map-side-combined pair count.",
 )
 def q177_association_rules(spark: SparkSession, sf_dir: str):
+    from .operators.mining import association_rules
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).selectExpr(
         "l_orderkey as o", "p_brand as br"
     )
-    baskets = (
-        b.groupBy("o")
-        .agg(F.sort_array(F.collect_set("br")).alias("it"))
-        # consumed by the basket count, item supports, and pair counts
-        .localCheckpoint(eager=True)
-    )
-    n = baskets.agg(F.count(F.lit(1)).alias("n"))
-    ms = n.selectExpr("(3 * n + 999) div 1000 as ms")
-    s1 = (
-        baskets.select(F.explode("it").alias("br"))
-        .groupBy("br")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .crossJoin(F.broadcast(ms))
-        .filter("sup >= ms")
-        .select("br", "sup")
-    )
-    keep = s1.agg(F.sort_array(F.collect_set("br")).alias("keep"))
-    pair_expr = (
-        "flatten(transform(it, (x, i) -> "
-        "transform(slice(it, i + 2, size(it)), y -> struct(x, y))))"
-    )
-    s2 = (
-        baskets.crossJoin(F.broadcast(keep))
-        .selectExpr("array_intersect(it, keep) as it")
-        .filter("size(it) >= 2")
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .crossJoin(F.broadcast(ms))
-        .filter("sup >= ms")
-        .selectExpr("p.x as x", "p.y as y", "sup")
-    )
-    dir2 = s2.selectExpr("x as ante", "y as cons", "sup").unionByName(
-        s2.selectExpr("y as ante", "x as cons", "sup")
-    )
-    sa = s1.selectExpr("br as ante", "sup as sup_a")
-    sc = s1.selectExpr("br as cons", "sup as sup_c")
-    return (
-        dir2.join(F.broadcast(sa), "ante")
-        .join(F.broadcast(sc), "cons")
-        .crossJoin(F.broadcast(n))
-        .filter("5 * sup >= sup_a")
-        .selectExpr(
-            "ante",
-            "cons",
-            "cast(sup as bigint) as support",
-            "cast(sup as double) / sup_a as confidence",
-            "cast(n * sup as double) / (sup_a * sup_c) as lift",
-        )
+    return association_rules(
+        b, "o", "br", minsup_num=3, minsup_den=1000,
+        minconf_num=1, minconf_den=5,
     )
 
 
@@ -2956,53 +2839,12 @@ _SEQPAT_ORACLE = """
     "across engines.",
 )
 def q178_sequential_patterns(spark: SparkSession, sf_dir: str):
+    from .operators.mining import sequential_pattern_support
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    tmm = (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
-        # consumed by the pair join (both sides) and the triple join
-        .localCheckpoint(eager=True)
+    return sequential_pattern_support(
+        ev, "user_id", "event_type", "ts", minsup_num=5, minsup_den=100
     )
-    ms = ev.agg(
-        F.expr("(5 * count(distinct user_id) + 99) div 100").alias("ms")
-    )
-    a = tmm.selectExpr("user_id as u", "event_type as x", "mn")
-    c = tmm.selectExpr("user_id as u", "event_type as z", "mx")
-    p2 = (
-        a.join(c, "u")
-        .filter("mn < mx")
-        .groupBy(F.col("x"), F.col("z").alias("y"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(ms))
-        .filter("support >= ms")
-    )
-    mid = (
-        a.join(c, "u")
-        .join(
-            ev.selectExpr("user_id as u", "event_type as y", "ts"),
-            "u",
-        )
-        .filter("ts > mn and ts < mx")
-        .select("u", "x", "y", "z")
-        .distinct()
-    )
-    p3 = (
-        mid.groupBy("x", "y", "z")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(ms))
-        .filter("support >= ms")
-    )
-    r2 = p2.selectExpr(
-        "2 as level",
-        "concat(x, '>', y) as pattern",
-        "cast(support as bigint) as support",
-    )
-    r3 = p3.selectExpr(
-        "3 as level",
-        "concat(x, '>', y, '>', z) as pattern",
-        "cast(support as bigint) as support",
-    )
-    return r2.unionByName(r3)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Library-surface tests for operators/mining.py with NON-default
+thresholds on constructed data — the registry queries q176/q177/q178
+cover the default parametrization against the DuckDB oracle; these pin
+the parametrized API itself."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_procesos_odo_spark.operators.mining import (
+    association_rules,
+    frequent_itemsets,
+    sequential_pattern_support,
+)
+
+BASKETS = [
+    # 4 baskets over items a,b,c,d: {a,b,c} x2, {a,b}, {a,d}
+    (1, "a"), (1, "b"), (1, "c"),
+    (2, "a"), (2, "b"), (2, "c"),
+    (3, "a"), (3, "b"),
+    (4, "a"), (4, "d"),
+    (4, "a"),  # duplicate row: collect_set must dedup
+]
+
+
+def test_frequent_itemsets_half_support(spark):
+    df = spark.createDataFrame(BASKETS, "o long, br string")
+    # minsup = ceil(4/2) = 2
+    out = {
+        (r["level"], r["itemset"]): r["support"]
+        for r in frequent_itemsets(df, "o", "br", 1, 2).collect()
+    }
+    assert out == {
+        (2, "a|b"): 3,
+        (2, "a|c"): 2,
+        (2, "b|c"): 2,
+        (3, "a|b|c"): 2,
+    }
+
+
+def test_frequent_itemsets_prunes_triples_without_frequent_faces(spark):
+    # {a,b} and {a,c} frequent but {b,c} not -> a|b|c must be pruned
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "a"), (4, "c"),
+            (5, "a"), (5, "b"), (5, "c")]
+    df = spark.createDataFrame(rows, "o long, br string")
+    # minsup = ceil(2*5/5) = 2: pairs a|b (3), a|c (3) qualify; b|c has 1
+    out = {r["itemset"] for r in frequent_itemsets(df, "o", "br", 2, 5).collect()}
+    assert out == {"a|b", "a|c"}
+
+
+def test_association_rules_confidence_gate(spark):
+    df = spark.createDataFrame(BASKETS, "o long, br string")
+    # minsup 2-of-4; confidence >= 3/4 keeps b->a (3/3) and c->a, c->b
+    # (2/2) but drops a->b (3/4 exactly passes!), a->c (2/4), b->c (2/3)
+    out = {
+        (r["ante"], r["cons"]): (r["support"], r["confidence"], r["lift"])
+        for r in association_rules(df, "o", "br", 1, 2, 3, 4).collect()
+    }
+    assert set(out) == {("b", "a"), ("c", "a"), ("c", "b"), ("a", "b")}
+    assert out[("b", "a")] == (3, 1.0, 4 * 3 / (3 * 4))
+    assert out[("a", "b")] == (3, 3 / 4, 4 * 3 / (4 * 3))
+    assert out[("c", "b")] == (2, 1.0, 4 * 2 / (2 * 3))
+
+
+def test_sequential_pattern_support_strict_order(spark):
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: A@1 B@2 C@3 -> all pairs + A>B>C
+        (1, "A", t(1)), (1, "B", t(2)), (1, "C", t(3)),
+        # user 2: B@1 A@2 -> only B>A
+        (2, "B", t(1)), (2, "A", t(2)),
+        # user 3: A@5 A@5 (tied ts) -> NO A>A (strict order)
+        (3, "A", t(5)), (3, "A", t(5)),
+        # user 4: A@1 A@2 B@3 -> A>A, A>B, A>A>B
+        (4, "A", t(1)), (4, "A", t(2)), (4, "B", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    # minsup = ceil(4/4) = 1: every witnessed pattern appears
+    out = {
+        (r["level"], r["pattern"]): r["support"]
+        for r in sequential_pattern_support(df, "u", "t", "ts", 1, 4).collect()
+    }
+    assert out == {
+        (2, "A>B"): 2,
+        (2, "A>C"): 1,
+        (2, "B>C"): 1,
+        (2, "B>A"): 1,
+        (2, "A>A"): 1,          # user 4 only; user 3's tie is excluded
+        (3, "A>B>C"): 1,
+        (3, "A>A>B"): 1,
+    }
