@@ -328,3 +328,94 @@ def priority_sample(
         .select(*group_cols, "key", "w", "w_adj", "tau",
                 "est_total", "exact_total")
     )
+
+
+def budget_waterfill(
+    stats: DataFrame,
+    key_col: str,
+    cap_col: str,
+    weight_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Exact waterfilling allocation of a token budget across sources.
+
+    Given per-source availability caps and priority weights, allocate a
+    budget of ``ceil-free (budget_num * total_cap) div budget_den``
+    tokens proportionally to weight, capping each source at its
+    availability and redistributing the excess to the others — the
+    data-mixture allocation step of corpus construction (the capped
+    proportional-fairness / water-filling solution: every unsaturated
+    source receives the same tokens-per-weight level).
+
+    Exactness: sources sort by cap/weight (ONE IEEE division — identical
+    across engines; ties broken by key). In that order saturation is a
+    prefix, and each row's saturation test is the integer
+    cross-multiplication ``cap * W_rest <= w * (budget - C_prev)``
+    (W_rest / C_prev from window prefix sums) — no float thresholds.
+    Unsaturated rows get ``(w * residual_budget) div W_unsat`` by
+    integer division (sum(alloc) <= budget; the < |sources| remainder
+    tokens are intentionally unallocated, documented).
+
+    Scale: the corpus-scale work is building ``stats`` (caller's
+    map-side-combining groupBy); the waterfill itself runs on the
+    |sources| frame, where a single-partition ordered window is the
+    RIGHT plan (allocation state is O(|sources|), KB-sized). For
+    source counts beyond window comfort (~10^7), stripe the rank with
+    the q50 partitioner — same expressions.
+    """
+    tot = stats.agg(
+        F.sum(cap_col).alias("tc"), F.sum(weight_col).alias("tw")
+    ).selectExpr(f"({budget_num} * tc) div {budget_den} as budget", "tw")
+    s = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_r", F.expr(f"cast({cap_col} as double) / {weight_col}")
+        )
+    )
+    win = Window.orderBy("_r", key_col)
+    s = (
+        s.withColumn(
+            "_cprev",
+            F.coalesce(
+                F.sum(cap_col).over(
+                    win.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_wrest",
+            F.col("tw")
+            - F.coalesce(
+                F.sum(weight_col).over(
+                    win.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.expr(
+                f"{cap_col} * _wrest <= {weight_col} * (budget - _cprev)"
+            ),
+        )
+    )
+    scal = s.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)
+        ).alias("sc"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col(weight_col))), F.lit(0)
+        ).alias("sw"),
+    )
+    return s.crossJoin(F.broadcast(scal)).selectExpr(
+        key_col,
+        f"cast({cap_col} as bigint) as cap",
+        f"cast({weight_col} as bigint) as weight",
+        f"""cast(case when saturated then {cap_col}
+             when tw - sw > 0
+             then ({weight_col} * (budget - sc)) div (tw - sw)
+             else 0 end as bigint) as alloc""",
+        "cast(saturated as int) as saturated",
+    )

@@ -4017,3 +4017,80 @@ def q175_ppjoin_pairs(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return ppjoin_pairs(docs, "text", "doc_id", 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# q180 — token-budget waterfilling across sources
+# ---------------------------------------------------------------------------
+
+_WATERFILL_ORACLE = """
+    WITH st AS (
+      SELECT source, SUM(n_chars) AS cap,
+             1 + COUNT(*) FILTER (WHERE n_chars BETWEEN 100 AND 1000) AS w
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cap) // 2 AS budget, SUM(w) AS tw FROM st),
+    s AS (
+      SELECT st.source, st.cap, st.w, tot.budget, tot.tw,
+             COALESCE(SUM(cap) OVER (
+               ORDER BY CAST(cap AS DOUBLE) / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cprev,
+             tot.tw - COALESCE(SUM(w) OVER (
+               ORDER BY CAST(cap AS DOUBLE) / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS wrest
+      FROM st CROSS JOIN tot
+    ),
+    lab AS (
+      SELECT *, cap * wrest <= w * (budget - cprev) AS sat FROM s
+    ),
+    scal AS (
+      SELECT COALESCE(SUM(cap) FILTER (WHERE sat), 0) AS sc,
+             COALESCE(SUM(w) FILTER (WHERE sat), 0) AS sw
+      FROM lab
+    )
+    SELECT source,
+           CAST(cap AS BIGINT) AS cap,
+           CAST(w AS BIGINT) AS weight,
+           CAST(CASE WHEN sat THEN cap
+                     WHEN tw - sw > 0
+                     THEN (w * (budget - sc)) // (tw - sw)
+                     ELSE 0 END AS BIGINT) AS alloc,
+           CAST(sat AS INT) AS saturated
+    FROM lab CROSS JOIN scal
+    """
+
+
+@register(
+    "q180_budget_waterfill",
+    _WATERFILL_ORACLE,
+    doc="Token-budget waterfilling across sources (the data-mixture "
+    "allocation step of corpus construction): allocate half the "
+    "corpus's characters proportionally to a per-source quality weight "
+    "(1 + count of mid-length docs), capped at each source's "
+    "availability, redistributing excess — the capped proportional-"
+    "fairness solution where every unsaturated source lands on one "
+    "shared tokens-per-weight level. Exact by construction: sources "
+    "sort by cap/weight (one IEEE division, tie-broken by name); in "
+    "that order saturation is a prefix and each saturation test is an "
+    "integer cross-multiplication over window prefix sums — no float "
+    "thresholds; unsaturated allocations are integer division of the "
+    "residual. Corpus-scale work is ONE map-side-combining groupBy "
+    "(source); the waterfill runs on the KB-sized |sources| frame "
+    "where a single-partition ordered window is the right plan "
+    "(stripe with the q50 partitioner beyond ~10^7 sources). "
+    "Library surface: llm/sampling.py budget_waterfill.",
+)
+def q180_budget_waterfill(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import budget_waterfill
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("cap"),
+        F.expr(
+            "1 + sum(case when n_chars between 100 and 1000 "
+            "then 1 else 0 end)"
+        ).alias("w"),
+    )
+    return budget_waterfill(st, "source", "cap", "w", 1, 2)

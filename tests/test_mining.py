@@ -90,3 +90,78 @@ def test_sequential_pattern_support_strict_order(spark):
         (3, "A>B>C"): 1,
         (3, "A>A>B"): 1,
     }
+
+
+def _waterfill_bruteforce(rows, budget_num, budget_den):
+    """Independent waterfill: iterative peeling with exact Fractions
+    (not the prefix-sum formulation under test)."""
+    from fractions import Fraction
+
+    total_cap = sum(c for _, c, _ in rows)
+    budget = (budget_num * total_cap) // budget_den
+    sat, rest = {}, dict((k, (c, w)) for k, c, w in rows)
+    while True:
+        r = budget - sum(sat.values())
+        tw = sum(w for _, w in rest.values())
+        if tw == 0:
+            break
+        level = Fraction(r, tw)
+        newly = {k for k, (c, w) in rest.items() if c <= w * level}
+        if not newly:
+            break
+        for k in newly:
+            sat[k] = rest.pop(k)[0]
+    r = budget - sum(sat.values())
+    tw = sum(w for _, w in rest.values())
+    out = dict(sat)
+    for k, (c, w) in rest.items():
+        out[k] = (w * r) // tw if tw > 0 else 0
+    return out, {k: k in sat for k, _, _ in rows}
+
+
+def test_budget_waterfill_hand_case(spark):
+    from etl_procesos_odo_spark.llm.sampling import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 10, 5), ("b", 100, 1), ("c", 100, 1)],
+        "source string, cap long, w long",
+    )
+    out = {
+        r["source"]: (r["alloc"], r["saturated"])
+        for r in budget_waterfill(df, "source", "cap", "w", 1, 2).collect()
+    }
+    # budget = 105; a saturates at cap 10; b,c split 95 at level 47.5
+    assert out == {"a": (10, 1), "b": (47, 0), "c": (47, 0)}
+
+
+def test_budget_waterfill_vs_peeling(spark):
+    from etl_procesos_odo_spark.llm.sampling import budget_waterfill
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    st = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("cap"),
+        F.expr(
+            "1 + sum(case when n_chars between 100 and 1000 "
+            "then 1 else 0 end)"
+        ).alias("w"),
+    )
+    rows = [(r["source"], r["cap"], r["w"]) for r in st.collect()]
+    for num, den in ((1, 2), (9, 10), (1, 10), (2, 1)):
+        got = {
+            r["source"]: (r["alloc"], bool(r["saturated"]))
+            for r in budget_waterfill(
+                st, "source", "cap", "w", num, den
+            ).collect()
+        }
+        want_alloc, want_sat = _waterfill_bruteforce(rows, num, den)
+        assert got == {
+            k: (want_alloc[k], want_sat[k]) for k in want_alloc
+        }, (num, den)
+        budget = (num * sum(c for _, c, _ in rows)) // den
+        total = sum(a for a, _ in got.values())
+        n_unsat = sum(1 for _, s in got.values() if not s)
+        assert total <= budget
+        if n_unsat:
+            assert budget - total <= n_unsat  # floor loses < 1 per row
