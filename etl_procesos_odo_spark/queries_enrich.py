@@ -2931,3 +2931,110 @@ def q179_embargo_split(spark: SparkSession, sf_dir: str):
             "cast(max_us as bigint) as max_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — robust outlier stats: lower-median + MAD (Hampel identifier)
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+    WITH v AS (
+      SELECT event_type AS t, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT t, x,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY t) AS n
+      FROM v
+    ),
+    med AS (SELECT t, n, x AS med FROM r1 WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT v.t, v.x, med.n, med.med, ABS(v.x - med.med) AS dev
+      FROM v JOIN med ON v.t = med.t
+    ),
+    r2 AS (
+      SELECT t, n, med, dev,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY dev) AS rn
+      FROM d
+    ),
+    mad AS (SELECT t, n, med, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+    j AS (
+      SELECT d.t, d.n, d.med, mad.mad,
+             CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END AS is_out
+      FROM d JOIN mad ON d.t = mad.t
+    )
+    SELECT t AS event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(med) AS med,
+           MAX(mad) AS mad,
+           CAST(SUM(is_out) AS BIGINT) AS n_outliers
+    FROM j GROUP BY t
+    """
+
+
+@register(
+    "q181_robust_outliers",
+    _ROBUST_ORACLE,
+    doc="Robust per-group outlier statistics (Hampel identifier): "
+    "lower median and lower-median absolute deviation of event value, "
+    "then |x - med| > 3*MAD outlier counts — the heavy-tail-safe "
+    "complement to q137's mean/std anomaly gate (one planted 10^6 "
+    "outlier shifts a mean but not a median). Cross-engine exactness "
+    "by ORDER STATISTICS, not interpolation: the lower median is the "
+    "value AT rank (n+1) div 2 (a data value — no arithmetic; Spark's "
+    "percentile()/DuckDB's quantile_cont interpolate with DIFFERENT "
+    "rounding, a + (b-a)*f vs a*(1-f) + b*f, so interpolated medians "
+    "are not bit-portable); the only float ops are one subtraction "
+    "per row and one multiply per comparison — each a single "
+    "correctly-rounded IEEE op. Scale: two ranked windows PARTITIONED "
+    "by group (parallel across groups; within-group single-reducer is "
+    "the exact arm's documented cost — q173's mergeable histogram is "
+    "the sketch arm at 100 TB), one broadcast of the |groups|-row "
+    "median frame.",
+)
+def q181_robust_outliers(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("value is not null")
+        .selectExpr("event_type as t", "value as x")
+    )
+    w1 = Window.partitionBy("t").orderBy("x")
+    r1 = ev.select(
+        "t",
+        "x",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("t")).alias("n"),
+    )
+    med = r1.filter("rn = (n + 1) div 2").select("t", "n", F.col("x").alias("med"))
+    d = ev.join(F.broadcast(med), "t").selectExpr(
+        "t", "n", "med", "abs(x - med) as dev"
+    )
+    w2 = Window.partitionBy("t").orderBy("dev")
+    mad = (
+        d.select("t", "dev", F.row_number().over(w2).alias("rn"), "n")
+        .filter("rn = (n + 1) div 2")
+        .select("t", F.col("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "t")
+        .selectExpr(
+            "t", "n", "med", "mad",
+            "case when dev > 3 * mad then 1 else 0 end as is_out",
+        )
+        .groupBy("t")
+        .agg(
+            F.max("n").alias("_n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum("is_out").alias("_no"),
+        )
+        .selectExpr(
+            "t as event_type",
+            "cast(_n as bigint) as n",
+            "med",
+            "mad",
+            "cast(_no as bigint) as n_outliers",
+        )
+    )

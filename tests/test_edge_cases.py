@@ -639,3 +639,30 @@ def test_embargo_split_boundaries(spark):
         assert rows["embargo"]["n_events"] == sum(
             cutoff <= u < emb_end for u in us
         )
+
+
+def test_robust_outliers_bruteforce(spark):
+    """q181 vs direct Python order statistics: lower median, lower-MAD,
+    and the 3*MAD outlier count, per event_type at sf0.001."""
+    from etl_procesos_odo_spark.queries_enrich import q181_robust_outliers
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["event_type"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+        for r in q181_robust_outliers(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "value"
+    )
+    groups = {}
+    for r in ev.collect():
+        if r["value"] is not None:
+            groups.setdefault(r["event_type"], []).append(r["value"])
+    want = {}
+    for t, xs in groups.items():
+        n = len(xs)
+        med = sorted(xs)[(n + 1) // 2 - 1]
+        devs = [abs(x - med) for x in xs]
+        mad = sorted(devs)[(n + 1) // 2 - 1]
+        want[t] = (n, med, mad, sum(d > 3 * mad for d in devs))
+    assert out == want
