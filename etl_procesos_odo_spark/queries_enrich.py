@@ -3038,3 +3038,90 @@ def q181_robust_outliers(spark: SparkSession, sf_dir: str):
             "cast(_no as bigint) as n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — exact median by two-pass binned selection (no per-group sort)
+# ---------------------------------------------------------------------------
+
+_SELECT_MEDIAN_ORACLE = """
+    WITH v AS (
+      SELECT event_type AS t, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT t, x,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY t) AS n
+      FROM v
+    )
+    SELECT t AS event_type, CAST(n AS BIGINT) AS n, x AS med
+    FROM r WHERE rn = (n + 1) // 2
+    """
+
+
+@register(
+    "q182_selection_median",
+    _SELECT_MEDIAN_ORACLE,
+    doc="Exact lower median per group WITHOUT a within-group sort — "
+    "two-pass binned selection (Blum et al. selection by partition, "
+    "the distributed classic): pass 1 histograms each group into 4096 "
+    "equi-width bins (map-side combining groupBy — every partition "
+    "contributes <= |groups| x 4096 partial rows regardless of data "
+    "volume); the rank-containing bin is located on the KB-sized "
+    "histogram; pass 2 ranks ONLY the candidate bin's rows (expected "
+    "n/4096 of the group). This closes q181's documented exact-arm "
+    "gap: the within-group single-reducer sort is gone — both "
+    "corpus-scale passes are fully parallel scans + combining "
+    "aggregations, and the only ordered window runs on the ~n/4096 "
+    "candidate slice (pathological concentration into one bin would "
+    "need recursive refinement; documented, not needed here). The "
+    "ORACLE is the plain rank-window SQL: the selected value is "
+    "algorithm-independent, so the green row proves the two-pass "
+    "selection exactly equals the sort-based median. Bin indices use "
+    "multi-op double arithmetic freely — they only route rows "
+    "Spark-side and never cross engines.",
+)
+def q182_selection_median(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("value is not null")
+        .selectExpr("event_type as t", "value as x")
+    )
+    stats = ev.groupBy("t").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = ev.join(F.broadcast(stats), "t").selectExpr(
+        "t", "x", "n",
+        "case when mx = mn then 0 else "
+        "least(4095, cast(floor((x - mn) / (mx - mn) * 4096) as int)) "
+        "end as bin",
+    )
+    hist = b.groupBy("t", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    located = (
+        hist.join(F.broadcast(stats.select("t", "n")), "t")
+        .select(
+            "t", "bin", "c", "n",
+            F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
+        )
+        .filter("below < (n + 1) div 2 and below + c >= (n + 1) div 2")
+        .selectExpr("t", "bin", "(n + 1) div 2 - below as k_in_bin")
+    )
+    cand = b.join(F.broadcast(located), ["t", "bin"])
+    wsel = Window.partitionBy("t").orderBy("x")
+    return (
+        cand.select(
+            "t", "x", "n", "k_in_bin",
+            F.row_number().over(wsel).alias("rn"),
+        )
+        .filter("rn = k_in_bin")
+        .selectExpr("t as event_type", "cast(n as bigint) as n", "x as med")
+    )

@@ -666,3 +666,33 @@ def test_robust_outliers_bruteforce(spark):
         mad = sorted(devs)[(n + 1) // 2 - 1]
         want[t] = (n, med, mad, sum(d > 3 * mad for d in devs))
     assert out == want
+
+
+def test_selection_median_edges(spark, tmp_path):
+    """q182's two-pass selection on crafted groups: all-equal values
+    (zero-width bin guard), a group whose median sits on a bin
+    boundary, and agreement with sorted lower medians throughout."""
+    from etl_procesos_odo_spark.queries_enrich import q182_selection_median
+
+    rows = (
+        [("flat", 7.5) for _ in range(9)]
+        + [("two", 1.0), ("two", 2.0)]
+        + [("one", 42.0)]
+        + [("spread", float(i)) for i in range(1, 101)]
+        + [("heavy", 0.0)] * 50
+        + [("heavy", 1e9)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df = df.withColumn("ts", df.value.cast("timestamp"))
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    out = {
+        r["event_type"]: (r["n"], r["med"])
+        for r in q182_selection_median(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for t in {r[0] for r in rows}:
+        xs = sorted(v for g, v in rows if g == t)
+        want[t] = (len(xs), xs[(len(xs) + 1) // 2 - 1])
+    assert out == want
