@@ -419,3 +419,73 @@ def budget_waterfill(
              else 0 end as bigint) as alloc""",
         "cast(saturated as int) as saturated",
     )
+
+
+def grouped_budget_waterfill(
+    stats: DataFrame,
+    part_col: str,
+    key_col: str,
+    cap_col: str,
+    weight_col: str,
+    budget_col: str,
+) -> DataFrame:
+    """Per-partition waterfill: ``budget_waterfill`` semantics applied
+    independently inside each ``part_col`` group, with each group's
+    budget supplied as a COLUMN (constant within the group) — the inner
+    stage of hierarchical mixture allocation (allocate across languages
+    globally, then across sources within each language's grant). Same
+    exact integer discipline; the ordered windows are PARTITIONED BY
+    the group, so groups parallelize."""
+    w_tot = Window.partitionBy(part_col)
+    win = Window.partitionBy(part_col).orderBy("_r", key_col)
+    s = (
+        stats.withColumn(
+            "_r", F.expr(f"cast({cap_col} as double) / {weight_col}")
+        )
+        .withColumn("_tw", F.sum(weight_col).over(w_tot))
+        .withColumn(
+            "_cprev",
+            F.coalesce(
+                F.sum(cap_col).over(
+                    win.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_wrest",
+            F.col("_tw")
+            - F.coalesce(
+                F.sum(weight_col).over(
+                    win.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.expr(
+                f"{cap_col} * _wrest <= {weight_col} * "
+                f"({budget_col} - _cprev)"
+            ),
+        )
+    )
+    scal = s.groupBy(part_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)
+        ).alias("_sc"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col(weight_col))), F.lit(0)
+        ).alias("_sw"),
+    )
+    return s.join(F.broadcast(scal), part_col).selectExpr(
+        part_col,
+        key_col,
+        f"cast({cap_col} as bigint) as cap",
+        f"cast({weight_col} as bigint) as weight",
+        f"""cast(case when saturated then {cap_col}
+             when _tw - _sw > 0
+             then ({weight_col} * ({budget_col} - _sc)) div (_tw - _sw)
+             else 0 end as bigint) as alloc""",
+        "cast(saturated as int) as saturated",
+    )

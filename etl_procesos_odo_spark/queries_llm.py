@@ -4094,3 +4094,117 @@ def q180_budget_waterfill(spark: SparkSession, sf_dir: str):
         ).alias("w"),
     )
     return budget_waterfill(st, "source", "cap", "w", 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# q183 — hierarchical budget allocation: languages, then sources within
+# ---------------------------------------------------------------------------
+
+_HIER_WATERFILL_ORACLE = """
+    WITH src AS (
+      SELECT lang, source, SUM(n_chars) AS cap,
+             1 + COUNT(*) FILTER (WHERE n_chars BETWEEN 100 AND 1000) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    lg AS (SELECT lang, SUM(cap) AS cap, SUM(w) AS w FROM src GROUP BY 1),
+    tot AS (SELECT SUM(cap) // 2 AS budget, SUM(w) AS tw FROM lg),
+    l1 AS (
+      SELECT lg.lang, lg.cap, lg.w, tot.budget, tot.tw,
+        COALESCE(SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / w, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev,
+        tot.tw - COALESCE(SUM(w) OVER (ORDER BY CAST(cap AS DOUBLE) / w,
+          lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS wrest
+      FROM lg CROSS JOIN tot
+    ),
+    l1lab AS (
+      SELECT *, cap * wrest <= w * (budget - cprev) AS sat FROM l1
+    ),
+    l1scal AS (
+      SELECT COALESCE(SUM(cap) FILTER (WHERE sat), 0) AS sc,
+             COALESCE(SUM(w) FILTER (WHERE sat), 0) AS sw
+      FROM l1lab
+    ),
+    lb AS (
+      SELECT lang,
+             CASE WHEN sat THEN cap
+                  WHEN tw - sw > 0 THEN (w * (budget - sc)) // (tw - sw)
+                  ELSE 0 END AS lang_alloc
+      FROM l1lab CROSS JOIN l1scal
+    ),
+    s2 AS (
+      SELECT src.lang, src.source, src.cap, src.w, lb.lang_alloc,
+        SUM(src.w) OVER (PARTITION BY src.lang) AS tw2,
+        COALESCE(SUM(src.cap) OVER (PARTITION BY src.lang
+          ORDER BY CAST(src.cap AS DOUBLE) / src.w, src.source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev,
+        SUM(src.w) OVER (PARTITION BY src.lang)
+          - COALESCE(SUM(src.w) OVER (PARTITION BY src.lang
+            ORDER BY CAST(src.cap AS DOUBLE) / src.w, src.source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wrest
+      FROM src JOIN lb ON src.lang = lb.lang
+    ),
+    s2lab AS (
+      SELECT *, cap * wrest <= w * (lang_alloc - cprev) AS sat FROM s2
+    ),
+    s2scal AS (
+      SELECT lang, COALESCE(SUM(cap) FILTER (WHERE sat), 0) AS sc,
+             COALESCE(SUM(w) FILTER (WHERE sat), 0) AS sw
+      FROM s2lab GROUP BY lang
+    )
+    SELECT a.lang, a.source,
+           CAST(a.cap AS BIGINT) AS cap,
+           CAST(a.w AS BIGINT) AS weight,
+           CAST(a.lang_alloc AS BIGINT) AS lang_alloc,
+           CAST(CASE WHEN a.sat THEN a.cap
+                     WHEN a.tw2 - b.sw > 0
+                     THEN (a.w * (a.lang_alloc - b.sc)) // (a.tw2 - b.sw)
+                     ELSE 0 END AS BIGINT) AS alloc,
+           CAST(a.sat AS INT) AS saturated
+    FROM s2lab a JOIN s2scal b ON a.lang = b.lang
+    """
+
+
+@register(
+    "q183_hierarchical_budget",
+    _HIER_WATERFILL_ORACLE,
+    doc="Hierarchical mixture allocation: a GLOBAL waterfill grants "
+    "each language a share of the half-corpus budget (weights = summed "
+    "source weights, capped at language availability), then a "
+    "PER-LANGUAGE waterfill (llm/sampling.py grouped_budget_waterfill) "
+    "splits each grant across that language's sources — the nested "
+    "language->source budgeting of real corpus construction, where a "
+    "language cap must bind before source caps are negotiated. Both "
+    "levels use the q180 exact discipline (prefix saturation by "
+    "integer cross-multiplication, integer-division residuals); the "
+    "inner level's ordered windows are PARTITIONED BY language, so "
+    "languages parallelize and the allocation state stays "
+    "O(|sources|). Corpus-scale work is ONE groupBy(lang, source) "
+    "scan; everything after runs on KB-sized frames.",
+)
+def q183_hierarchical_budget(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import budget_waterfill, grouped_budget_waterfill
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("cap"),
+        F.expr(
+            "1 + sum(case when n_chars between 100 and 1000 "
+            "then 1 else 0 end)"
+        ).alias("w"),
+    )
+    lg = src.groupBy("lang").agg(
+        F.sum("cap").alias("cap"), F.sum("w").alias("w")
+    )
+    l1 = budget_waterfill(lg, "lang", "cap", "w", 1, 2).selectExpr(
+        "lang", "alloc as lang_alloc"
+    )
+    s2in = src.join(F.broadcast(l1), "lang")
+    out = grouped_budget_waterfill(
+        s2in, "lang", "source", "cap", "w", "lang_alloc"
+    )
+    return out.join(F.broadcast(l1), "lang").select(
+        "lang", "source", "cap", "weight",
+        F.col("lang_alloc").cast("bigint").alias("lang_alloc"),
+        "alloc", "saturated",
+    )

@@ -165,3 +165,63 @@ def test_budget_waterfill_vs_peeling(spark):
         assert total <= budget
         if n_unsat:
             assert budget - total <= n_unsat  # floor loses < 1 per row
+
+
+def test_grouped_waterfill_vs_per_group_peeling(spark):
+    """grouped_budget_waterfill must equal the independent Fraction
+    peeling applied group by group, each with its own budget —
+    including a group whose budget exceeds its caps and a group with
+    budget 0."""
+    from etl_procesos_odo_spark.llm.sampling import grouped_budget_waterfill
+
+    rows = [
+        # (part, key, cap, w, budget): en budget 60 binds; zz budget 0;
+        # xl budget 1000 exceeds caps (all saturate)
+        ("en", "a", 10, 5, 60), ("en", "b", 100, 1, 60),
+        ("en", "c", 100, 1, 60),
+        ("zz", "d", 50, 2, 0),
+        ("xl", "e", 30, 1, 1000), ("xl", "f", 40, 1, 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, source string, cap long, w long, budget long"
+    )
+    got = {
+        (r["lang"], r["source"]): (r["alloc"], r["saturated"])
+        for r in grouped_budget_waterfill(
+            df, "lang", "source", "cap", "w", "budget"
+        ).collect()
+    }
+    for part in ("en", "zz", "xl"):
+        grp = [(k, c, w) for p, k, c, w, _ in rows if p == part]
+        budget = next(b for p, _, _, _, b in rows if p == part)
+        total_cap = sum(c for _, c, _ in grp)
+        # reuse the brute force by encoding the budget as a fraction
+        # of the group's total cap only when it divides exactly; here
+        # call the peeling directly with the raw budget
+        want_alloc, want_sat = _waterfill_bruteforce_budget(grp, budget)
+        for k, _, _ in grp:
+            assert got[(part, k)] == (want_alloc[k], int(want_sat[k])), (
+                part, k)
+
+
+def _waterfill_bruteforce_budget(rows, budget):
+    from fractions import Fraction
+
+    sat, rest = {}, dict((k, (c, w)) for k, c, w in rows)
+    while True:
+        r = budget - sum(sat.values())
+        tw = sum(w for _, w in rest.values())
+        if tw == 0:
+            break
+        level = Fraction(r, tw)
+        newly = {k for k, (c, w) in rest.items() if c <= w * level}
+        if not newly:
+            break
+        for k in newly:
+            sat[k] = rest.pop(k)[0]
+    r = budget - sum(sat.values())
+    tw = sum(w for _, w in rest.values())
+    out = dict(sat)
+    for k, (c, w) in rest.items():
+        out[k] = (w * r) // tw if tw > 0 else 0
+    return out, {k: k in sat for k, _, _ in rows}
