@@ -4208,3 +4208,109 @@ def q183_hierarchical_budget(spark: SparkSession, sf_dir: str):
         F.col("lang_alloc").cast("bigint").alias("lang_alloc"),
         "alloc", "saturated",
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — execute the mixture plan: hash-sample each source at its
+# waterfill rate
+# ---------------------------------------------------------------------------
+
+_MIX_EXEC_ORACLE = """
+    WITH st AS (
+      SELECT source, SUM(n_chars) AS cap,
+             1 + COUNT(*) FILTER (WHERE n_chars BETWEEN 100 AND 1000) AS w
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cap) // 2 AS budget, SUM(w) AS tw FROM st),
+    s AS (
+      SELECT st.source, st.cap, st.w, tot.budget, tot.tw,
+             COALESCE(SUM(cap) OVER (
+               ORDER BY CAST(cap AS DOUBLE) / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cprev,
+             tot.tw - COALESCE(SUM(w) OVER (
+               ORDER BY CAST(cap AS DOUBLE) / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS wrest
+      FROM st CROSS JOIN tot
+    ),
+    lab AS (
+      SELECT *, cap * wrest <= w * (budget - cprev) AS sat FROM s
+    ),
+    scal AS (
+      SELECT COALESCE(SUM(cap) FILTER (WHERE sat), 0) AS sc,
+             COALESCE(SUM(w) FILTER (WHERE sat), 0) AS sw
+      FROM lab
+    ),
+    plan AS (
+      SELECT source, CAST(cap AS BIGINT) AS cap,
+             CAST(CASE WHEN sat THEN cap
+                       WHEN tw - sw > 0
+                       THEN (w * (budget - sc)) // (tw - sw)
+                       ELSE 0 END AS BIGINT) AS alloc
+      FROM lab CROSS JOIN scal
+    )
+    SELECT p.source, p.cap, p.alloc,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM plan p
+    LEFT JOIN documents d
+      ON d.source = p.source
+     AND CAST('0x' || substr(md5('mix1' || CAST(d.doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) / 1.152921504606846976e18
+         < CAST(p.alloc AS DOUBLE) / p.cap
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "q184_mixture_execute",
+    _MIX_EXEC_ORACLE,
+    doc="Executes q180's mixture plan: each source is hash-sampled at "
+    "its waterfilled rate alloc/cap (llm/sampling.py hash_uniform — "
+    "content-keyed md5 uniform, reproducible across runs, retries, "
+    "partition layouts AND engines), and the report reconciles the "
+    "achieved sample against the plan (kept_docs / kept_chars vs "
+    "alloc; saturated sources keep everything since rate = 1). The "
+    "keep decision is a per-row scan expression — no shuffle beyond "
+    "the plan's KB-sized broadcast and the report's combining groupBy. "
+    "Float discipline: the hash uniform is one bigint->double "
+    "conversion + an exact power-of-two exponent shift, the rate is "
+    "one double division — single-rounded ops, bit-identical across "
+    "engines (the q86/q105 sampling discipline applied to a computed, "
+    "plan-derived rate).",
+)
+def q184_mixture_execute(spark: SparkSession, sf_dir: str):
+    from .llm.sampling import budget_waterfill, hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("cap"),
+        F.expr(
+            "1 + sum(case when n_chars between 100 and 1000 "
+            "then 1 else 0 end)"
+        ).alias("w"),
+    )
+    plan = budget_waterfill(st, "source", "cap", "w", 1, 2).select(
+        "source", "cap", "alloc"
+    )
+    kept = (
+        docs.join(F.broadcast(plan), "source")
+        .filter(
+            hash_uniform(F.col("doc_id"), "mix1")
+            < F.expr("cast(alloc as double) / cap")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kd"),
+            F.sum("n_chars").alias("kc"),
+        )
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .selectExpr(
+            "source", "cap", "alloc",
+            "cast(coalesce(kd, 0) as bigint) as kept_docs",
+            "cast(coalesce(kc, 0) as bigint) as kept_chars",
+        )
+    )

@@ -225,3 +225,51 @@ def _waterfill_bruteforce_budget(rows, budget):
     for k, (c, w) in rest.items():
         out[k] = (w * r) // tw if tw > 0 else 0
     return out, {k: k in sat for k, _, _ in rows}
+
+
+def test_mixture_execute_hashlib_replication(spark):
+    """q184's keep decision replicated independently with hashlib.md5:
+    per-source kept_docs/kept_chars must match exactly, and saturated
+    sources (alloc == cap) keep every document."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.llm.sampling import budget_waterfill
+    from etl_procesos_odo_spark.queries_llm import q184_mixture_execute
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["source"]: (r["cap"], r["alloc"], r["kept_docs"], r["kept_chars"])
+        for r in q184_mixture_execute(spark, SF_DIR).collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    )
+    st = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("cap"),
+        F.expr(
+            "1 + sum(case when n_chars between 100 and 1000 "
+            "then 1 else 0 end)"
+        ).alias("w"),
+    )
+    plan = {
+        r["source"]: (r["cap"], r["alloc"])
+        for r in budget_waterfill(st, "source", "cap", "w", 1, 2).collect()
+    }
+    kept = {s: [0, 0] for s in plan}
+    for r in docs.collect():
+        cap, alloc = plan[r["source"]]
+        h = int(hashlib.md5(f"mix1{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        if h / float(1 << 60) < alloc / cap:
+            kept[r["source"]][0] += 1
+            kept[r["source"]][1] += r["n_chars"]
+    n_docs = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, (cap, alloc) in plan.items():
+        assert out[s] == (cap, alloc, kept[s][0], kept[s][1]), s
+        if alloc == cap:  # saturated -> rate 1.0 -> keeps everything
+            assert out[s][2] == n_docs[s], s
