@@ -3125,3 +3125,113 @@ def q182_selection_median(spark: SparkSession, sf_dir: str):
         .filter("rn = k_in_bin")
         .selectExpr("t as event_type", "cast(n as bigint) as n", "x as med")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — exact quantile grid by one-histogram multi-rank selection
+# ---------------------------------------------------------------------------
+
+_QGRID_ORACLE = """
+    WITH v AS (
+      SELECT event_type AS t, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT t, x,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY t) AS n
+      FROM v
+    ),
+    qs(q, num, den) AS (
+      VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+             ('p90', 9, 10), ('p99', 99, 100)
+    )
+    SELECT t AS event_type, qs.q,
+           CAST(r.n AS BIGINT) AS n, r.x AS val
+    FROM r JOIN qs
+      ON r.rn = GREATEST(1, (qs.num * r.n + qs.den - 1) // qs.den)
+    """
+
+
+@register(
+    "q185_quantile_grid_selection",
+    _QGRID_ORACLE,
+    doc="Exact per-group quantile grid (p25/p50/p75/p90/p99, lower "
+    "order statistic at rank max(1, ceil(q*n)) — q173's rank "
+    "convention) computed by ONE histogram pass + multi-rank "
+    "selection, generalizing q182: the 4096-bin combining histogram "
+    "is built once, every grid rank is located on the KB-sized "
+    "cumulative histogram (a broadcast range probe), and only the "
+    "union of candidate bins (<= 5 bins/group, ~n/4096 rows each) is "
+    "ranked. One corpus-scale scan serves the WHOLE grid — the "
+    "ANALYZE-statistics workload where a sort-based plan pays the "
+    "full ordering once per group and q173's sketch trades exactness "
+    "for state. The oracle is the plain rank-window SQL; the green "
+    "row proves one-pass multi-rank selection == sort-based "
+    "quantiles bit-exactly (selected values are data values — no "
+    "interpolation arithmetic crosses engines).",
+)
+def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("value is not null")
+        .selectExpr("event_type as t", "value as x")
+    )
+    stats = ev.groupBy("t").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qs = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+             ("p90", 9, 10), ("p99", 99, 100)],
+            "q string, num int, den int",
+        )
+    )
+    ranks = stats.crossJoin(qs).selectExpr(
+        "t", "q", "n", "greatest(1, (num * n + den - 1) div den) as k"
+    )
+    b = ev.join(F.broadcast(stats), "t").selectExpr(
+        "t", "x",
+        "case when mx = mn then 0 else "
+        "least(4095, cast(floor((x - mn) / (mx - mn) * 4096) as int)) "
+        "end as bin",
+    )
+    hist = b.groupBy("t", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "t", "bin", "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
+    )
+    located = (
+        cum.join(F.broadcast(ranks), "t")
+        .filter("below < k and below + c >= k")
+        .selectExpr("t", "bin", "q", "n", "k - below as k_in_bin")
+    )
+    cand = b.join(
+        F.broadcast(located.select("t", "bin").distinct()), ["t", "bin"]
+    )
+    wsel = Window.partitionBy("t", "bin").orderBy("x")
+    ranked = cand.select(
+        "t", "bin", "x", F.row_number().over(wsel).alias("rn")
+    )
+    return (
+        ranked.join(
+            F.broadcast(located),
+            (ranked["t"] == located["t"])
+            & (ranked["bin"] == located["bin"])
+            & (ranked["rn"] == located["k_in_bin"]),
+        )
+        .select(
+            ranked["t"].alias("event_type"),
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            ranked["x"].alias("val"),
+        )
+    )

@@ -696,3 +696,37 @@ def test_selection_median_edges(spark, tmp_path):
         xs = sorted(v for g, v in rows if g == t)
         want[t] = (len(xs), xs[(len(xs) + 1) // 2 - 1])
     assert out == want
+
+
+def test_quantile_grid_selection_bruteforce(spark, tmp_path):
+    """q185 vs sorted-order statistics on crafted groups covering tiny
+    n (greatest(1, ...) path), duplicates, and a skewed group, for all
+    five grid points."""
+    from etl_procesos_odo_spark.queries_enrich import (
+        q185_quantile_grid_selection,
+    )
+
+    rows = (
+        [("tiny", 5.0), ("tiny", 3.0)]
+        + [("dups", 1.0)] * 40 + [("dups", 2.0)] * 60
+        + [("spread", float(i)) for i in range(1, 1001)]
+        + [("skew", 0.0)] * 990 + [("skew", 1e6)] * 10
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df = df.withColumn("ts", df.value.cast("timestamp"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        (r["event_type"], r["q"]): (r["n"], r["val"])
+        for r in q185_quantile_grid_selection(spark, str(tmp_path)).collect()
+    }
+    grid = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+            ("p90", 9, 10), ("p99", 99, 100)]
+    want = {}
+    for t in {r[0] for r in rows}:
+        xs = sorted(v for g, v in rows if g == t)
+        n = len(xs)
+        for q, num, den in grid:
+            k = max(1, -(-num * n // den))
+            want[(t, q)] = (n, xs[k - 1])
+    assert out == want
