@@ -3235,3 +3235,119 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
             ranked["x"].alias("val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — exact two-sample KS drift between embargo-split train and test
+# ---------------------------------------------------------------------------
+
+_KS_DRIFT_ORACLE = """
+    WITH span AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    cut AS (
+      SELECT mn + (8 * (mx - mn)) // 10 AS cutoff,
+             mn + (8 * (mx - mn)) // 10 + 86400000000 AS emb_end
+      FROM span
+    ),
+    lab AS (
+      SELECT e.event_type AS t, e.value AS x,
+             CASE WHEN epoch_us(e.ts) < c.cutoff THEN 1 ELSE 0 END AS s1,
+             CASE WHEN epoch_us(e.ts) >= c.emb_end THEN 1 ELSE 0 END AS s2
+      FROM events e CROSS JOIN cut c
+      WHERE e.value IS NOT NULL
+        AND (epoch_us(e.ts) < c.cutoff OR epoch_us(e.ts) >= c.emb_end)
+    ),
+    cum AS (
+      SELECT t, x,
+             SUM(s1) OVER (PARTITION BY t ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(s2) OVER (PARTITION BY t ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             SUM(s1) OVER (PARTITION BY t) AS n1,
+             SUM(s2) OVER (PARTITION BY t) AS n2
+      FROM lab
+    )
+    SELECT t AS event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_train,
+           CAST(MAX(n2) AS BIGINT) AS n_test,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / (MAX(n1) * MAX(n2)) AS ks
+    FROM cum GROUP BY t
+    """
+
+
+@register(
+    "q186_ks_drift",
+    _KS_DRIFT_ORACLE,
+    doc="Exact two-sample Kolmogorov-Smirnov drift statistic per event "
+    "type between q179's embargoed train and test splits — the "
+    "continuous-distribution complement of q143's categorical "
+    "chi-square, auditing the covariate shift a temporal split "
+    "inevitably introduces. Exact by integer arithmetic: KS = "
+    "max|F1 - F2| over the pooled order is max|c1*n2 - c2*n1| / "
+    "(n1*n2), with the numerator kept as an exact BIGINT column and "
+    "ONE final division for the statistic; the cumulative counts use "
+    "RANGE frames so ties collapse to the post-tie CDF value in both "
+    "engines. Scale: one labeling scan (the broadcast 1-row cutoff "
+    "frame), then a per-group ordered cumulative window — the exact "
+    "arm; at extreme group sizes the q185 histogram locates the "
+    "max-gap region first (same two-pass discipline). No per-user "
+    "state, no joins beyond broadcasts.",
+)
+def q186_ks_drift(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut = (
+        ev.agg(
+            F.expr("unix_micros(min(ts))").alias("mn"),
+            F.expr("unix_micros(max(ts))").alias("mx"),
+        )
+        .selectExpr(
+            "mn + (8 * (mx - mn)) div 10 as cutoff",
+            "mn + (8 * (mx - mn)) div 10 + 86400000000 as emb_end",
+        )
+    )
+    lab = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(
+            "value is not null and "
+            "(unix_micros(ts) < cutoff or unix_micros(ts) >= emb_end)"
+        )
+        .selectExpr(
+            "event_type as t",
+            "value as x",
+            "case when unix_micros(ts) < cutoff then 1 else 0 end as s1",
+            "case when unix_micros(ts) >= emb_end then 1 else 0 end as s2",
+        )
+    )
+    wr = (
+        Window.partitionBy("t")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("t")
+    cum = lab.select(
+        "t",
+        F.sum("s1").over(wr).alias("c1"),
+        F.sum("s2").over(wr).alias("c2"),
+        F.sum("s1").over(wt).alias("n1"),
+        F.sum("s2").over(wt).alias("n2"),
+    )
+    return (
+        cum.groupBy("t")
+        .agg(
+            F.max("n1").alias("_n1"),
+            F.max("n2").alias("_n2"),
+            F.max(F.expr("abs(c1 * n2 - c2 * n1)")).alias("_kn"),
+        )
+        .selectExpr(
+            "t as event_type",
+            "cast(_n1 as bigint) as n_train",
+            "cast(_n2 as bigint) as n_test",
+            "cast(_kn as bigint) as ks_num",
+            "cast(_kn as double) / (_n1 * _n2) as ks",
+        )
+    )

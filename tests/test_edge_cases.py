@@ -730,3 +730,40 @@ def test_quantile_grid_selection_bruteforce(spark, tmp_path):
             k = max(1, -(-num * n // den))
             want[(t, q)] = (n, xs[k - 1])
     assert out == want
+
+
+def test_ks_drift_bruteforce(spark):
+    """q186 vs direct pooled-CDF enumeration (tie-collapsed) at
+    sf0.001, plus sanity: ks in [0, 1]."""
+    from etl_procesos_odo_spark.queries_enrich import q186_ks_drift
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["event_type"]: (r["n_train"], r["n_test"], r["ks_num"], r["ks"])
+        for r in q186_ks_drift(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_type", "value", "unix_micros(ts) as us"
+    )
+    rows = [r for r in ev.collect() if r["value"] is not None]
+    us = [r["us"] for r in ev.collect()]
+    mn, mx = min(us), max(us)
+    cutoff = mn + (8 * (mx - mn)) // 10
+    emb_end = cutoff + 86_400_000_000
+    groups = {}
+    for r in rows:
+        if r["us"] < cutoff:
+            groups.setdefault(r["event_type"], ([], []))[0].append(r["value"])
+        elif r["us"] >= emb_end:
+            groups.setdefault(r["event_type"], ([], []))[1].append(r["value"])
+    want = {}
+    for t, (a, b) in groups.items():
+        n1, n2 = len(a), len(b)
+        ks_num = 0
+        for x in sorted(set(a) | set(b)):  # CDF gap after each tie block
+            c1 = sum(v <= x for v in a)
+            c2 = sum(v <= x for v in b)
+            ks_num = max(ks_num, abs(c1 * n2 - c2 * n1))
+        want[t] = (n1, n2, ks_num, ks_num / (n1 * n2))
+    assert out == want
+    assert all(0.0 <= v[3] <= 1.0 for v in out.values())
