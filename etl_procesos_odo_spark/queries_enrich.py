@@ -3351,3 +3351,91 @@ def q186_ks_drift(spark: SparkSession, sf_dir: str):
             "cast(_kn as double) / (_n1 * _n2) as ks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — mixture concentration: exact Gini / HHI / top-share per language
+# ---------------------------------------------------------------------------
+
+_CONCENTRATION_ORACLE = """
+    WITH st AS (
+      SELECT lang, source, SUM(n_chars) AS chars
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT lang, chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY chars, source) AS rn
+      FROM st
+    ),
+    a AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             SUM(chars) AS s,
+             SUM(rn * chars) AS t,
+             SUM(chars * chars) AS sq,
+             MAX(chars) AS mx
+      FROM r GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_sources,
+           CAST(s AS BIGINT) AS total_chars,
+           CAST(2 * t - (n + 1) * s AS BIGINT) AS gini_num,
+           CAST(2 * t - (n + 1) * s AS DOUBLE) / (n * s) AS gini,
+           CAST(sq AS DOUBLE) / (s * s) AS hhi,
+           CAST(mx AS DOUBLE) / s AS top1_share
+    FROM a
+    """
+
+
+@register(
+    "q187_mixture_concentration",
+    _CONCENTRATION_ORACLE,
+    doc="Mixture-concentration governance per language: exact Gini "
+    "coefficient over per-source character mass (sorted-rank formula "
+    "G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) — the numerator "
+    "carried as an exact BIGINT column, ONE division for the "
+    "statistic), Herfindahl-Hirschman index (sum(x^2)/S^2 — exact "
+    "integer numerator and denominator, one division), and top-1 "
+    "source share — the diversity dashboard a corpus mixture is "
+    "steered by (a lang at gini ~1 / hhi ~1 is one source wearing a "
+    "language's hat; q180/q183's waterfill is the remediation). "
+    "Rank ties (equal masses) are order-invariant in the Gini sum, "
+    "so the source tie-break only pins engine parity. One corpus "
+    "scan into a combining groupBy(lang, source); everything after "
+    "is KB-sized.",
+)
+def q187_mixture_concentration(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("chars"))
+    )
+    r = st.select(
+        "lang",
+        "chars",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("chars", "source"))
+        .alias("rn"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("s"),
+            F.sum(F.expr("rn * chars")).alias("t"),
+            F.sum(F.expr("chars * chars")).alias("sq"),
+            F.max("chars").alias("mx"),
+        )
+        .selectExpr(
+            "lang",
+            "cast(n as bigint) as n_sources",
+            "cast(s as bigint) as total_chars",
+            "cast(2 * t - (n + 1) * s as bigint) as gini_num",
+            "cast(2 * t - (n + 1) * s as double) / (n * s) as gini",
+            "cast(sq as double) / (s * s) as hhi",
+            "cast(mx as double) / s as top1_share",
+        )
+    )

@@ -767,3 +767,45 @@ def test_ks_drift_bruteforce(spark):
         want[t] = (n1, n2, ks_num, ks_num / (n1 * n2))
     assert out == want
     assert all(0.0 <= v[3] <= 1.0 for v in out.values())
+
+
+def test_mixture_concentration_known_cases(spark, tmp_path):
+    """q187 Gini/HHI on crafted distributions with known answers:
+    perfectly equal mass (gini 0, hhi 1/n), fully concentrated (gini
+    -> (n-1)/n, hhi ~ 1), plus a hand-checked mixed case."""
+    rows = (
+        [("eq", f"s{i}", "x" * 100) for i in range(4)]
+        + [("conc", "big", "x" * 1000)]
+        + [("conc", f"t{i}", "x") for i in range(3)]
+        + [("mix", "a", "x" * 10), ("mix", "b", "x" * 30),
+           ("mix", "c", "x" * 60)]
+    )
+    df = spark.createDataFrame(
+        [(lang, src, txt, len(txt)) for lang, src, txt in rows],
+        "lang string, source string, text string, n_chars long",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_procesos_odo_spark.queries_enrich import (
+        q187_mixture_concentration,
+    )
+
+    out = {
+        r["lang"]: (r["n_sources"], r["gini"], r["hhi"], r["top1_share"])
+        for r in q187_mixture_concentration(spark, str(tmp_path)).collect()
+    }
+    assert out["eq"] == (4, 0.0, 0.25, 0.25)
+    n, s, t = 4, 1003, 1 * 1 + 2 * 1 + 3 * 1 + 4 * 1000
+    assert out["conc"] == (
+        4,
+        (2 * t - 5 * s) / (4 * s),
+        (3 + 1000 ** 2) / s ** 2,
+        1000 / s,
+    )
+    # mix: sorted masses 10,30,60 -> t = 10+60+180 = 250, s = 100
+    assert out["mix"] == (
+        3,
+        (500 - 400) / 300,
+        (100 + 900 + 3600) / 10000,
+        0.6,
+    )
