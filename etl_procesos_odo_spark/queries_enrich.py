@@ -3439,3 +3439,73 @@ def q187_mixture_concentration(spark: SparkSession, sf_dir: str):
             "cast(mx as double) / s as top1_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — weighted order statistic: the corpus mass median length
+# ---------------------------------------------------------------------------
+
+_MASS_MEDIAN_ORACLE = """
+    WITH g AS (
+      SELECT lang, n_chars AS len, SUM(n_chars) AS mass
+      FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT lang, len, mass,
+             SUM(mass) OVER (PARTITION BY lang ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(mass) OVER (PARTITION BY lang) AS s
+      FROM g
+    )
+    SELECT lang,
+           CAST(MIN(s) AS BIGINT) AS total_chars,
+           CAST(MIN(len) AS BIGINT) AS mass_median_len
+    FROM c
+    WHERE cum >= (s + 1) // 2
+    GROUP BY lang
+    """
+
+
+@register(
+    "q188_mass_median_length",
+    _MASS_MEDIAN_ORACLE,
+    doc="Weighted order statistic per language: the smallest document "
+    "length L such that documents of length <= L carry at least half "
+    "the language's character mass — 'where the median character "
+    "lives', the statistic that decides chunking and packing budgets "
+    "(a count median is dominated by short docs; training cost "
+    "follows MASS). Pure integers end-to-end: per-(lang, len) mass "
+    "via a combining groupBy (the ONLY corpus-scale shuffle, output "
+    "bounded by distinct lengths), an ordered cumulative window over "
+    "the compressed length histogram (KB-sized — the window never "
+    "sees row-level data), and an exact ceil(S/2) threshold. The "
+    "same shape generalizes to any weighted quantile and any mass "
+    "column (tokens, bytes).",
+)
+def q188_mass_median_length(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", F.col("n_chars").alias("len"))
+        .agg(F.sum("n_chars").alias("mass"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "lang",
+        "len",
+        F.sum("mass").over(w).alias("cum"),
+        F.sum("mass").over(Window.partitionBy("lang")).alias("s"),
+    )
+    return (
+        c.filter("cum >= (s + 1) div 2")
+        .groupBy("lang")
+        .agg(
+            F.min("s").cast("bigint").alias("total_chars"),
+            F.min("len").cast("bigint").alias("mass_median_len"),
+        )
+    )

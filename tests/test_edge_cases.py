@@ -809,3 +809,32 @@ def test_mixture_concentration_known_cases(spark, tmp_path):
         (100 + 900 + 3600) / 10000,
         0.6,
     )
+
+
+def test_mass_median_length_bruteforce(spark):
+    """q188 vs direct enumeration: smallest L with cumulative char
+    mass of len<=L docs >= ceil(S/2), per lang at sf0.001."""
+    from etl_procesos_odo_spark.queries_enrich import q188_mass_median_length
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["lang"]: (r["total_chars"], r["mass_median_len"])
+        for r in q188_mass_median_length(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "n_chars"
+    )
+    groups = {}
+    for r in docs.collect():
+        groups.setdefault(r["lang"], []).append(r["n_chars"])
+    want = {}
+    for lang, lens in groups.items():
+        s = sum(lens)
+        cum, med = 0, None
+        for ln in sorted(lens):
+            cum += ln
+            if cum >= (s + 1) // 2:
+                med = ln
+                break
+        want[lang] = (s, med)
+    assert out == want
