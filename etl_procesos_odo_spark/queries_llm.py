@@ -4314,3 +4314,71 @@ def q184_mixture_execute(spark: SparkSession, sf_dir: str):
             "cast(coalesce(kc, 0) as bigint) as kept_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — export shard manifest with order-insensitive checksums
+# ---------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5('sh1' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 8 AS shard,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                  md5(text)), 1, 15) AS BIGINT) AS rowhash
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(BIT_XOR(rowhash) AS BIGINT) AS checksum
+    FROM d GROUP BY shard
+    """
+
+
+@register(
+    "q189_shard_manifest",
+    _MANIFEST_ORACLE,
+    doc="Export shard manifest — the dataloader-facing integrity "
+    "surface of a corpus export: every document is assigned to one of "
+    "8 shards by a content-keyed md5 hash (deterministic across runs, "
+    "retries, partition layouts AND engines — a re-export lands every "
+    "row in the same shard), and each shard carries doc/char counts, "
+    "id bounds, and an ORDER-INSENSITIVE bit_xor checksum of per-row "
+    "content hashes (id + text digest), so two exports can be "
+    "verified shard-by-shard without sorting either side and a "
+    "single flipped row flips the checksum. XOR is the right "
+    "aggregator here: associative/commutative like the sum a "
+    "manifest wants, but closed over 60-bit values — no overflow "
+    "discipline needed where a SUM of 2^60-scale hashes would leave "
+    "BIGINT. Pure scan expressions into one combining groupBy(shard); "
+    "at 100 TB the manifest is the free byproduct of the export's "
+    "own shard shuffle. Raw doubles are excluded from the row "
+    "encoding (engine-dependent casts); id + text digest covers the "
+    "exported payload.",
+)
+def q189_shard_manifest(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        (hash60(F.concat(F.lit("sh1"), F.col("doc_id").cast("string"))) % 8)
+        .alias("shard"),
+        hash60(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("|"), F.md5("text")
+            )
+        ).alias("rowhash"),
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.expr("bit_xor(rowhash)").cast("bigint").alias("checksum"),
+    )

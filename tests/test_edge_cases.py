@@ -838,3 +838,39 @@ def test_mass_median_length_bruteforce(spark):
                 break
         want[lang] = (s, med)
     assert out == want
+
+
+def test_shard_manifest_tamper_and_layout_invariance(spark, tmp_path):
+    """q189: one flipped row flips exactly its shard's checksum;
+    repartitioning the input changes nothing; counts reconcile."""
+    from etl_procesos_odo_spark.queries_llm import q189_shard_manifest
+
+    base = [(i, f"text number {i}", "en", "src0", 13) for i in range(200)]
+    df = spark.createDataFrame(
+        base, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    p1 = str(tmp_path / "a")
+    df.coalesce(1).write.parquet(f"{p1}/documents.parquet")
+    m1 = {r["shard"]: r.asDict() for r in q189_shard_manifest(spark, p1).collect()}
+    assert sum(r["n_docs"] for r in m1.values()) == 200
+
+    # same rows, different physical layout -> identical manifest
+    p2 = str(tmp_path / "b")
+    df.repartition(7).write.parquet(f"{p2}/documents.parquet")
+    m2 = {r["shard"]: r.asDict() for r in q189_shard_manifest(spark, p2).collect()}
+    assert m1 == m2
+
+    # tamper one row's text -> only its shard's checksum changes
+    tampered = [(i, t if i != 57 else t + "!", la, s, n)
+                for i, t, la, s, n in base]
+    p3 = str(tmp_path / "c")
+    spark.createDataFrame(
+        tampered, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(f"{p3}/documents.parquet")
+    m3 = {r["shard"]: r.asDict() for r in q189_shard_manifest(spark, p3).collect()}
+    diff = [s for s in m1 if m1[s]["checksum"] != m3[s]["checksum"]]
+    assert len(diff) == 1
+    same = [s for s in m1 if s not in diff]
+    assert all(m1[s] == m3[s] for s in same)
