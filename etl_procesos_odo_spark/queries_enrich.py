@@ -3509,3 +3509,127 @@ def q188_mass_median_length(spark: SparkSession, sf_dir: str):
             F.min("len").cast("bigint").alias("mass_median_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — exact Mann-Whitney U / AUC drift between train and test
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+    WITH span AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    cut AS (
+      SELECT mn + (8 * (mx - mn)) // 10 AS cutoff,
+             mn + (8 * (mx - mn)) // 10 + 86400000000 AS emb_end
+      FROM span
+    ),
+    lab AS (
+      SELECT e.event_type AS t, e.value AS x,
+             CASE WHEN epoch_us(e.ts) < c.cutoff THEN 1 ELSE 0 END AS s1,
+             CASE WHEN epoch_us(e.ts) >= c.emb_end THEN 1 ELSE 0 END AS s2
+      FROM events e CROSS JOIN cut c
+      WHERE e.value IS NOT NULL
+        AND (epoch_us(e.ts) < c.cutoff OR epoch_us(e.ts) >= c.emb_end)
+    ),
+    blk AS (
+      SELECT t, x, SUM(s1) AS c1, COUNT(*) AS c
+      FROM lab GROUP BY t, x
+    ),
+    cum AS (
+      SELECT t, c1,
+             SUM(c) OVER (PARTITION BY t ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ble,
+             SUM(c) OVER (PARTITION BY t ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS blt
+      FROM blk
+    ),
+    g AS (
+      SELECT t,
+             SUM(c1) AS n1,
+             MAX(ble) - SUM(c1) AS n2,
+             SUM(c1 * (blt + ble + 1)) AS r1x2
+      FROM cum GROUP BY t
+    )
+    SELECT t AS event_type,
+           CAST(n1 AS BIGINT) AS n_train,
+           CAST(n2 AS BIGINT) AS n_test,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2) AS auc
+    FROM g
+    """
+
+
+@register(
+    "q190_mwu_drift",
+    _MWU_ORACLE,
+    doc="Exact Mann-Whitney U / rank-biserial AUC between q179's "
+    "embargoed train and test values per event type — completing the "
+    "bit-exact drift-test kit (q143 chi-square: categorical; q186 KS: "
+    "max CDF gap; this: stochastic dominance, AUC = P(train value > "
+    "test value) + P(tie)/2). Tie handling is exact via DOUBLED "
+    "ranks: a tie block's average rank is (below+1 + cum_le)/2, so "
+    "2*R1 = sum over blocks of c1*(blt + ble + 1) stays integer; "
+    "2*U1 = 2*R1 - n1*(n1+1) is carried as an exact BIGINT column "
+    "and the AUC is ONE division by 2*n1*n2. The rank machinery runs "
+    "on the COMPRESSED (type, value) block table (groupBy first — "
+    "the window never sees row-level data, the q188 discipline), so "
+    "the per-group ordered window is bounded by distinct values, not "
+    "rows.",
+)
+def q190_mwu_drift(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut = (
+        ev.agg(
+            F.expr("unix_micros(min(ts))").alias("mn"),
+            F.expr("unix_micros(max(ts))").alias("mx"),
+        )
+        .selectExpr(
+            "mn + (8 * (mx - mn)) div 10 as cutoff",
+            "mn + (8 * (mx - mn)) div 10 + 86400000000 as emb_end",
+        )
+    )
+    lab = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(
+            "value is not null and "
+            "(unix_micros(ts) < cutoff or unix_micros(ts) >= emb_end)"
+        )
+        .selectExpr(
+            "event_type as t",
+            "value as x",
+            "case when unix_micros(ts) < cutoff then 1 else 0 end as s1",
+        )
+    )
+    blk = lab.groupBy("t", "x").agg(
+        F.sum("s1").alias("c1"), F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = blk.select(
+        "t",
+        "c1",
+        F.sum("c").over(w).alias("ble"),
+        (F.sum("c").over(w) - F.col("c")).alias("blt"),
+    )
+    return (
+        cum.groupBy("t")
+        .agg(
+            F.sum("c1").alias("n1"),
+            (F.max("ble") - F.sum("c1")).alias("n2"),
+            F.sum(F.expr("c1 * (blt + ble + 1)")).alias("r1x2"),
+        )
+        .selectExpr(
+            "t as event_type",
+            "cast(n1 as bigint) as n_train",
+            "cast(n2 as bigint) as n_test",
+            "cast(r1x2 - n1 * (n1 + 1) as bigint) as u1x2",
+            "cast(r1x2 - n1 * (n1 + 1) as double) / (2 * n1 * n2) as auc",
+        )
+    )

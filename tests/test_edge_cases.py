@@ -874,3 +874,37 @@ def test_shard_manifest_tamper_and_layout_invariance(spark, tmp_path):
     assert len(diff) == 1
     same = [s for s in m1 if s not in diff]
     assert all(m1[s] == m3[s] for s in same)
+
+
+def test_mwu_drift_bruteforce(spark):
+    """q190 vs direct pairwise counting: 2*U1 = 2*#(a>b) + #(a==b)
+    over all (train, test) pairs — the pair-count definition, not the
+    rank formulation under test."""
+    from etl_procesos_odo_spark.queries_enrich import q190_mwu_drift
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["event_type"]: (r["n_train"], r["n_test"], r["u1x2"], r["auc"])
+        for r in q190_mwu_drift(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_type", "value", "unix_micros(ts) as us"
+    )
+    allrows = ev.collect()
+    us = [r["us"] for r in allrows]
+    mn, mx = min(us), max(us)
+    cutoff = mn + (8 * (mx - mn)) // 10
+    emb_end = cutoff + 86_400_000_000
+    groups = {}
+    for r in allrows:
+        if r["value"] is None:
+            continue
+        if r["us"] < cutoff:
+            groups.setdefault(r["event_type"], ([], []))[0].append(r["value"])
+        elif r["us"] >= emb_end:
+            groups.setdefault(r["event_type"], ([], []))[1].append(r["value"])
+    for t, (a, b) in groups.items():
+        u1x2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+        assert out[t] == (
+            len(a), len(b), u1x2, u1x2 / (2 * len(a) * len(b))
+        ), t
