@@ -1928,3 +1928,85 @@ def q165_digest_diff(spark: SparkSession, sf_dir: str):
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_odate",
             "o_orderpriority"]
     return digest_diff(ords, replica, cols, "o_orderkey", n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# q191 — join-cardinality audit: multiplicity histograms + exact size
+# ---------------------------------------------------------------------------
+
+_JOIN_AUDIT_ORACLE = """
+    WITH lc AS (
+      SELECT o_orderkey AS k, COUNT(*) AS m FROM orders GROUP BY 1
+    ),
+    rc AS (
+      SELECT l_orderkey AS k, COUNT(*) AS m FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+      SELECT 'orders' AS side, m, COUNT(*) AS n_keys FROM lc GROUP BY m
+      UNION ALL
+      SELECT 'lineitem' AS side, m, COUNT(*) AS n_keys FROM rc GROUP BY m
+    ),
+    sz AS (
+      SELECT SUM(lc.m * rc.m) AS join_rows,
+             COUNT(*) AS matched_keys
+      FROM lc JOIN rc ON lc.k = rc.k
+    )
+    SELECT side, CAST(m AS BIGINT) AS multiplicity,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST((SELECT join_rows FROM sz) AS BIGINT) AS join_rows,
+           CAST((SELECT matched_keys FROM sz) AS BIGINT) AS matched_keys
+    FROM hist
+    """
+
+
+@register(
+    "q191_join_audit",
+    _JOIN_AUDIT_ORACLE,
+    doc="Join-cardinality audit for orders JOIN lineitem ON orderkey — "
+    "the pre-flight hygiene check before any large join, and the "
+    "EXACT arm of q171's Count-Min join-size bound: per-side key "
+    "multiplicity histograms (a skewed m-tail on both sides is the "
+    "row-explosion signature) plus the exact output size "
+    "sum(m_left * m_right) over matched keys. The audit costs two "
+    "combining groupBys onto per-key count tables plus ONE join of "
+    "those (already |keys|-sized, far below row counts) — never the "
+    "candidate join itself; at 100 TB this is the cheap query you "
+    "run to decide whether the expensive one is safe, and the "
+    "histogram tells you WHICH keys to salt (q63) if it is not. "
+    "Every statistic is an exact integer.",
+)
+def q191_join_audit(spark: SparkSession, sf_dir: str):
+    lc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    rc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    hist = (
+        lc.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .selectExpr("'orders' as side", "m", "n_keys")
+        .unionByName(
+            rc.groupBy("m")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .selectExpr("'lineitem' as side", "m", "n_keys")
+        )
+    )
+    sz = (
+        lc.join(rc.withColumnRenamed("m", "m2"), "k")
+        .agg(
+            F.sum(F.expr("m * m2")).alias("join_rows"),
+            F.count(F.lit(1)).alias("matched_keys"),
+        )
+    )
+    return hist.crossJoin(F.broadcast(sz)).selectExpr(
+        "side",
+        "cast(m as bigint) as multiplicity",
+        "cast(n_keys as bigint) as n_keys",
+        "cast(join_rows as bigint) as join_rows",
+        "cast(matched_keys as bigint) as matched_keys",
+    )

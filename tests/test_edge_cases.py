@@ -908,3 +908,23 @@ def test_mwu_drift_bruteforce(spark):
         assert out[t] == (
             len(a), len(b), u1x2, u1x2 / (2 * len(a) * len(b))
         ), t
+
+
+def test_join_audit_predicts_actual_join_size(spark):
+    """q191's exact predicted size must equal the actual join row
+    count at sf0.001, and the histograms must reconcile to key
+    totals."""
+    from etl_procesos_odo_spark.queries_relational import q191_join_audit
+    from tests.conftest import SF_DIR
+
+    rows = q191_join_audit(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    actual = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).count()
+    assert rows and all(r["join_rows"] == actual for r in rows)
+    n_okeys = orders.select("o_orderkey").distinct().count()
+    n_lkeys = li.select("l_orderkey").distinct().count()
+    assert sum(r["n_keys"] for r in rows if r["side"] == "orders") == n_okeys
+    assert sum(r["n_keys"] for r in rows if r["side"] == "lineitem") == n_lkeys
