@@ -2010,3 +2010,111 @@ def q191_join_audit(spark: SparkSession, sf_dir: str):
         "cast(join_rows as bigint) as join_rows",
         "cast(matched_keys as bigint) as matched_keys",
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — deletion-cascade audit (right-to-be-forgotten governance)
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+    WITH del_c AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    del_l AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+    ),
+    keep_o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM del_c)
+    ),
+    keep_l AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS n FROM keep_l
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM keep_o)
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS stage,
+             CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_deleted,
+             CAST((SELECT COUNT(*) FROM customer) -
+                  (SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_remaining,
+             CAST((SELECT n FROM orphans) AS BIGINT) AS n_orphans_after
+      UNION ALL
+      SELECT 'orders',
+             CAST((SELECT COUNT(*) FROM del_o) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) -
+                  (SELECT COUNT(*) FROM del_o) AS BIGINT),
+             CAST((SELECT n FROM orphans) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT COUNT(*) FROM del_l) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) -
+                  (SELECT COUNT(*) FROM del_l) AS BIGINT),
+             CAST((SELECT n FROM orphans) AS BIGINT)
+    )
+    """
+
+
+@register(
+    "q192_deletion_cascade",
+    _CASCADE_ORACLE,
+    doc="Right-to-be-forgotten cascade audit: a deletion key set "
+    "(customers with custkey % 97 = 0 — a deterministic stand-in for "
+    "an erasure-request list) cascades through orders to lineitems, "
+    "and the report carries per-stage deleted/remaining counts PLUS "
+    "the assertion-as-data row every erasure run must produce: the "
+    "post-delete orphan count (remaining lineitems whose order was "
+    "deleted) — zero by construction here, and a non-zero value is "
+    "the failed-cascade alarm. Plan shape: the cascade is two "
+    "LEFT-SEMI joins down the FK chain and the audits are LEFT-ANTI "
+    "joins — no row data moves, only keys; at 100 TB the erasure "
+    "list is corpus-scale-joined (shuffle on the FK, never broadcast "
+    "assumed) and the actual delete is a partition-pruned rewrite "
+    "this audit gates. All counts exact integers.",
+)
+def q192_deletion_cascade(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_c = cust.filter("c_custkey % 97 = 0")
+    del_o = orders.join(
+        del_c, orders["o_custkey"] == del_c["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "left_semi"
+    )
+    keep_o = orders.join(
+        del_c, orders["o_custkey"] == del_c["c_custkey"], "left_anti"
+    )
+    keep_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "left_anti"
+    )
+    orphans = keep_l.join(
+        keep_o, keep_l["l_orderkey"] == keep_o["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans_after"))
+    counts = (
+        del_c.agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(cust.agg(F.count(F.lit(1)).alias("tc")))
+        .crossJoin(del_o.agg(F.count(F.lit(1)).alias("do")))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("to")))
+        .crossJoin(del_l.agg(F.count(F.lit(1)).alias("dl")))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("tl")))
+        .crossJoin(orphans)
+    )
+    return counts.selectExpr(
+        "stack(3, "
+        "'customer', cast(dc as bigint), cast(tc - dc as bigint), "
+        "'orders', cast(do as bigint), cast(to - do as bigint), "
+        "'lineitem', cast(dl as bigint), cast(tl - dl as bigint)"
+        ") as (stage, n_deleted, n_remaining)",
+        "cast(n_orphans_after as bigint) as n_orphans_after",
+    )

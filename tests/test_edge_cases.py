@@ -928,3 +928,35 @@ def test_join_audit_predicts_actual_join_size(spark):
     n_lkeys = li.select("l_orderkey").distinct().count()
     assert sum(r["n_keys"] for r in rows if r["side"] == "orders") == n_okeys
     assert sum(r["n_keys"] for r in rows if r["side"] == "lineitem") == n_lkeys
+
+
+def test_deletion_cascade_executes_clean(spark):
+    """q192's audit numbers recomputed by actually executing the
+    cascade at sf0.001: per-stage deleted/remaining reconcile and the
+    post-delete state truly has zero orphans."""
+    from etl_procesos_odo_spark.queries_relational import (
+        q192_deletion_cascade,
+    )
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["stage"]: (r["n_deleted"], r["n_remaining"], r["n_orphans_after"])
+        for r in q192_deletion_cascade(spark, SF_DIR).collect()
+    }
+    cust = {r[0] for r in spark.read.parquet(
+        f"{SF_DIR}/customer.parquet").select("c_custkey").collect()}
+    orders = [(r[0], r[1]) for r in spark.read.parquet(
+        f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey").collect()]
+    li = [r[0] for r in spark.read.parquet(
+        f"{SF_DIR}/lineitem.parquet").select("l_orderkey").collect()]
+    del_c = {c for c in cust if c % 97 == 0}
+    del_o = {ok for ok, ck in orders if ck in del_c}
+    del_l = [k for k in li if k in del_o]
+    keep_o = {ok for ok, ck in orders if ck not in del_c}
+    keep_l = [k for k in li if k not in del_o]
+    orphans = sum(1 for k in keep_l if k not in keep_o)
+    assert orphans == 0
+    assert out["customer"] == (len(del_c), len(cust) - len(del_c), 0)
+    assert out["orders"] == (len(del_o), len(orders) - len(del_o), 0)
+    assert out["lineitem"] == (len(del_l), len(li) - len(del_l), 0)
+    assert out["customer"][0] > 0  # the sampled erasure list is non-empty
