@@ -3633,3 +3633,86 @@ def q190_mwu_drift(spark: SparkSession, sf_dir: str):
             "cast(r1x2 - n1 * (n1 + 1) as double) / (2 * n1 * n2) as auc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — session-timeout calibration from inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+_GAP_CALIB_ORACLE = """
+    WITH g AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM gg),
+    cand(timeout_s) AS (VALUES (300), (1800), (3600), (14400))
+    SELECT CAST(c.timeout_s AS BIGINT) AS timeout_s,
+           CAST((SELECT n FROM n) AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) FILTER (
+             WHERE gg.gap > CAST(c.timeout_s AS BIGINT) * 1000000)
+             AS BIGINT) AS n_breaks,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) +
+                COUNT(*) FILTER (
+                  WHERE gg.gap > CAST(c.timeout_s AS BIGINT) * 1000000)
+                AS BIGINT) AS n_sessions
+    FROM cand c CROSS JOIN gg
+    GROUP BY c.timeout_s
+    """
+
+
+@register(
+    "q193_session_gap_calibration",
+    _GAP_CALIB_ORACLE,
+    doc="Session-timeout calibration — the methodology step that "
+    "justifies a sessionizer's idle threshold (q69 hard-codes 30 min; "
+    "this measures what that choice does): per candidate timeout "
+    "(5 min / 30 min / 1 h / 4 h), how many inter-arrival gaps break "
+    "a session and the resulting corpus session count (sessions = "
+    "users + breaking gaps — each user's history contributes one "
+    "session plus one per break). Gaps are exact integer micros from "
+    "LAG over (user, ts, event_id) — the deterministic tie-break "
+    "matters for adjacent equal timestamps; thresholds compare in "
+    "integer micros, so there is no float boundary anywhere. One "
+    "corpus-scale window partitioned by user (parallel across users, "
+    "state one row), then a 4-candidate conditional count — the "
+    "report that turns '30 minutes' from folklore into a measured "
+    "elbow.",
+)
+def q193_session_gap_calibration(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.expr("unix_micros(ts)")
+            - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("gap")
+    ).filter("gap is not null")
+    nu = ev.agg(F.countDistinct("user_id").alias("u"))
+    cand = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(300,), (1800,), (3600,), (14400,)], "timeout_s long"
+        )
+    )
+    return (
+        g.crossJoin(cand)
+        .groupBy("timeout_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(
+                F.expr(
+                    "case when gap > timeout_s * 1000000 then 1 else 0 end"
+                )
+            ).alias("n_breaks"),
+        )
+        .crossJoin(F.broadcast(nu))
+        .selectExpr(
+            "cast(timeout_s as bigint) as timeout_s",
+            "cast(n_gaps as bigint) as n_gaps",
+            "cast(n_breaks as bigint) as n_breaks",
+            "cast(u + n_breaks as bigint) as n_sessions",
+        )
+    )

@@ -960,3 +960,30 @@ def test_deletion_cascade_executes_clean(spark):
     assert out["orders"] == (len(del_o), len(orders) - len(del_o), 0)
     assert out["lineitem"] == (len(del_l), len(li) - len(del_l), 0)
     assert out["customer"][0] > 0  # the sampled erasure list is non-empty
+
+
+def test_session_gap_calibration_bruteforce(spark):
+    """q193 vs direct gap enumeration at sf0.001: per-timeout break
+    counts and the sessions = users + breaks identity."""
+    from etl_procesos_odo_spark.queries_enrich import (
+        q193_session_gap_calibration,
+    )
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["timeout_s"]: (r["n_gaps"], r["n_breaks"], r["n_sessions"])
+        for r in q193_session_gap_calibration(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "user_id", "unix_micros(ts) as us", "event_id"
+    )
+    users = {}
+    for r in ev.collect():
+        users.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    gaps = []
+    for hist in users.values():
+        hist.sort()
+        gaps += [b[0] - a[0] for a, b in zip(hist, hist[1:])]
+    for t in (300, 1800, 3600, 14400):
+        breaks = sum(g > t * 1_000_000 for g in gaps)
+        assert out[t] == (len(gaps), breaks, len(users) + breaks), t
