@@ -4382,3 +4382,97 @@ def q189_shard_manifest(spark: SparkSession, sf_dir: str):
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
         F.expr("bit_xor(rowhash)").cast("bigint").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — collocation extraction: log-free PMI ranking of bigrams
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    b AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> struct_pack(x := w[i], y := w[i+1])),
+             recursive := true)
+      FROM w WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT unnest(w) AS t FROM w
+    ),
+    cw AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+    nbi AS (SELECT COUNT(*) AS n FROM b),
+    bic AS (
+      SELECT x, y, COUNT(*) AS cxy FROM b GROUP BY x, y
+      HAVING COUNT(*) >= 5
+    )
+    SELECT x || ' ' || y AS pair,
+           CAST(cxy AS BIGINT) AS cxy,
+           CAST(cx.c AS BIGINT) AS cx,
+           CAST(cy.c AS BIGINT) AS cy,
+           CAST((SELECT n FROM nbi) * cxy AS DOUBLE) / (cx.c * cy.c)
+             AS score
+    FROM bic JOIN cw cx ON bic.x = cx.t JOIN cw cy ON bic.y = cy.t
+    ORDER BY score DESC, pair
+    LIMIT 20
+    """
+
+
+@register(
+    "q194_pmi_collocations",
+    _PMI_ORACLE,
+    doc="Collocation extraction: top-20 bigrams by pointwise mutual "
+    "information, ranked LOG-FREE — PMI's log is monotone, so "
+    "ordering by the exact ratio N_bi*c_xy / (c_x*c_y) gives the "
+    "identical ranking with zero libm dependence (ln/log10 are "
+    "platform-varying; +,-,*,/ are correctly-rounded IEEE — the "
+    "repo's standing doubles rule). Numerator and denominator are "
+    "exact BIGINT products; the score is ONE division; the top-20 "
+    "boundary is deterministic via the (score DESC, pair) tie-break "
+    "evaluated identically by both engines. Scale: one token explode "
+    "into two combining counts (unigrams, bigrams), two token-keyed "
+    "equi-joins back (stopword keys hot — AQE skew-join / q63 "
+    "salting, the q138 note), min-support 5 prunes the join input. "
+    "The c_xy >= 5 floor is the standard collocation guard: PMI "
+    "inflates rare pairs, support bounds the variance.",
+)
+def q194_pmi_collocations(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(tokens(F.col("text")).alias("w"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(F.col("w"), 1, n1),
+        F.slice(F.col("w"), 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    b = (
+        w.filter(F.size("w") >= 2)
+        .select(F.explode(g2).alias("g"))
+        .select("g.x", "g.y")
+    )
+    uni = w.select(F.explode("w").alias("t"))
+    cw = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nbi = b.agg(F.count(F.lit(1)).alias("n"))
+    bic = (
+        b.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter("cxy >= 5")
+    )
+    cx = cw.selectExpr("t as x", "c as cx")
+    cy = cw.selectExpr("t as y", "c as cy")
+    return (
+        bic.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(nbi))
+        .selectExpr(
+            "concat(x, ' ', y) as pair",
+            "cast(cxy as bigint) as cxy",
+            "cast(cx as bigint) as cx",
+            "cast(cy as bigint) as cy",
+            "cast(n * cxy as double) / (cx * cy) as score",
+        )
+        .orderBy(F.col("score").desc(), "pair")
+        .limit(20)
+    )

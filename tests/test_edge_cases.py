@@ -987,3 +987,34 @@ def test_session_gap_calibration_bruteforce(spark):
     for t in (300, 1800, 3600, 14400):
         breaks = sum(g > t * 1_000_000 for g in gaps)
         assert out[t] == (len(gaps), breaks, len(users) + breaks), t
+
+
+def test_pmi_collocations_bruteforce(spark):
+    """q194 vs direct Counter enumeration at sf0.001: same top-20 set,
+    counts, and single-division scores under the (score desc, pair)
+    tie-break."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_llm import q194_pmi_collocations
+    from tests.conftest import SF_DIR
+
+    got = [
+        (r["pair"], r["cxy"], r["cx"], r["cy"], r["score"])
+        for r in q194_pmi_collocations(spark, SF_DIR).collect()
+    ]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cw, cb, nbi = Counter(), Counter(), 0
+    for r in docs.select("text").collect():
+        ws = [t for t in r["text"].strip().split() if t]
+        cw.update(ws)
+        cb.update(zip(ws, ws[1:]))
+        nbi += max(len(ws) - 1, 0)
+    scored = sorted(
+        (
+            (f"{x} {y}", c, cw[x], cw[y], (nbi * c) / (cw[x] * cw[y]))
+            for (x, y), c in cb.items()
+            if c >= 5
+        ),
+        key=lambda t: (-t[4], t[0]),
+    )[:20]
+    assert sorted(got, key=lambda t: (-t[4], t[0])) == scored
