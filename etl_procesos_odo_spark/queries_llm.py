@@ -4476,3 +4476,93 @@ def q194_pmi_collocations(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("score").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — vocabulary coverage curve: top-k token share
+# ---------------------------------------------------------------------------
+
+_COVERAGE_CURVE_ORACLE = f"""
+    WITH w AS (SELECT {O_TOKENS} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS t FROM w),
+    cw AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+    r AS (
+      SELECT t, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS s,
+             COUNT(*) OVER () AS vocab
+      FROM cw
+    ),
+    ks(k) AS (VALUES (1), (5), (10), (25))
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(MAX(r.vocab) AS BIGINT) AS vocab_size,
+           CAST(MAX(r.s) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END) AS DOUBLE)
+             / MAX(r.s) AS coverage
+    FROM ks CROSS JOIN r
+    GROUP BY ks.k
+    """
+
+
+@register(
+    "q195_vocab_coverage_curve",
+    _COVERAGE_CURVE_ORACLE,
+    doc="Vocabulary coverage curve: the share of all corpus tokens "
+    "covered by the top-k most frequent types (k = 1/5/10/25) — the "
+    "Zipf-head statistic that sizes tokenizer vocabularies and "
+    "stopword lists (how much mass the head buys is the budget "
+    "question; the tail length is the OOV question — both read off "
+    "this curve). Exact integers throughout: type counts from one "
+    "combining groupBy over the token explode, a (count DESC, type) "
+    "ranked cumulative window over the VOCABULARY table (bounded by "
+    "distinct types, never corpus rows — the q188 compressed-domain "
+    "discipline; stripe the rank via the q50 partitioner at 10^8+ "
+    "vocabularies), coverage as ONE division per grid point. "
+    "Deterministic tie-break on the type string pins equal-count "
+    "boundaries identically in both engines.",
+)
+def q195_vocab_coverage_curve(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cw = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "t")
+    r = cw.select(
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("s"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("vocab"),
+    )
+    ks = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(1,), (5,), (10,), (25,)], "k long"
+        )
+    )
+    return (
+        ks.crossJoin(r)
+        .groupBy("k")
+        .agg(
+            F.max("vocab").alias("_v"),
+            F.max("s").alias("_s"),
+            F.max(F.expr("case when rnk <= k then cum end")).alias("_cov"),
+        )
+        .selectExpr(
+            "cast(k as bigint) as k",
+            "cast(_v as bigint) as vocab_size",
+            "cast(_s as bigint) as total_tokens",
+            "cast(_cov as bigint) as covered_tokens",
+            "cast(_cov as double) / _s as coverage",
+        )
+    )

@@ -1018,3 +1018,28 @@ def test_pmi_collocations_bruteforce(spark):
         key=lambda t: (-t[4], t[0]),
     )[:20]
     assert sorted(got, key=lambda t: (-t[4], t[0])) == scored
+
+
+def test_vocab_coverage_curve_bruteforce(spark):
+    """q195 vs direct Counter enumeration at sf0.001 for every grid
+    point, including the (count desc, type) tie-break at equal
+    counts."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_llm import q195_vocab_coverage_curve
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["k"]: (r["vocab_size"], r["total_tokens"], r["covered_tokens"],
+                 r["coverage"])
+        for r in q195_vocab_coverage_curve(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cw = Counter()
+    for r in docs.select("text").collect():
+        cw.update(t for t in r["text"].strip().split() if t)
+    ordered = sorted(cw.items(), key=lambda kv: (-kv[1], kv[0]))
+    s = sum(cw.values())
+    for k in (1, 5, 10, 25):
+        cov = sum(c for _, c in ordered[:k])
+        assert out[k] == (len(cw), s, cov, cov / s), k
