@@ -4307,7 +4307,9 @@ def q184_mixture_execute(spark: SparkSession, sf_dir: str):
         )
     )
     return (
-        plan.join(kept, "source", "left")
+        # both report sides are |sources|-sized but sit behind windowed
+        # plans with no stats — broadcast explicitly (the q176 lesson)
+        plan.join(F.broadcast(kept), "source", "left")
         .selectExpr(
             "source", "cap", "alloc",
             "cast(coalesce(kd, 0) as bigint) as kept_docs",
