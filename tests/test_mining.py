@@ -273,3 +273,43 @@ def test_mixture_execute_hashlib_replication(spark):
         assert out[s] == (cap, alloc, kept[s][0], kept[s][1]), s
         if alloc == cap:  # saturated -> rate 1.0 -> keeps everything
             assert out[s][2] == n_docs[s], s
+
+
+def test_budget_waterfill_hypothesis(spark):
+    """Property test: random caps/weights/budget fractions vs the
+    independent Fraction peeling, including degenerate single-source
+    and all-equal inputs hypothesis likes to find."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    from etl_procesos_odo_spark.llm.sampling import budget_waterfill
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=10_000),  # cap
+                st.integers(min_value=1, max_value=100),     # weight
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        num=st.integers(min_value=0, max_value=4),
+        den=st.integers(min_value=1, max_value=4),
+    )
+    def check(rows, num, den):
+        data = [(f"s{i}", c, w) for i, (c, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "source string, cap long, w long")
+        got = {
+            r["source"]: (r["alloc"], bool(r["saturated"]))
+            for r in budget_waterfill(df, "source", "cap", "w", num, den)
+            .collect()
+        }
+        want_alloc, want_sat = _waterfill_bruteforce(data, num, den)
+        assert got == {k: (want_alloc[k], want_sat[k]) for k in want_alloc}
+
+    check()

@@ -712,3 +712,18 @@ def test_basket_mining_no_shuffle_joins(plan, name):
     assert "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate explode" in p  # the enumeration is the explode
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q180_budget_waterfill", "q183_hierarchical_budget",
+     "q184_mixture_execute"],
+)
+def test_allocation_family_no_shuffle_joins(plan, name):
+    """The waterfill family's joins are all tiny frames behind
+    stats-less windowed plans — they must be broadcast explicitly
+    (the q176 lesson); a SortMergeJoin here means a |sources|-sized
+    frame is being shuffle-joined."""
+    p = plan(name, "simple")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
