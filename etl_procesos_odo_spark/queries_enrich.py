@@ -3716,3 +3716,72 @@ def q193_session_gap_calibration(spark: SparkSession, sf_dir: str):
             "cast(u + n_breaks as bigint) as n_sessions",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — source purity: dominant language share per source
+# ---------------------------------------------------------------------------
+
+_PURITY_ORACLE = """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT source, lang, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n DESC, lang) AS rk,
+             SUM(n) OVER (PARTITION BY source) AS tot,
+             COUNT(*) OVER (PARTITION BY source) AS n_langs
+      FROM c
+    )
+    SELECT source,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(tot AS BIGINT) AS n_docs,
+           lang AS dominant_lang,
+           CAST(n AS BIGINT) AS dominant_docs,
+           CAST(n AS DOUBLE) / tot AS dominant_share
+    FROM r WHERE rk = 1
+    """
+
+
+@register(
+    "q196_source_purity",
+    _PURITY_ORACLE,
+    doc="Source language-purity profile: per source, the number of "
+    "languages served, the dominant language (argmax by doc count, "
+    "deterministic lang tie-break), and its share — the routing "
+    "check before per-language pipelines consume per-source data "
+    "(a 'pure' source can skip langid re-verification, q35; a mixed "
+    "one cannot), and the granular complement of q187's per-language "
+    "concentration. Exact counting on the compressed (source, lang) "
+    "table — the windows are bounded by |sources|x|langs|, never "
+    "rows; the share is ONE division. One combining groupBy scan.",
+)
+def q196_source_purity(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source")
+    r = c.select(
+        "source",
+        "lang",
+        "n",
+        F.row_number()
+        .over(w.orderBy(F.col("n").desc(), "lang"))
+        .alias("rk"),
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+    )
+    return r.filter("rk = 1").selectExpr(
+        "source",
+        "cast(n_langs as bigint) as n_langs",
+        "cast(tot as bigint) as n_docs",
+        "lang as dominant_lang",
+        "cast(n as bigint) as dominant_docs",
+        "cast(n as double) / tot as dominant_share",
+    )

@@ -1043,3 +1043,30 @@ def test_vocab_coverage_curve_bruteforce(spark):
     for k in (1, 5, 10, 25):
         cov = sum(c for _, c in ordered[:k])
         assert out[k] == (len(cw), s, cov, cov / s), k
+
+
+def test_source_purity_bruteforce(spark):
+    """q196 vs direct Counter enumeration at sf0.001 including the
+    (count desc, lang) argmax tie-break."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_enrich import q196_source_purity
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["source"]: (r["n_langs"], r["n_docs"], r["dominant_lang"],
+                      r["dominant_docs"], r["dominant_share"])
+        for r in q196_source_purity(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "lang"
+    )
+    per = {}
+    for r in docs.collect():
+        per.setdefault(r["source"], Counter())[r["lang"]] += 1
+    want = {}
+    for s, cnt in per.items():
+        lang, n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        tot = sum(cnt.values())
+        want[s] = (len(cnt), tot, lang, n, n / tot)
+    assert out == want
