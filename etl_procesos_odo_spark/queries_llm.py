@@ -4568,3 +4568,76 @@ def q195_vocab_coverage_curve(spark: SparkSession, sf_dir: str):
             "cast(_cov as double) / _s as coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — duplicate-cluster size distribution (dedup planning evidence)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_DIST_ORACLE = """
+    WITH d AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS digest
+      FROM documents
+    ),
+    cl AS (SELECT digest, COUNT(*) AS sz FROM d GROUP BY digest),
+    tot AS (
+      SELECT COUNT(*) AS n_clusters, SUM(sz) AS n_docs,
+             COUNT(*) FILTER (WHERE sz = 1) AS singletons
+      FROM cl
+    )
+    SELECT CAST(cl.sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cl.sz AS BIGINT) AS n_docs_at_size,
+           CAST((SELECT n_docs FROM tot) AS DOUBLE)
+             / (SELECT n_clusters FROM tot) AS duplication_factor,
+           CAST((SELECT singletons FROM tot) AS DOUBLE)
+             / (SELECT n_clusters FROM tot) AS singleton_share
+    FROM cl GROUP BY cl.sz
+    """
+
+
+@register(
+    "q197_cluster_size_distribution",
+    _CLUSTER_DIST_ORACLE,
+    doc="Duplicate-cluster size distribution over exact normalized-"
+    "text digests (q30's clustering key): how many clusters exist at "
+    "each size, plus corpus duplication factor and singleton share — "
+    "the measured power-law evidence behind the dedup stack's "
+    "bounded-hot-band design (llm/dedup.py band_min_k caps band "
+    "fan-out because a heavy tail here, boilerplate clusters of 10^4+ "
+    "members, would make any cluster-keyed self-join quadratic in "
+    "the hottest key; this histogram is how that cap is SIZED on a "
+    "new corpus, before the expensive join runs). Two combining "
+    "groupBys (digest, then size); the ratios are single divisions "
+    "of exact counts. The normalization expression is the shared "
+    "Spark/DuckDB digest spelling (whitespace-collapsed, trimmed, "
+    "lowercased md5).",
+)
+def q197_cluster_size_distribution(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("digest")
+    )
+    cl = d.groupBy("digest").agg(F.count(F.lit(1)).alias("sz"))
+    tot = cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.expr("case when sz = 1 then 1 else 0 end")).alias(
+            "singletons"
+        ),
+    )
+    return (
+        cl.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters_at"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cast(sz as bigint) as cluster_size",
+            "cast(n_clusters_at as bigint) as n_clusters",
+            "cast(n_clusters_at * sz as bigint) as n_docs_at_size",
+            "cast(n_docs as double) / n_clusters as duplication_factor",
+            "cast(singletons as double) / n_clusters as singleton_share",
+        )
+    )

@@ -1070,3 +1070,36 @@ def test_source_purity_bruteforce(spark):
         tot = sum(cnt.values())
         want[s] = (len(cnt), tot, lang, n, n / tot)
     assert out == want
+
+
+def test_cluster_size_distribution_bruteforce(spark):
+    """q197 vs direct Counter-of-Counters at sf0.001, same digest
+    normalization."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_llm import (
+        q197_cluster_size_distribution,
+    )
+    from tests.conftest import SF_DIR
+    import hashlib
+    import re
+
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs_at_size"],
+                            r["duplication_factor"], r["singleton_share"])
+        for r in q197_cluster_size_distribution(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dig = Counter()
+    for r in docs.select("text").collect():
+        norm = re.sub(r"\s+", " ", r["text"]).strip().lower()
+        dig[hashlib.md5(norm.encode()).hexdigest()] += 1
+    sizes = Counter(dig.values())
+    n_clusters = len(dig)
+    n_docs = sum(dig.values())
+    singles = sizes.get(1, 0)
+    want = {
+        sz: (n, n * sz, n_docs / n_clusters, singles / n_clusters)
+        for sz, n in sizes.items()
+    }
+    assert out == want
