@@ -4641,3 +4641,99 @@ def q197_cluster_size_distribution(spark: SparkSession, sf_dir: str):
             "cast(singletons as double) / n_clusters as singleton_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — distinctive terms per language: log-free keyness ranking
+# ---------------------------------------------------------------------------
+
+_KEYNESS_ORACLE = f"""
+    WITH w AS (SELECT lang, {O_TOKENS} AS w FROM documents),
+    u AS (SELECT lang, unnest(w) AS t FROM w),
+    cl AS (SELECT lang, t, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    ct AS (SELECT t, COUNT(*) AS c FROM u GROUP BY 1),
+    nl AS (SELECT lang, COUNT(*) AS n FROM u GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM u),
+    s AS (
+      SELECT cl.lang, cl.t,
+             cl.c AS c_in,
+             ct.c - cl.c AS c_out,
+             nl.n AS n_in,
+             (SELECT n FROM nt) - nl.n AS n_out
+      FROM cl JOIN ct ON cl.t = ct.t JOIN nl ON cl.lang = nl.lang
+    ),
+    r AS (
+      SELECT lang, t, c_in, c_out,
+             CAST(c_in * (n_out + 1) AS DOUBLE)
+               / ((c_out + 1) * n_in) AS keyness,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               CAST(c_in * (n_out + 1) AS DOUBLE)
+                 / ((c_out + 1) * n_in) DESC, t) AS rk
+      FROM s WHERE c_in >= 5
+    )
+    SELECT lang, t AS term,
+           CAST(c_in AS BIGINT) AS c_in,
+           CAST(c_out AS BIGINT) AS c_out,
+           keyness, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 5
+    """
+
+
+@register(
+    "q198_keyness_terms",
+    _KEYNESS_ORACLE,
+    doc="Distinctive vocabulary per language: top-5 terms by keyness — "
+    "the smoothed relative-rate ratio (c_in/n_in) / ((c_out+1)/"
+    "(n_out+1)) of a term inside the language vs the rest of the "
+    "corpus — the characteristic-terms complement to q194's "
+    "collocations (keyness finds what a SLICE overuses; PMI finds "
+    "what CO-OCCURS). Ranked LOG-FREE like q194: log-odds keyness is "
+    "a monotone transform of the ratio, so ordering by the exact "
+    "rational c_in*(n_out+1) / ((c_out+1)*n_in) — BIGINT products, "
+    "ONE division — reproduces the ranking with zero libm; add-one "
+    "smoothing bounds the out-rate for slice-exclusive terms. "
+    "Deterministic top-5 via the (keyness DESC, term) tie-break; "
+    "c_in >= 5 is the q194 support floor. Scale: one token explode "
+    "into per-(lang, term) and per-term combining counts, a "
+    "term-keyed equi-join back, and the rank window over the "
+    "compressed vocabulary table.",
+)
+def q198_keyness_terms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from .llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("lang", F.explode(tokens(F.col("text"))).alias("t"))
+    cl = u.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c_in"))
+    ct = u.groupBy("t").agg(F.count(F.lit(1)).alias("c_tot"))
+    nl = u.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    nt = u.agg(F.count(F.lit(1)).alias("n_tot"))
+    s = (
+        cl.join(ct, "t")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "lang", "t", "c_in",
+            "c_tot - c_in as c_out",
+            "n_in", "n_tot - n_in as n_out",
+        )
+        .filter("c_in >= 5")
+        .selectExpr(
+            "lang", "t", "c_in", "c_out",
+            "cast(c_in * (n_out + 1) as double) / ((c_out + 1) * n_in) "
+            "as keyness",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("keyness").desc(), "t")
+    return (
+        s.select("*", F.row_number().over(w).alias("rk"))
+        .filter("rk <= 5")
+        .selectExpr(
+            "lang", "t as term",
+            "cast(c_in as bigint) as c_in",
+            "cast(c_out as bigint) as c_out",
+            "keyness",
+            "cast(rk as bigint) as rank",
+        )
+    )

@@ -1103,3 +1103,40 @@ def test_cluster_size_distribution_bruteforce(spark):
         for sz, n in sizes.items()
     }
     assert out == want
+
+
+def test_keyness_terms_bruteforce(spark):
+    """q198 vs direct Counter enumeration at sf0.001: per-language
+    top-5 by the smoothed ratio with the (keyness desc, term)
+    tie-break."""
+    from collections import Counter
+
+    from etl_procesos_odo_spark.queries_llm import q198_keyness_terms
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["lang"], r["rank"]): (r["term"], r["c_in"], r["c_out"],
+                                 r["keyness"])
+        for r in q198_keyness_terms(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cl, nl, ct, nt = {}, Counter(), Counter(), 0
+    for r in docs.select("lang", "text").collect():
+        ws = [t for t in r["text"].strip().split() if t]
+        cl.setdefault(r["lang"], Counter()).update(ws)
+        nl[r["lang"]] += len(ws)
+        ct.update(ws)
+        nt += len(ws)
+    want = {}
+    for lang, cnt in cl.items():
+        scored = sorted(
+            (
+                (t, c, ct[t] - c,
+                 (c * (nt - nl[lang] + 1)) / ((ct[t] - c + 1) * nl[lang]))
+                for t, c in cnt.items() if c >= 5
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:5]
+        for i, row in enumerate(scored, 1):
+            want[(lang, i)] = row
+    assert got == want
