@@ -313,3 +313,38 @@ def test_budget_waterfill_hypothesis(spark):
         assert got == {k: (want_alloc[k], want_sat[k]) for k in want_alloc}
 
     check()
+
+
+def test_sequential_patterns_minsup_filter(spark):
+    """sequential_pattern_support honors non-default minsup fractions:
+    at minsup > max support nothing survives; at 2-of-4 only patterns
+    with >= 2 supporting entities remain."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, "A", t(1)), (1, "B", t(2)),
+        (2, "A", t(1)), (2, "B", t(2)),
+        (3, "B", t(1)), (3, "A", t(2)),
+        (4, "C", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    half = {
+        r["pattern"]: r["support"]
+        for r in sequential_pattern_support(df, "u", "t", "ts", 2, 4).collect()
+    }
+    assert half == {"A>B": 2}
+    none = sequential_pattern_support(df, "u", "t", "ts", 3, 4).collect()
+    assert none == []
+
+
+def test_frequent_itemsets_empty_and_singleton_baskets(spark):
+    """Degenerate inputs: baskets of size 1 produce no itemsets at any
+    threshold; an empty frame returns an empty result (no div-by-zero
+    in the minsup derivation)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "o long, br string"
+    )
+    assert frequent_itemsets(df, "o", "br", 1, 100).collect() == []
+    empty = spark.createDataFrame([], "o long, br string")
+    assert frequent_itemsets(empty, "o", "br", 1, 2).collect() == []
