@@ -134,8 +134,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # estimates, the sketch-union property exact COUNT(DISTINCT) cannot
     # compose. The q34 -> q107 strictly-widens precedent; q159 stays
     # green in the back-half censuses.)
+    # (r8 swap q87 -> q175: q87's Lloyd assign arm — broadcast-centroid
+    # cosine argmax — runs verbatim inside BOTH the q107 recall head row
+    # (the IVF arm's routing stage) and the q120 hybrid head row's vector
+    # arm; its update arm is a plain explode-position + per-cell
+    # integer-micro mean, the generic two-key groupBy-avg shape the
+    # pipeline head rows exercise pervasively, and the full iterated
+    # trainer stays census-green as q111. q87 stays green in the
+    # back-half censuses. q175 is PPJoin — the THIRD exact-recall
+    # candidate-generation discipline (prefix filter, vs q67's bands and
+    # q154's df-cap index) with no driver-row class.)
     "q107_ann_recall", "q164_hll_rollup",
-    "q87_kmeans_step",
+    "q175_ppjoin_pairs",
     # text analysis
     # (r7 swap q38 -> q168: q38's order-sensitive fingerprint is a
     # tokens -> per-token md5/hash60 -> array-fold expression — the same
@@ -146,7 +156,17 @@ DRIVER_HEAD: tuple[str, ...] = (
     # no driver-row class: q106 covers frequency, q159/q164 cover
     # cardinality-with-union; KMV adds sketch intersections (pairwise
     # Jaccard / overlap matrices from tiny per-source sketches).)
-    "q35_langid", "q168_kmv_source_sketch", "q73_repetition_metrics",
+    # (r8 swap q73 -> q190: q73's repetition signals are scan-speed
+    # per-row tokenize-once array expressions — exactly the q35 langid
+    # head row's plan shape (per-row n-gram construction + distinct-
+    # fraction arithmetic, zero shuffle), and the duplicated-gram FAMILY
+    # keeps its corpus-level arm census-green as q152; the quality-
+    # gating role q73 feeds is head-evidenced by q100's gate chain.
+    # q73 stays green in the back-half censuses. q190 is the exact
+    # Mann-Whitney U drift test — the drift kit's hardest member
+    # (tie-doubled ranks on the compressed value table) with no
+    # driver-row class.)
+    "q35_langid", "q168_kmv_source_sketch", "q190_mwu_drift",
     # enrichment + retrieval
     # (r5 swap q85 -> q110: q85's token-rarity idf shape runs INSIDE
     # q110's per-term df/idf stats, so the row strictly widens — BM25
@@ -159,7 +179,15 @@ DRIVER_HEAD: tuple[str, ...] = (
     # other row. q97 -> q137 — EWMA's stateful per-key smoothing is
     # evidenced by q58's stateful head row and q97 stays census-green;
     # q137's trailing-window anomaly stats are a new-in-r5 family.)
-    "q145_kwic_concordance", "q84_json_extract", "q110_bm25_search",
+    # (r8 swap q145 -> q178: q145's KWIC shape is tokenize -> explode
+    # positions -> positional slice around a predicate hit — the q100
+    # head row's block-slice stage (tokenize -> explode(generate_series)
+    # -> list_slice) plus an equality filter, and the retrieval family
+    # keeps its q110 BM25 head row; q145 stays green in the back-half
+    # censuses. q178 is GSP sequential-pattern mining — the order-
+    # statistics collapse (user-history length never enters cost), the
+    # mining library's second surface with no driver-row class.)
+    "q178_sequential_patterns", "q84_json_extract", "q110_bm25_search",
     "q88_corpus_quantiles", "q137_volume_anomalies",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
@@ -186,9 +214,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # cluster-atomic train/val/test governance, the post-dedup splitting
     # step with no driver-row class (a per-document split, q86/q100's
     # shape, lets dup twins straddle train/test).)
+    # (r8 swap q76 -> q184: q76's chunking plan shape — tokenize-once ->
+    # explode(generate_series) -> list_slice windows — runs VERBATIM
+    # inside the q100 head row's block-dedup stage (8-word blocks are
+    # stride-8 width-8 chunks of the same expression chain); q76 adds
+    # only the overlap parameter (stride < width), pure arithmetic on
+    # the same shape. q76 (and q75's FFD packing) stay green in the
+    # back-half censuses. q184 is mixture execution — the sampling-
+    # governance capstone (waterfill allocation + hash-uniform execute
+    # at alloc/cap) with no driver-row class.)
     "q149_sorted_neighborhood", "q167_leakage_safe_split",
     "q153_incident_session_overlap",
-    "q76_chunk_documents",
+    "q184_mixture_execute",
     # multimodal + capstone
     # (r7 swap q42 -> q154: the multimodal mapInPandas plumbing family
     # stays evidenced by q62's head row — q62 FUSES resize + frame-sample
@@ -218,7 +255,15 @@ DRIVER_HEAD: tuple[str, ...] = (
     # which parse the same Spanish dates / Excel serials / phone rules
     # inline; q59 stays green in the back-half censuses. The slot pays
     # for q151's hard-oracle LR predict surface.)
-    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q106_heavy_hitters",
+    # (r8 swap q106 -> q189: q106 and q12 double-covered the exact
+    # ranked group-count shape (r7 verdict) — the exact arm stays head-
+    # evidenced by q12's Pareto row, and the fixed-state mergeable-
+    # sketch DISCIPLINE keeps two head representatives (q164 HLL rollup,
+    # q168 KMV intersections); the Misra-Gries surface stays census-
+    # green as q106 plus its streaming complement q174. q189 is the
+    # export shard manifest with order-insensitive XOR row-hash
+    # checksums — the integrity/ops family's first driver row.)
+    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q189_shard_manifest",
     "q134_pagerank_neardup", "q63_salted_segments", "q81_asof_join",
 )
 

@@ -256,7 +256,14 @@ def test_driver_head_curation():
         # r5 swap: q97's stateful smoothing is evidenced by q58; q137
         # carries the time-series anomaly family in the head
         "enrich": "q137_volume_anomalies",
-        "packing": "q76_chunk_documents",
+        # r8 swaps: q73/q76/q87/q106/q145 rotate out (containment notes
+        # in registry.py + COVERAGE.md round-8); the round-7
+        # statistical/governance wave gets its first driver rows
+        "drift_stats": "q190_mwu_drift",
+        "mixture_governance": "q184_mixture_execute",
+        "integrity_manifest": "q189_shard_manifest",
+        "prefix_filter_similarity": "q175_ppjoin_pairs",
+        "sequential_mining": "q178_sequential_patterns",
         "multimodal": "q62_multimodal_transform",
         # r5 swaps: q02's filter shapes run inside the pipeline rows
         # (q50/q51/q53/q54); q12 carries the relational family
