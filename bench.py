@@ -41,10 +41,20 @@ import subprocess
 import sys
 import time
 
-from etl_procesos_odo_spark.registry import registry
-from etl_procesos_odo_spark.session import get_spark
-
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def registry():
+    """Lazy import so ``bench.py --help`` never pays the pyspark import."""
+    from etl_procesos_odo_spark.registry import registry as _registry
+
+    return _registry()
+
+
+def get_spark(app_name: str):
+    from etl_procesos_odo_spark.session import get_spark as _get_spark
+
+    return _get_spark(app_name)
 
 
 def skew_join_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -413,5 +423,38 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _parse_args(argv: list[str]):
+    """r7-verdict item 6: any stray argument used to trigger the full
+    ~250 s bench (there was no parser). Flags map onto the env-var
+    protocol the external driver already uses, so ``python bench.py``
+    with no args is byte-identical to before."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="bench.py",
+        description="Time every registry query at a scale-factor dir and "
+        "print ONE JSON line (see module docstring for the protocol).",
+        epilog="Env equivalents: SPARK_GRAFT_SF_DIR, BENCH_QUERIES, "
+        "BENCH_SEGMENTS, BENCH_SEGMENT, SPARK_GRAFT_CPUS.",
+    )
+    p.add_argument("--sf", metavar="DIR",
+                   help="scale-factor dir (default $SPARK_GRAFT_SF_DIR "
+                        "or /root/testdata/sf0.1)")
+    p.add_argument("--only", metavar="NAME1,NAME2",
+                   help="comma-separated query subset (one warm session, "
+                        "no segments/extras)")
+    p.add_argument("--segments", type=int, metavar="N",
+                   help="number of fresh-JVM segments for the full "
+                        "protocol (default 3)")
+    return p.parse_args(argv)
+
+
 if __name__ == "__main__":
+    _args = _parse_args(sys.argv[1:])
+    if _args.sf:
+        os.environ["SPARK_GRAFT_SF_DIR"] = _args.sf
+    if _args.only:
+        os.environ["BENCH_QUERIES"] = _args.only
+    if _args.segments:
+        os.environ["BENCH_SEGMENTS"] = str(_args.segments)
     main()

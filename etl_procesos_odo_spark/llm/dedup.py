@@ -577,12 +577,18 @@ def decontaminate(
     id_col: str,
     k: int = 3,
     min_shared: int = 2,
-    max_df: int | None = 20,
+    max_df: int | float | None = 20,
 ) -> DataFrame:
     """Train/test decontamination: flag training docs that share at least
     ``min_shared`` distinct word k-gram shingles with any benchmark doc —
     the standard pre-training hygiene pass (strip eval-set text from the
     corpus before training).
+
+    ``max_df``: an int is an absolute combined-document-frequency cap; a
+    float in (0, 1) states it as a FRACTION of the combined doc count
+    (``max(1, floor(frac · (|train| + |bench|)))``), matching the
+    fractional form of ``decontaminate_bloom.bench_max_df`` and
+    ``tfidf_cosine_pairs.max_df`` so one setting survives corpus growth.
 
     Inverted-index join keyed by the shingle, never all-pairs: explode
     each side's distinct shingles, drop shingles whose combined document
@@ -609,6 +615,12 @@ def decontaminate(
     # _spread BEFORE side(): the exchange must precede the shingle
     # explode, or the expensive expression still runs in the scan task
     e = _persist_capped(side(_spread(train), "t").union(side(_spread(bench), "b")))
+    if isinstance(max_df, float):
+        import math
+
+        if not 0 < max_df < 1:
+            raise ValueError("fractional max_df must be in (0, 1)")
+        max_df = max(1, math.floor(max_df * (train.count() + bench.count())))
     if max_df is not None:
         keep = (
             e.groupBy("g")

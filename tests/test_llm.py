@@ -1520,6 +1520,23 @@ def test_fractional_df_caps_match_absolute(spark):
     with pytest.raises(ValueError):
         decon(0.0)
 
+    # r7-verdict item 5: decontaminate's combined-df cap accepts the same
+    # fractional form (fraction of |train| + |bench|)
+    from etl_procesos_odo_spark.llm.dedup import decontaminate
+
+    def decon_exact(cap):
+        return sorted(
+            tuple(r)
+            for r in decontaminate(
+                train, bench, "text", "doc_id",
+                k=3, min_shared=1, max_df=cap,
+            ).collect()
+        )
+
+    assert decon_exact(0.4) == decon_exact(4)  # floor(0.4 * 10) == 4
+    with pytest.raises(ValueError):
+        decon_exact(1.0)
+
 
 def test_substring_removal_crafted(spark):
     from etl_procesos_odo_spark.llm.dedup import remove_duplicated_grams
