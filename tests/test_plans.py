@@ -734,3 +734,126 @@ def test_allocation_family_no_shuffle_joins(plan, name):
     p = plan(name, "simple")
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide window-boundedness lint (r7-verdict item 2)
+# ---------------------------------------------------------------------------
+
+def _lint_unpartitioned_windows(df) -> list[str]:
+    """Walk a DataFrame's optimized logical plan and return the
+    simpleStrings of every UNPARTITIONED Window whose input frame the
+    lint cannot bound. SCALE.md's discipline says a global (no
+    PARTITION BY) window may only run on a compressed frame — a
+    post-aggregate table, a literal, or a rank-pinned stripe summary —
+    never on raw facts; this turns that prose claim into a plan walk.
+
+    A subtree is *bounded* when its cardinality is governed by a
+    grouping domain rather than the fact-table row count:
+
+    - ``Aggregate`` / ``Deduplicate`` (distinct groups), ``GlobalLimit``,
+      and literal leaves (``LocalRelation`` / ``OneRowRelation`` /
+      ``Range``) bound their subtree outright;
+    - a ``Filter`` that pins a ``row_number()``/``rank()`` computed over
+      a PARTITIONED window to a small integer (``rk = 1`` / ``rk <= k``)
+      bounds output by the window's distinct partition keys — the
+      striped-rank offset-table pattern (q50/q170), whose checkpoint
+      otherwise hides the upstream plan behind a LogicalRDD leaf;
+    - any other node is bounded iff ALL its children are (Project /
+      Filter / Join / Union / Sort / Window never increase cardinality
+      beyond the product of bounded inputs; Generate multiplies by a
+      per-row array length, lint-accepted as pass-through);
+    - leaves (parquet relations, LogicalRDD checkpoints, streaming
+      relations) are NOT bounded.
+    """
+    import re
+
+    BOUNDING = {"Aggregate", "GlobalLimit", "Deduplicate"}
+    BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+
+    def rank_filter_bounded(filt) -> bool:
+        cond = filt.condition().sql()
+        # Catalyst splits multi-function window selects into STACKED
+        # Window nodes — descend the whole narrow chain and collect
+        # rank-ish aliases from every PARTITIONED Window in it.
+        rank_names: list[str] = []
+        n = filt.children().apply(0)
+        while (
+            n.nodeName() in ("Project", "Filter", "Window")
+            and n.children().size() == 1
+        ):
+            if n.nodeName() == "Window" and not n.partitionSpec().isEmpty():
+                we = n.windowExpressions()
+                for i in range(we.size()):
+                    e = we.apply(i)
+                    s = e.toString()
+                    if "row_number()" in s or "rank(" in s:
+                        rank_names.append(e.name())
+            n = n.children().apply(0)
+        for raw in rank_names:
+            nm = re.escape(raw)
+            if re.search(rf"\b{nm}\b\s*(=|<=|<)\s*\d+", cond) or re.search(
+                rf"\d+\s*(=|>=|>)\s*\b{nm}\b", cond
+            ):
+                return True
+        return False
+
+    def bounded(n) -> bool:
+        nn = n.nodeName()
+        if nn in BOUNDING or nn in BOUNDED_LEAVES:
+            return True
+        if nn == "Filter" and rank_filter_bounded(n):
+            return True
+        cs = n.children()
+        if cs.size() == 0:
+            return False
+        return all(bounded(cs.apply(i)) for i in range(cs.size()))
+
+    bad: list[str] = []
+
+    def walk(n):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            if not bounded(n.children().apply(0)):
+                bad.append(n.simpleString(120))
+        cs = n.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_no_unbounded_global_windows_anywhere(spark):
+    """Every query in the registry: any Window without a PARTITION BY
+    must sit on a frame the lint can bound (see
+    _lint_unpartitioned_windows). Adding a raw-facts global window —
+    the single-reducer cliff at 100 TB — fails this test with the
+    offending query name and window."""
+    violations: dict[str, list[str]] = {}
+    for q in registry():
+        df = q.spark_fn(spark, SF_DIR)
+        bad = _lint_unpartitioned_windows(df)
+        if bad:
+            violations[q.name] = bad
+    assert not violations, violations
+
+
+def test_window_lint_catches_raw_global_window(spark):
+    """The lint itself must fire on the anti-pattern it exists for: a
+    global row_number over the raw fact table."""
+    from pyspark.sql import Window, functions as F
+
+    from etl_procesos_odo_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    assert _lint_unpartitioned_windows(df)
+    # ...and stay silent on the sanctioned shape: global window over an
+    # aggregate
+    agg = ev.groupBy("event_type").count()
+    ok = agg.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_type"))
+    )
+    assert not _lint_unpartitioned_windows(ok)
