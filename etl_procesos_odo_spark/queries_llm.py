@@ -4432,14 +4432,23 @@ _PMI_ORACLE = f"""
     "exact BIGINT products; the score is ONE division; the top-20 "
     "boundary is deterministic via the (score DESC, pair) tie-break "
     "evaluated identically by both engines. Scale: one token explode "
-    "into two combining counts (unigrams, bigrams), two token-keyed "
-    "equi-joins back (stopword keys hot — AQE skew-join / q63 "
-    "salting, the q138 note), min-support 5 prunes the join input. "
-    "The c_xy >= 5 floor is the standard collocation guard: PMI "
-    "inflates rare pairs, support bounds the variance.",
+    "into two combining counts (unigrams, bigrams), then two "
+    "token-keyed equi-joins back, both SALTED (q63 kit): the join "
+    "inputs are compressed (distinct bigrams x distinct unigrams, "
+    "multiplicity 1 on the vocab side) but the KEY distribution is "
+    "Zipf-hot — the number of distinct bigrams starting with a "
+    "stopword is bounded only by that token's unigram count, so the "
+    "hot token's partition is a straggler at corpus scale. Salting "
+    "the bigram side on the OTHER token (deterministic, per-row) "
+    "spreads each hot key across n_salt reducers for the cost of "
+    "replicating the vocab-count table n_salt times; placement-only, "
+    "result identical (plan-tested). The c_xy >= 5 floor is the "
+    "standard collocation guard: PMI inflates rare pairs, support "
+    "bounds the variance.",
 )
 def q194_pmi_collocations(spark: SparkSession, sf_dir: str):
     from .llm.text_analysis import tokens
+    from .operators.joins import salted_join
 
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(tokens(F.col("text")).alias("w"))
@@ -4462,12 +4471,12 @@ def q194_pmi_collocations(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("cxy"))
         .filter("cxy >= 5")
     )
-    cx = cw.selectExpr("t as x", "c as cx")
-    cy = cw.selectExpr("t as y", "c as cy")
+    cx = cw.selectExpr("t as _xk", "c as cx")
+    cy = cw.selectExpr("t as _yk", "c as cy")
+    jx = salted_join(bic, cx, "x", "_xk", row_key="y").drop("_xk")
+    jxy = salted_join(jx, cy, "y", "_yk", row_key="x").drop("_yk")
     return (
-        bic.join(cx, "x")
-        .join(cy, "y")
-        .crossJoin(F.broadcast(nbi))
+        jxy.crossJoin(F.broadcast(nbi))
         .selectExpr(
             "concat(x, ' ', y) as pair",
             "cast(cxy as bigint) as cxy",
@@ -4694,21 +4703,34 @@ _KEYNESS_ORACLE = f"""
     "smoothing bounds the out-rate for slice-exclusive terms. "
     "Deterministic top-5 via the (keyness DESC, term) tie-break; "
     "c_in >= 5 is the q194 support floor. Scale: one token explode "
-    "into per-(lang, term) and per-term combining counts, a "
-    "term-keyed equi-join back, and the rank window over the "
-    "compressed vocabulary table.",
+    "into per-(lang, term) and per-term combining counts (map-side "
+    "partial agg absorbs the stopword-hot raw keys), then a "
+    "term-keyed equi-join back that — unlike q194's bigram join — is "
+    "NOT skewed: both sides are post-aggregate and unique-per-key up "
+    "to language (a term key carries at most n_langs cl rows plus "
+    "one ct row, so every partition holds O(distinct terms / "
+    "n_partitions * n_langs) rows regardless of token frequency), "
+    "and the rank window runs per-language over the compressed "
+    "vocabulary table. ONE corpus pass: the per-term (ct), "
+    "per-language (nl), and global (nt) totals are all sums over the "
+    "persisted cl table — an unpersisted plan re-tokenizes the corpus "
+    "once per consumer (measured: 4 Generate nodes; plan-tested "
+    "at 1).",
 )
 def q198_keyness_terms(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
+    from .llm.dedup import _persist_capped
     from .llm.text_analysis import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     u = docs.select("lang", F.explode(tokens(F.col("text"))).alias("t"))
-    cl = u.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c_in"))
-    ct = u.groupBy("t").agg(F.count(F.lit(1)).alias("c_tot"))
-    nl = u.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
-    nt = u.agg(F.count(F.lit(1)).alias("n_tot"))
+    cl = _persist_capped(
+        u.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c_in"))
+    )
+    ct = cl.groupBy("t").agg(F.sum("c_in").alias("c_tot"))
+    nl = cl.groupBy("lang").agg(F.sum("c_in").alias("n_in"))
+    nt = cl.agg(F.sum("c_in").alias("n_tot"))
     s = (
         cl.join(ct, "t")
         .join(F.broadcast(nl), "lang")

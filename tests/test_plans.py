@@ -857,3 +857,39 @@ def test_window_lint_catches_raw_global_window(spark):
         "rn", F.row_number().over(Window.orderBy("event_type"))
     )
     assert not _lint_unpartitioned_windows(ok)
+
+
+def test_pmi_collocation_joins_are_salted(plan):
+    """r7-verdict item 3: q194's two vocab-count joins key on single
+    tokens whose distinct-bigram fan-in is Zipf-hot (bounded only by the
+    token's unigram count), so both must join on (token, _salt) — the
+    q63 salted pattern — not the raw token. The salt must appear in the
+    JOIN keys, not merely as a projected column."""
+    import re
+
+    p = plan("q194_pmi_collocations")
+    salted = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) "
+        r"\[[^\]]*_salt[^\]]*\]", p
+    )
+    assert len(salted) >= 2, p
+
+
+def test_keyness_join_inputs_are_post_aggregate(plan):
+    """q198's term join needs NO salt: both sides are post-aggregate
+    (<= n_langs + 1 rows per term key). Pin that shape — every join
+    input in the plan must sit above a HashAggregate, so a refactor
+    that joins raw exploded tokens (where stopword skew IS real) fails
+    here."""
+    simple = plan("q198_keyness_terms")
+    assert "HashAggregate" in simple
+    # single-corpus-pass shape: the tokenize-explode runs once, INSIDE
+    # the persisted cl subtree — explain re-prints the cached plan under
+    # each InMemoryRelation consumer, so every Generate occurrence must
+    # be one of those re-prints (equal counts) and the cache boundary
+    # must exist at all. Removing the persist (4 live re-tokenizations,
+    # the pre-r8 shape) or adding a raw explode outside the cache breaks
+    # the equality.
+    n_gen = simple.count("Generate explode")
+    n_imr = simple.count("InMemoryRelation")
+    assert n_imr >= 1 and n_gen == n_imr, (n_gen, n_imr)
