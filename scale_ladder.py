@@ -263,6 +263,40 @@ def _warm(spark, sf_dir: str) -> None:
     ).format("noop").save()
 
 
+SIMILARITY_QUERIES = [
+    # r8 (r7-verdict item 4): the exact-similarity arm's df-cap /
+    # prefix-filter scaling claims get a measured third point. Each
+    # entry also records the result-pair count: under the fixed profile
+    # vocabulary, q154's FRACTIONAL df cap (0.05) prunes terms whose df
+    # grows past 5% of a growing corpus — the candidate set is expected
+    # to collapse as the cap bites (the bloom-crossover precedent),
+    # and the honest artifact shows cardinality next to cost.
+    "q154_tfidf_cosine_pairs",
+    "q175_ppjoin_pairs",
+]
+
+
+def _run_similarity_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Time the exact-similarity queries at one
+    scale point (noop-sink convention) and record result cardinality."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    _warm(spark, sf_dir)
+    out: dict[str, float] = {}
+    pairs: dict[str, int] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in SIMILARITY_QUERIES:
+        t0 = time.perf_counter()
+        df = by_name[name].spark_fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+        pairs[name] = df.count()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(json.dumps({"n_docs": n, "queries": out, "n_pairs": pairs}))
+
+
 def _run_one_sf(sf_dir: str) -> None:
     """(internal, fresh JVM) Time the four ladder queries at one scale
     point with the bench.py noop-sink convention; print ONE JSON line."""
@@ -304,6 +338,30 @@ def main() -> None:
         return
     if "--run-mining" in sys.argv:
         _run_mining_sf(sys.argv[sys.argv.index("--run-mining") + 1])
+        return
+    if "--run-similarity" in sys.argv:
+        _run_similarity_sf(sys.argv[sys.argv.index("--run-similarity") + 1])
+        return
+    if "--similarity" in sys.argv:
+        generate_sf1()
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        sim: dict[str, dict] = {}
+        for label, sf_dir in LADDER:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-similarity", sf_dir],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"similarity segment {label} failed")
+            sim[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results["similarity"] = sim
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(sim))
         return
     if "--mining" in sys.argv:
         generate_mining_sf1()
