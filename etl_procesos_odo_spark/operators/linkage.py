@@ -1,0 +1,107 @@
+"""Probabilistic record linkage: Fellegi-Sunter match weighting.
+
+Fellegi & Sunter (JASA 1969): for each candidate pair, every compared
+field contributes a likelihood ratio — ``m/u`` if the field agrees,
+``(1-m)/(1-u)`` if it disagrees — where ``m`` is the agreement
+probability among true matches and ``u`` among non-matches. The
+composite match weight is the product of the per-field ratios, and two
+thresholds cut the score line into link / possible (clerical review) /
+non-link.
+
+Engine-exactness discipline: the classical formulation sums LOG ratios,
+which drags platform-varying libm into every score. The m/u parameters
+here are exact RATIONALS, so the product of ratios is a ratio of two
+BIGINT products — the weight is computed as ``(w_num, w_den)`` in exact
+integer arithmetic, thresholds are applied by integer cross-
+multiplication, and the reported double score is ONE correctly-rounded
+IEEE division (the repo's log-free monotone-transform discipline, as in
+the q194/q198 rankings, extended from single ratios to PRODUCTS of
+ratios).
+
+Scale: weighting and classification are per-row expressions over an
+already-blocked candidate-pair frame — zero shuffle beyond whatever
+blocking produced the pairs (q130's key blocks, q149's sorted
+neighborhood). Parameter magnitudes: each field multiplies num/den by
+at most max(m_num*u_den, m_den*u_den); products of a dozen
+two-digit-rational fields stay far inside BIGINT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Comparator:
+    """One compared field: its agreement predicate and (m, u) rationals.
+
+    ``m = m_num/m_den`` — P(field agrees | pair is a true match);
+    ``u = u_num/u_den`` — P(field agrees | pair is a non-match).
+    Requires 0 < u < m < 1 (a useful comparator agrees more often on
+    matches than on random pairs).
+    """
+
+    name: str
+    agree: Column
+    m_num: int
+    m_den: int
+    u_num: int
+    u_den: int
+
+    def __post_init__(self) -> None:
+        if not (0 < self.u_num * self.m_den < self.m_num * self.u_den):
+            raise ValueError(f"{self.name}: need 0 < u < m")
+        if self.m_num >= self.m_den or self.u_num >= self.u_den:
+            raise ValueError(f"{self.name}: need m < 1 and u < 1")
+
+
+def fs_weight(comparators: list[Comparator]) -> tuple[Column, Column]:
+    """Exact-integer composite match weight: returns (w_num, w_den)
+    BIGINT columns with ``w_num/w_den = prod_i ratio_i``, where
+    ``ratio_i = m/u`` on agreement and ``(1-m)/(1-u)`` on disagreement."""
+    num: Column = F.lit(1).cast("long")
+    den: Column = F.lit(1).cast("long")
+    for c in comparators:
+        num = num * F.when(
+            c.agree, F.lit(c.m_num * c.u_den)
+        ).otherwise(F.lit((c.m_den - c.m_num) * c.u_den))
+        den = den * F.when(
+            c.agree, F.lit(c.m_den * c.u_num)
+        ).otherwise(F.lit(c.m_den * (c.u_den - c.u_num)))
+    return num, den
+
+
+def fs_classify(
+    pairs: DataFrame,
+    comparators: list[Comparator],
+    link_at: tuple[int, int] = (32, 1),
+    nonlink_below: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Append per-field agreement flags, the exact-rational composite
+    weight, its double rendering (one division), and the three-way
+    Fellegi-Sunter decision to a blocked candidate-pair frame.
+
+    ``link_at = (a, b)`` links when weight >= a/b;
+    ``nonlink_below = (c, d)`` rejects when weight < c/d — both applied
+    by BIGINT cross-multiplication, never on the double.
+    """
+    la_n, la_d = link_at
+    nl_n, nl_d = nonlink_below
+    if la_n * nl_d <= nl_n * la_d:
+        raise ValueError("link_at must exceed nonlink_below")
+    num, den = fs_weight(comparators)
+    out = pairs
+    for c in comparators:
+        out = out.withColumn(f"agree_{c.name}", c.agree)
+    out = out.withColumn("_wn", num).withColumn("_wd", den)
+    decision = (
+        F.when(F.col("_wn") * la_d >= F.col("_wd") * la_n, F.lit("link"))
+        .when(F.col("_wn") * nl_d < F.col("_wd") * nl_n, F.lit("nonlink"))
+        .otherwise(F.lit("possible"))
+    )
+    return out.withColumn(
+        "weight", F.col("_wn").cast("double") / F.col("_wd").cast("double")
+    ).withColumn("decision", decision).drop("_wn", "_wd")

@@ -3785,3 +3785,101 @@ def q196_source_purity(spark: SparkSession, sf_dir: str):
         "cast(n as bigint) as dominant_docs",
         "cast(n as double) / tot as dominant_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — Fellegi-Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+_FS_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars // 100 AS lenb,
+             ({O_TOKENS})[1] AS blk
+      FROM documents WHERE len({O_TOKENS}) > 0
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.lang = b.lang AS agree_lang,
+             a.source = b.source AS agree_source,
+             a.lenb = b.lenb AS agree_len
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    wtd AS (
+      SELECT *,
+             CAST((CASE WHEN agree_lang THEN 76 ELSE 4 END)
+               * (CASE WHEN agree_source THEN 180 ELSE 20 END)
+               * (CASE WHEN agree_len THEN 40 ELSE 10 END) AS BIGINT) AS wn,
+             CAST((CASE WHEN agree_lang THEN 20 ELSE 60 END)
+               * (CASE WHEN agree_source THEN 10 ELSE 190 END)
+               * (CASE WHEN agree_len THEN 5 ELSE 45 END) AS BIGINT) AS wd
+      FROM p
+    )
+    SELECT id_a, id_b, agree_lang, agree_source, agree_len,
+           CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE) AS weight,
+           CASE WHEN wn * 1 >= wd * 32 THEN 'link'
+                WHEN wn * 2 < wd * 1 THEN 'nonlink'
+                ELSE 'possible' END AS decision
+    FROM wtd
+    WHERE NOT (wn * 2 < wd * 1)
+    """
+
+
+@register(
+    "q199_fs_linkage",
+    _FS_ORACLE,
+    doc="Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter "
+    "1969) over first-token blocks of the documents table: three field "
+    "comparators (language m=19/20 u=1/4, source m=9/10 u=1/20, "
+    "100-char length bucket m=4/5 u=1/10) multiply into a composite "
+    "match weight, thresholded three ways (link >= 32, nonlink < 1/2, "
+    "possible between). The deterministic-weighting complement to "
+    "q149's edit-distance verify: sorted-neighborhood/blocking decide "
+    "WHICH pairs to score, F-S decides WHAT a match is when no single "
+    "field is decisive. Registry-policy case: a new discipline "
+    "(probabilistic linkage) AND a new parity application — the "
+    "classical log-weight sum is replaced by exact-rational BIGINT "
+    "num/den products with integer cross-multiplied thresholds and ONE "
+    "final IEEE division (the q194/q198 monotone-transform trick "
+    "extended from single ratios to products), so the score line is "
+    "bit-identical cross-engine with zero libm. Scale: weighting is "
+    "per-row arithmetic on the blocked pair frame (operators/"
+    "linkage.py); the block self-join is the q130 equi-join shape — "
+    "at corpus scale compose finer blocking keys exactly as there.",
+)
+def q199_fs_linkage(spark: SparkSession, sf_dir: str):
+    from .llm.text_analysis import tokens
+    from .operators.linkage import Comparator, fs_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 100").alias("lenb"),
+        F.element_at(tokens(F.col("text")), 1).alias("blk"),
+    ).filter(F.size(tokens(F.col("text"))) > 0)
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.lang").alias("_la"), F.col("b.lang").alias("_lb"),
+        F.col("a.source").alias("_sa"), F.col("b.source").alias("_sb"),
+        F.col("a.lenb").alias("_na"), F.col("b.lenb").alias("_nb"),
+    )
+    comps = [
+        Comparator("lang", F.col("_la") == F.col("_lb"), 19, 20, 1, 4),
+        Comparator("source", F.col("_sa") == F.col("_sb"), 9, 10, 1, 20),
+        Comparator("len", F.col("_na") == F.col("_nb"), 4, 5, 1, 10),
+    ]
+    return (
+        fs_classify(pairs, comps, link_at=(32, 1), nonlink_below=(1, 2))
+        .filter(F.col("decision") != "nonlink")
+        .select(
+            "id_a", "id_b", "agree_lang", "agree_source", "agree_len",
+            "weight", "decision",
+        )
+    )

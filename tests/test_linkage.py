@@ -1,0 +1,71 @@
+"""Fellegi-Sunter linkage: exact-rational weight algebra + thresholds."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_procesos_odo_spark.operators.linkage import (
+    Comparator,
+    fs_classify,
+)
+
+
+def _comps():
+    return [
+        Comparator("lang", F.col("al"), 19, 20, 1, 4),
+        Comparator("source", F.col("asrc"), 9, 10, 1, 20),
+        Comparator("len", F.col("alen"), 4, 5, 1, 10),
+    ]
+
+
+def test_comparator_validation(spark):
+    with pytest.raises(ValueError):  # u >= m
+        Comparator("bad", F.lit(True), 1, 4, 19, 20)
+    with pytest.raises(ValueError):  # m = 1
+        Comparator("bad", F.lit(True), 5, 5, 1, 10)
+    with pytest.raises(ValueError):  # thresholds inverted
+        fs_classify(None, _comps(), link_at=(1, 4), nonlink_below=(1, 2))
+
+
+def test_weights_match_fraction_arithmetic(spark):
+    """Every agreement pattern's weight must equal the exact Fraction
+    product of per-field likelihood ratios, and the decision must be the
+    cross-multiplied threshold test — replicated here with
+    fractions.Fraction as the independent arbiter."""
+    rows = [
+        (i, bool(i & 4), bool(i & 2), bool(i & 1)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["pid", "al", "asrc", "alen"])
+    got = {
+        r["pid"]: (r["weight"], r["decision"])
+        for r in fs_classify(df, _comps()).collect()
+    }
+    params = [
+        (Fraction(19, 20), Fraction(1, 4)),
+        (Fraction(9, 10), Fraction(1, 20)),
+        (Fraction(4, 5), Fraction(1, 10)),
+    ]
+    for pid, al, asrc, alen in rows:
+        w = Fraction(1)
+        for agree, (m, u) in zip((al, asrc, alen), params):
+            w *= (m / u) if agree else ((1 - m) / (1 - u))
+        exp_dec = (
+            "link" if w >= 32 else "nonlink" if w < Fraction(1, 2)
+            else "possible"
+        )
+        w_dbl, dec = got[pid]
+        assert dec == exp_dec, (pid, w)
+        # the double is ONE division of the exact num/den
+        assert w_dbl == w.numerator / w.denominator, pid
+
+
+def test_all_agree_links_all_disagree_rejects(spark):
+    df = spark.createDataFrame(
+        [(1, True, True, True), (2, False, False, False)],
+        ["pid", "al", "asrc", "alen"],
+    )
+    out = {r["pid"]: r["decision"] for r in fs_classify(df, _comps()).collect()}
+    assert out == {1: "link", 2: "nonlink"}
