@@ -108,6 +108,112 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    divisor: int = 16,
+    hash_mod: int = 32768,
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup discipline: Muthitacharoen
+    et al., LBFS SOSP'01; Rabin fingerprint boundaries): cut a chunk
+    wherever the rolling hash of the last ``window`` tokens is 0 mod
+    ``divisor``, so boundaries are a function of LOCAL CONTENT, not
+    position. Unlike fixed-stride chunking (:func:`chunk_documents`),
+    inserting or deleting one token only re-cuts the chunks that
+    physically contain the edit — every later chunk keeps its identity,
+    which is what makes chunk-level dedup/delta-sync of revised corpora
+    work (a one-line edit under fixed stride shifts and invalidates
+    every subsequent chunk).
+
+    Deterministic and engine-portable: per-token 15-bit md5-based
+    hashes (``hash60 % hash_mod``), window hash = base-``hash_mod``
+    polynomial of the last ``window`` token hashes — pure BIGINT
+    arithmetic (< 2^60 for window=4, no overflow under ANSI mode), the
+    same expressions a SQL oracle evaluates verbatim. Expected chunk
+    length is ``divisor`` tokens; documents shorter than ``window``
+    tokens form one chunk.
+
+    Everything is array-side per-row work: tokenize once, rolling hash
+    via chained ``zip_with`` over shifted slices (the codegen-friendly
+    spelling — index-lambda ``transform(sequence(...))`` falls out of
+    whole-stage codegen), boundary positions by filtered
+    index-transform, chunk ranges by zipping the shifted boundary list,
+    ONE explode of the final chunk structs. No shuffle, no window
+    functions — scan speed, embarrassingly parallel at any corpus size.
+    """
+    if window != 4:
+        raise NotImplementedError(
+            "rolling polynomial is unrolled for window=4 (degree fixed so "
+            "the magnitude bound 2^60 is static)"
+        )
+    if hash_mod * (hash_mod ** 3) >= 2 ** 62:
+        raise ValueError("hash_mod^4 must stay inside BIGINT")
+    from .dedup import hash60
+
+    B = F.lit(hash_mod)
+    w = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), w.alias("_w")).filter(F.size("_w") > 0)
+    hs = F.transform(F.col("_w"), lambda t: hash60(t) % B)
+    n = F.size("_w")
+    m = F.greatest(n - F.lit(window - 1), F.lit(0))
+    s1 = F.slice(hs, 1, m)
+    s2 = F.slice(hs, 2, m)
+    s3 = F.slice(hs, 3, m)
+    s4 = F.slice(hs, 4, m)
+    roll = F.zip_with(
+        F.zip_with(
+            F.zip_with(s1, s2, lambda a, b: a * B + b),
+            s3,
+            lambda a, b: a * B + b,
+        ),
+        s4,
+        lambda a, b: a * B + b,
+    )
+    # 1-based token position j of each window end: j = idx + window
+    bpos = F.filter(
+        F.transform(
+            roll,
+            lambda x, i: F.when(
+                x % divisor == 0, i + F.lit(window)
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda p: p > 0,
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1)
+    )
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.transform(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda p, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            p["s"].alias("s"),
+            p["e"].alias("e"),
+        ),
+    )
+    # s > e only for the appended tail when the last token is itself a
+    # boundary (empty final chunk) — dropped; chunk ids stay contiguous
+    # because that can only happen at the last element
+    out = base.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(F.filter(chunks, lambda c: c["s"] <= c["e"])).alias("c"),
+    )
+    return out.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        (F.col("c.e") - F.col("c.s") + 1).cast("long").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("c.s"), F.col("c.e") - F.col("c.s") + 1),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def interleave_order(
     df: DataFrame,
     stratum_col: str,

@@ -4759,3 +4759,66 @@ def q198_keyness_terms(spark: SparkSession, sf_dir: str):
             "cast(rk as bigint) as rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    p AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+    h AS (
+      SELECT doc_id, w, n,
+             list_transform(w, t -> {o_h60("t")} % 32768) AS hs
+      FROM p
+    ),
+    r AS (
+      SELECT doc_id, w, n,
+             list_filter(list_transform(generate_series(4, n),
+               j -> CASE WHEN (((hs[j-3] * 32768 + hs[j-2]) * 32768
+                                + hs[j-1]) * 32768 + hs[j]) % 16 = 0
+                         THEN j ELSE -1 END), b -> b > 0) AS bpos
+      FROM h
+    ),
+    c AS (
+      SELECT doc_id, w, n,
+             list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+             list_append(bpos, n) AS ends
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(w, starts[i], ends[i]), ' ')
+             AS chunk_text
+    FROM c, UNNEST(generate_series(1, len(starts))) AS t(i)
+    WHERE starts[i] <= ends[i]
+    """
+
+
+@register(
+    "q200_cdc_chunks",
+    _CDC_ORACLE,
+    doc="Content-defined chunking (LBFS/Rabin boundary discipline — "
+    "Muthitacharoen et al. SOSP'01): cut wherever the rolling hash of "
+    "the last 4 tokens is 0 mod 16, so chunk boundaries follow LOCAL "
+    "CONTENT instead of position. The edit-stability complement to "
+    "q76's fixed-stride windows: inserting one token under fixed "
+    "stride shifts and invalidates every later chunk; under CDC only "
+    "the chunks containing the edit re-cut, which is what makes "
+    "chunk-level dedup and delta-sync of revised corpora work. "
+    "Registry-policy case: a new chunking discipline (content-defined "
+    "vs fixed-stride), not a parameter variation. Engine-exact by "
+    "construction: md5-derived 15-bit token hashes, base-32768 "
+    "polynomial window hash in pure BIGINT (< 2^60, ANSI-safe), the "
+    "identical expressions evaluated by the oracle. Plan: entirely "
+    "array-side per-row work + ONE explode — no shuffle, no windows "
+    "(rolling hash via chained zip_with over shifted slices, the "
+    "codegen-friendly spelling).",
+)
+def q200_cdc_chunks(spark: SparkSession, sf_dir: str):
+    from .llm.packing import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "text", "doc_id", window=4, divisor=16)

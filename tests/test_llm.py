@@ -2355,3 +2355,97 @@ def test_ppjoin_exact_recall_vs_bruteforce(spark):
             want[(ia, ib)] = sh
     assert want  # the crafted data must exercise the >= t branch
     assert got == want
+
+
+def _cdc_ref(toks, window=4, divisor=16, mod=32768):
+    """Independent Python replication of cdc_chunks (hashlib arbiter)."""
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % mod
+        for t in toks
+    ]
+    bpos = [
+        j
+        for j in range(window, len(toks) + 1)
+        if (
+            ((hs[j - 4] * mod + hs[j - 3]) * mod + hs[j - 2]) * mod
+            + hs[j - 1]
+        )
+        % divisor
+        == 0
+    ]
+    starts = [1] + [p + 1 for p in bpos]
+    ends = bpos + [len(toks)]
+    return [
+        " ".join(toks[s - 1 : e])
+        for s, e in zip(starts, ends)
+        if s <= e
+    ]
+
+
+def test_cdc_chunks_match_hashlib_reference(spark):
+    from etl_procesos_odo_spark.llm.packing import cdc_chunks
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = cdc_chunks(df, "text", "doc_id").collect()
+    got: dict[int, list[str]] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got.setdefault(r["doc_id"], []).append(r["chunk_text"])
+        assert r["n_chunk_tokens"] == len(r["chunk_text"].split())
+    for i, text in docs:
+        assert got[i] == _cdc_ref(text.split()), i
+
+
+def test_cdc_chunks_reassemble_and_edit_stability(spark):
+    """The property the discipline exists for: (1) chunks reassemble the
+    document exactly; (2) inserting ONE token at the front re-cuts only
+    the chunks near the edit — every boundary past the edit window
+    survives, so all later chunk texts are shared verbatim, whereas
+    fixed-stride chunking shifts every subsequent chunk."""
+    import random
+
+    from etl_procesos_odo_spark.llm.packing import cdc_chunks
+
+    rng = random.Random(11)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet", "sed", "quia"]
+    toks = [rng.choice(vocab) for _ in range(300)]
+    edited = ["INSERTED"] + toks
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(edited))], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+    chunks = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        chunks[r["doc_id"]].append(r["chunk_text"])
+    # (1) reassembly
+    assert " ".join(chunks[0]) == " ".join(toks)
+    assert " ".join(chunks[1]) == " ".join(edited)
+    # (2) edit stability: everything after the first shared boundary is
+    # identical — compare the chunk lists from the tail
+    tail0, tail1 = chunks[0][1:], chunks[1][1:]
+    shared = 0
+    while (
+        shared < min(len(tail0), len(tail1))
+        and tail0[-1 - shared] == tail1[-1 - shared]
+    ):
+        shared += 1
+    # with ~19 expected chunks, all but the first O(1) must survive
+    assert shared >= len(chunks[0]) - 2, (len(chunks[0]), shared)
+    # contrast: fixed-stride chunking shares NO tail chunk after a
+    # front insertion (every window shifts by one token)
+    from etl_procesos_odo_spark.llm.packing import chunk_documents
+
+    frows = chunk_documents(df, "text", "doc_id", 16, 0).collect()
+    fixed = {0: [], 1: []}
+    for r in sorted(frows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        fixed[r["doc_id"]].append(r["chunk_text"])
+    assert fixed[0][-1] != fixed[1][-1]

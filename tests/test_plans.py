@@ -893,3 +893,9 @@ def test_keyness_join_inputs_are_post_aggregate(plan):
     n_gen = simple.count("Generate explode")
     n_imr = simple.count("InMemoryRelation")
     assert n_imr >= 1 and n_gen == n_imr, (n_gen, n_imr)
+
+
+def test_cdc_chunks_scan_speed_no_shuffle(plan):
+    """q200 is pure array-side per-row work + one explode — any Exchange
+    is an accidental wide dependency."""
+    assert "Exchange" not in plan("q200_cdc_chunks")
