@@ -194,3 +194,81 @@ def digest_diff(
             ).alias("is_match"),
         )
     )
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    value_col: str,
+    predicates: Sequence[tuple[int, str, str]],
+) -> DataFrame:
+    """Data-skipping effectiveness audit: for each candidate LAYOUT
+    (an expression assigning every row to a "file") and each range
+    predicate in a literal workload, report how many files — and rows —
+    a zone-map-pruning scan would have to read.
+
+    This is the measurement that justifies (or rejects) a 100 TB layout
+    rewrite BEFORE paying for it: per-file min/max footer stats are
+    simulated by ``groupBy(layout, file).agg(min, max, count)`` — one
+    combining aggregate per layout, no sort, no window (the layout is an
+    EXPRESSION, so candidate layouts are evaluated without materializing
+    either one) — and a file must be read iff its [min, max] span
+    overlaps the predicate's [lo, hi]. A clustered layout yields
+    read fractions near the predicate's selectivity; a hash layout
+    yields 1.0 (every file overlaps everything). Complements
+    ``zorder_key`` (which BUILDS a layout) with the audit that says
+    whether it pays.
+
+    ``predicates``: (pred_id, lo, hi) ISO-date literals, inclusive.
+    Returns (layout, pred_id, n_files, files_read, rows_read,
+    read_frac) — exact integers plus ONE division.
+    """
+    parts = []
+    for name, file_expr in layouts.items():
+        parts.append(
+            df.select(
+                F.lit(name).alias("layout"),
+                file_expr.cast("long").alias("file_id"),
+                F.col(value_col).cast("date").alias("_d"),
+            )
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    stats = tagged.groupBy("layout", "file_id").agg(
+        F.min("_d").alias("min_d"),
+        F.max("_d").alias("max_d"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pid).cast("long").alias("pred_id"),
+                    F.lit(lo).cast("date").alias("lo"),
+                    F.lit(hi).cast("date").alias("hi"),
+                )
+                for pid, lo, hi in predicates
+            ]
+        )
+    ).alias("p")
+    audit = stats.select("*", preds).select(
+        "layout", "file_id", "n_rows",
+        F.col("p.pred_id").alias("pred_id"),
+        (
+            (F.col("min_d") <= F.col("p.hi"))
+            & (F.col("max_d") >= F.col("p.lo"))
+        ).alias("_read"),
+    )
+    return audit.groupBy("layout", "pred_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("_read"), 1).otherwise(0))
+        .cast("long")
+        .alias("files_read"),
+        F.sum(F.when(F.col("_read"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_read"),
+    ).withColumn(
+        "read_frac",
+        F.col("files_read").cast("double") / F.col("n_files").cast("double"),
+    )

@@ -3883,3 +3883,92 @@ def q199_fs_linkage(spark: SparkSession, sf_dir: str):
             "weight", "decision",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — zone-map pruning audit: measure a layout's data-skipping power
+# ---------------------------------------------------------------------------
+
+_ZONEMAP_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mf,
+             {o_h60("CAST(o_orderkey AS VARCHAR)")} % 16 AS hf
+      FROM orders
+    ),
+    tagged AS (
+      SELECT 'time_clustered' AS layout, CAST(mf AS BIGINT) AS file_id, d
+      FROM base
+      UNION ALL
+      SELECT 'hash_random', CAST(hf AS BIGINT), d FROM base
+    ),
+    stats AS (
+      SELECT layout, file_id, MIN(d) AS mn, MAX(d) AS mx, COUNT(*) AS n
+      FROM tagged GROUP BY 1, 2
+    ),
+    preds(pred_id, lo, hi) AS (VALUES
+      (1, DATE '1996-01-01', DATE '1996-03-31'),
+      (2, DATE '1997-07-01', DATE '1997-12-31'),
+      (3, DATE '1999-01-01', DATE '1999-12-31'),
+      (4, DATE '2000-06-01', DATE '2000-06-07')
+    ),
+    audit AS (
+      SELECT layout, pred_id, (mn <= hi AND mx >= lo) AS rd, n
+      FROM stats CROSS JOIN preds
+    )
+    SELECT layout, CAST(pred_id AS BIGINT) AS pred_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(SUM(CASE WHEN rd THEN n ELSE 0 END) AS BIGINT)
+             AS rows_read,
+           CAST(CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS read_frac
+    FROM audit GROUP BY 1, 2
+    """
+
+
+@register(
+    "q201_zonemap_audit",
+    _ZONEMAP_ORACLE,
+    doc="Zone-map pruning audit (operators/layout.py "
+    "zonemap_prune_audit): simulate the per-file min/max footer stats "
+    "of two candidate layouts of orders — time-clustered (file = month "
+    "since 1995-01, the ingest-order layout) vs hash-random (file = "
+    "md5-hash of the key mod 16) — and measure, for a literal workload "
+    "of four date-range predicates, how many files and rows a "
+    "min/max-pruning scan must read under each. The measurement that "
+    "justifies or rejects a 100 TB layout rewrite BEFORE paying for "
+    "it: the clustered layout's read_frac tracks predicate "
+    "selectivity, the hash layout reads ~everything; the same audit "
+    "run on a zorder_key layout evidences ITS claim (test_layout.py). "
+    "Registry-policy case: the data-skipping measurement discipline — "
+    "the WHY metric for the layout family (q129 builds z-keys, q162 "
+    "profiles skew, this measures pruning). Scale: one combining "
+    "aggregate per candidate layout over layout EXPRESSIONS (no "
+    "materialized rewrite, no sort, no window), then arithmetic on the "
+    "tiny (layout x file) stats table crossed with the literal "
+    "predicate array. Exact integers + ONE division.",
+)
+def q201_zonemap_audit(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import hash60
+    from .operators.layout import zonemap_prune_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    layouts = {
+        "time_clustered": (F.year("o_orderdate") - 1995) * 12
+        + F.month("o_orderdate")
+        - 1,
+        "hash_random": hash60(F.col("o_orderkey").cast("string")) % 16,
+    }
+    return zonemap_prune_audit(
+        orders,
+        layouts,
+        "o_orderdate",
+        [
+            (1, "1996-01-01", "1996-03-31"),
+            (2, "1997-07-01", "1997-12-31"),
+            (3, "1999-01-01", "1999-12-31"),
+            (4, "2000-06-01", "2000-06-07"),
+        ],
+    )
