@@ -214,3 +214,47 @@ def coalesce_islands(
         )
         .drop("_isl")
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (Kimball's dimension
+    versioning): turn an attribute-observation change log into validity
+    intervals — one row per (key, value) EPISODE with
+    ``[valid_from_us, valid_to_us)`` half-open micros bounds, a per-key
+    version number, and an ``is_current`` flag on the open interval.
+
+    Two stages over ONE partitioning: (1) collapse no-op observations —
+    a row survives only if its value differs from the key's previous
+    observation (LAG over (ts, tiebreak)); (2) LEAD over the survivors
+    closes each episode at the next episode's start. Both windows hash-
+    partition by the key and reuse the same sort, so the whole build is
+    one shuffle; per-key history is bounded (an entity's change count),
+    never corpus-scale — the standard SCD2 shape at any table size.
+
+    Epochs are exact BIGINT microseconds (``unix_micros`` here,
+    ``epoch_us`` in the oracle) — the repo's micros-exact discipline;
+    the open interval's valid_to is NULL.
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    collapsed = (
+        df.withColumn("_prev", F.lag(value_col).over(w_ord))
+        .filter(
+            F.col("_prev").isNull() | (F.col(value_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return collapsed.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -3972,3 +3972,51 @@ def q201_zonemap_audit(spark: SparkSession, sf_dir: str):
             (4, "2000-06-01", "2000-06-07"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — SCD type-2 dimension build from a change log
+# ---------------------------------------------------------------------------
+
+@register(
+    "q202_scd2_build",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    collapsed AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM collapsed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Slowly-changing-dimension type-2 build (Kimball dimension "
+    "versioning; operators/windows.py scd2_build): the events change "
+    "log becomes one row per (user, value) EPISODE with half-open "
+    "[valid_from_us, valid_to_us) bounds, per-user version numbers, "
+    "and an is_current flag — the warehouse-ETL operator that lets "
+    "every fact join to the dimension AS OF its own timestamp (the "
+    "q81 as-of join's canonical right side). Registry-policy case: a "
+    "new discipline for the reference's own domain — the reference "
+    "apps rebuild state snapshots per run (app_generador_de_"
+    "particiones.py's full-refresh reads); SCD2 is the incremental "
+    "history-preserving alternative a warehouse actually deploys. "
+    "Collapse of no-op observations (LAG) and episode close (LEAD) "
+    "share ONE hash partitioning and sort — a single shuffle; per-key "
+    "history is an entity's change count, never corpus-scale. Epochs "
+    "are exact BIGINT micros (unix_micros / epoch_us), ties broken by "
+    "event_id.",
+)
+def q202_scd2_build(spark: SparkSession, sf_dir: str):
+    from .operators.windows import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_build(ev, "user_id", "ts", "event_type", "event_id")

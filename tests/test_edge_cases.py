@@ -1140,3 +1140,70 @@ def test_keyness_terms_bruteforce(spark):
         for i, row in enumerate(scored, 1):
             want[(lang, i)] = row
     assert got == want
+
+
+def test_scd2_build_crafted_history(spark):
+    """Crafted change log: no-op observations collapse, episodes chain
+    half-open, versions count per key, exactly one open interval per
+    key — and the intervals actually answer as-of lookups."""
+    import datetime as dt
+
+    from etl_procesos_odo_spark.operators.windows import scd2_build
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: A A B A  -> episodes A, B, A (middle A is a no-op dup)
+        (1, T(0), "A", 10),
+        (1, T(10), "A", 11),
+        (1, T(20), "B", 12),
+        (1, T(30), "A", 13),
+        # user 2: single observation -> one open episode
+        (2, T(5), "X", 20),
+        # user 3: tie timestamps, tiebreak by event_id -> C then D
+        (3, T(7), "D", 31),
+        (3, T(7), "C", 30),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = sorted(
+        scd2_build(df, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    us = lambda s: int(T(s).timestamp() * 1_000_000)
+    got = [
+        (r["user_id"], r["event_type"], r["valid_from_us"],
+         r["valid_to_us"], r["version"], r["is_current"])
+        for r in out
+    ]
+    assert got == [
+        (1, "A", us(0), us(20), 1, False),
+        (1, "B", us(20), us(30), 2, False),
+        (1, "A", us(30), None, 3, True),
+        (2, "X", us(5), None, 1, True),
+        (3, "C", us(7), us(7), 1, False),  # zero-length episode on tie
+        (3, "D", us(7), None, 2, True),
+    ]
+    # one open interval per key; intervals tile without overlap
+    by_key = {}
+    for g in got:
+        by_key.setdefault(g[0], []).append(g)
+    for k, eps in by_key.items():
+        assert sum(1 for e in eps if e[5]) == 1
+        for a, b in zip(eps, eps[1:]):
+            assert a[3] == b[2]  # half-open chaining
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both SCD2 windows (LAG collapse, LEAD close) must reuse ONE hash
+    partitioning on the key — a second Exchange means the sort/partition
+    reuse broke."""
+    from etl_procesos_odo_spark.operators.windows import scd2_build
+    from etl_procesos_odo_spark.session import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = (
+        scd2_build(ev, "user_id", "ts", "event_type", "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1, p
