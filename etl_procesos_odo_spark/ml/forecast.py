@@ -267,3 +267,94 @@ def lr_forecast_closed_form(spark: SparkSession, events: DataFrame) -> DataFrame
             "dia_semana", "hora", f"{lr_grid_pred_expr()} AS demanda_lr"
         )
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: int = 7,
+    horizon: int = 7,
+    n_folds: int = 3,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (Hyndman & Koehler 2006's MASE protocol): per series, evaluate
+    ``n_folds`` forecast origins stepping back ``horizon`` days from
+    the series end; at each origin the model predicts day ``d`` as the
+    actual of ``d - period`` (data at or before the origin only), and
+    errors are scaled by the in-sample one-step naive MAE.
+
+    The evaluation arm the ML family lacked: q41/q151 FIT and PREDICT,
+    this measures whether ANY fitted model beats the seasonal baseline
+    on honest out-of-time splits. All error arithmetic is exact BIGINT
+    (counts, absolute differences, integer products); MASE is ONE
+    final division — bit-identical cross-engine, no libm.
+
+    Plan: one combining groupBy to daily counts; a dense integer-day
+    spine (per-key sequence explode against one broadcast min/max row)
+    so the period lag is positional; LAG windows per key over the
+    COMPRESSED daily table (bounded by days, never raw rows); a
+    3-element literal fold explode; one final aggregate. Two shuffles
+    total (daily groupBy; key window) at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+    daily = (
+        events.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("_mn"), F.max("d").alias("_mx")
+    )
+    spine = (
+        daily.select("k")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k", F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("d")
+        )
+    )
+    dense = (
+        spine.join(daily, ["k", "d"], "left")
+        .select("k", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy("d")
+    lagp = F.lag("c", period).over(w)
+    lag1 = F.lag("c", 1).over(w)
+    enr = dense.select(
+        "k", "d", "c", lagp.alias("_lp"), lag1.alias("_l1")
+    ).crossJoin(F.broadcast(bounds))
+    folds = F.explode(
+        F.array(*[F.lit(i) for i in range(1, n_folds + 1)])
+    ).alias("fold")
+    e = enr.select("*", folds).withColumn(
+        "_origin", F.col("_mx") - F.lit(horizon) * F.col("fold")
+    )
+    is_eval = (
+        (F.col("d") > F.col("_origin"))
+        & (F.col("d") <= F.col("_origin") + horizon)
+        & F.col("_lp").isNotNull()
+    )
+    is_train = (F.col("d") <= F.col("_origin")) & F.col("_l1").isNotNull()
+    agg = e.groupBy(F.col("k").alias(key_col), "fold").agg(
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("h"),
+        F.sum(F.when(is_eval, F.abs(F.col("c") - F.col("_lp"))).otherwise(0))
+        .cast("long")
+        .alias("sum_abs_err"),
+        F.sum(F.when(is_train, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(
+            F.when(is_train, F.abs(F.col("c") - F.col("_l1"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_train_abs_diff"),
+    )
+    mase = F.when(
+        (F.col("sum_train_abs_diff") > 0) & (F.col("h") > 0),
+        (F.col("sum_abs_err") * F.col("n_train")).cast("double")
+        / (F.col("h") * F.col("sum_train_abs_diff")).cast("double"),
+    )
+    return agg.withColumn("fold", F.col("fold").cast("long")).withColumn(
+        "mase", mase
+    )

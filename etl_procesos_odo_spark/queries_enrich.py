@@ -4020,3 +4020,84 @@ def q202_scd2_build(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return scd2_build(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q203 — rolling-origin seasonal-naive backtest (exact-integer MASE)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q203_seasonal_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (
+      SELECT k, UNNEST(generate_series(mn, mx)) AS d
+      FROM (SELECT DISTINCT k FROM daily) CROSS JOIN bounds
+    ),
+    dense AS (
+      SELECT s.k, s.d, COALESCE(daily.c, 0) AS c
+      FROM spine s LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d
+    ),
+    enr AS (
+      SELECT k, d, c,
+             LAG(c, 7) OVER w AS lp,
+             LAG(c, 1) OVER w AS l1
+      FROM dense WINDOW w AS (PARTITION BY k ORDER BY d)
+    ),
+    e AS (
+      SELECT enr.*, f.fold, b.mx - 7 * f.fold AS origin
+      FROM enr
+      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS fold) f
+      CROSS JOIN bounds b
+    ),
+    agg AS (
+      SELECT k AS event_type, CAST(fold AS BIGINT) AS fold,
+             CAST(SUM(CASE WHEN d > origin AND d <= origin + 7
+                            AND lp IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h,
+             CAST(SUM(CASE WHEN d > origin AND d <= origin + 7
+                            AND lp IS NOT NULL THEN abs(c - lp)
+                       ELSE 0 END) AS BIGINT) AS sum_abs_err,
+             CAST(SUM(CASE WHEN d <= origin AND l1 IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN d <= origin AND l1 IS NOT NULL
+                       THEN abs(c - l1) ELSE 0 END) AS BIGINT)
+               AS sum_train_abs_diff
+      FROM e GROUP BY 1, 2
+    )
+    SELECT *,
+           CASE WHEN sum_train_abs_diff > 0 AND h > 0
+                THEN CAST(sum_abs_err * n_train AS DOUBLE)
+                     / CAST(h * sum_train_abs_diff AS DOUBLE)
+           END AS mase
+    FROM agg
+    """,
+    doc="Rolling-origin backtest of the seasonal-naive forecaster with "
+    "exact-integer MASE (Hyndman & Koehler 2006; ml/forecast.py "
+    "seasonal_naive_backtest): three origins step back a week at a "
+    "time from the series end; each fold forecasts day d as the "
+    "actual of d-7 using data at or before its origin, and scales "
+    "the horizon MAE by the in-sample one-step naive MAE. Registry-"
+    "policy case: the ML family's missing EVALUATION arm — q41/q104 "
+    "fit, q151 predicts, nothing measured honest out-of-time skill "
+    "against the baseline every forecasting paper scales by. All "
+    "error sums are BIGINT (integer counts, absolute differences); "
+    "MASE is integer products + ONE division — bit-identical "
+    "cross-engine. Plan: daily combining groupBy, dense integer-day "
+    "spine (broadcast 1-row bounds), per-key LAG windows on the "
+    "compressed daily table, literal fold explode, one aggregate — "
+    "two shuffles at any corpus size.",
+)
+def q203_seasonal_backtest(spark: SparkSession, sf_dir: str):
+    from .ml.forecast import seasonal_naive_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_naive_backtest(
+        ev, "event_type", "ts", period=7, horizon=7, n_folds=3
+    )

@@ -106,3 +106,44 @@ def test_cholesky_solve_exprs_identity(spark):
     row = df.select("beta_0", "beta_1", "beta_2", "beta_3").collect()[0]
     for i in range(4):
         assert abs(row[i] - beta_true[i]) < 1e-9, (i, row[i], beta_true[i])
+
+
+def test_seasonal_backtest_crafted_series(spark):
+    """Hand-checkable MASE: a perfectly weekly series scores 0; a series
+    that deviates by a known amount in the last week scores the exact
+    integer-ratio MASE, replicated here with Fractions."""
+    import datetime as dt
+    from fractions import Fraction
+
+    from etl_procesos_odo_spark.ml.forecast import seasonal_naive_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # series P: weekly pattern [1,2,3,4,5,6,7] repeated 5 weeks (35 days)
+    pat = [1, 2, 3, 4, 5, 6, 7]
+    for day in range(35):
+        for _ in range(pat[day % 7]):
+            rows.append(("P", base + dt.timedelta(days=day)))
+    # series Q: same but the final week adds +2 events per day
+    for day in range(35):
+        for _ in range(pat[day % 7] + (2 if day >= 28 else 0)):
+            rows.append(("Q", base + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {
+        (r["event_type"], r["fold"]): r
+        for r in seasonal_naive_backtest(
+            df, "event_type", "ts", period=7, horizon=7, n_folds=3
+        ).collect()
+    }
+    # P: seasonal-naive is exact everywhere -> every fold's MASE is 0
+    for fold in (1, 2, 3):
+        r = out[("P", fold)]
+        assert r["h"] == 7 and r["sum_abs_err"] == 0 and r["mase"] == 0.0
+    # Q fold 1 (origin = day 27): eval days 28..34 each err |+2| -> 14;
+    # train diffs over days 1..27: |pattern step| = 1 x 24 + |1-7| x 3
+    #   (wrap-around days 7,14,21 step 7 -> 1, diff 6) -> 24 + 18 = 42
+    r = out[("Q", 1)]
+    assert (r["h"], r["sum_abs_err"]) == (7, 14)
+    assert (r["n_train"], r["sum_train_abs_diff"]) == (27, 42)
+    exp = Fraction(14 * 27, 7 * 42)
+    assert r["mase"] == exp.numerator / exp.denominator
