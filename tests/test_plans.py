@@ -899,3 +899,44 @@ def test_cdc_chunks_scan_speed_no_shuffle(plan):
     """q200 is pure array-side per-row work + one explode — any Exchange
     is an accidental wide dependency."""
     assert "Exchange" not in plan("q200_cdc_chunks")
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Registry-wide machine-check of the anti-pattern sweep: NO query's
+    physical plan may contain a CartesianProduct. All of the repo's
+    crossJoins are broadcast 1-row/tiny frames, which plan as
+    BroadcastNestedLoopJoin — an actual CartesianProduct means a
+    broadcast hint was lost (e.g. behind a checkpoint/persist boundary,
+    where the frame has no stats) and a quadratic shuffle ships at
+    scale."""
+    offenders = []
+    for q in registry():
+        p = (
+            q.spark_fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in p:
+            offenders.append(q.name)
+    assert not offenders, offenders
+
+
+def test_no_python_row_udfs_or_topandas_in_package():
+    """Source-level gate for the standing U1 claim: zero row-at-a-time
+    Python UDFs (F.udf / @udf) and zero driver-side toPandas() in the
+    package — the only sanctioned Python paths are Arrow-batched
+    mapInPandas/applyInPandas(WithState). A hit here is the 10-100x
+    per-row-Python cliff."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "etl_procesos_odo_spark"
+    bad: list[str] = []
+    for f in sorted(pkg.rglob("*.py")):
+        src = f.read_text()
+        for pat in (r"\bF\.udf\s*\(", r"@udf\b", r"\.toPandas\s*\("):
+            for m in re.finditer(pat, src):
+                line = src[: m.start()].count("\n") + 1
+                bad.append(f"{f.name}:{line}:{m.group(0)}")
+    assert not bad, bad
