@@ -443,7 +443,13 @@ def _parse_args(argv: list[str]):
     p.add_argument("--only", metavar="NAME1,NAME2",
                    help="comma-separated query subset (one warm session, "
                         "no segments/extras)")
-    p.add_argument("--segments", type=int, metavar="N",
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("segments must be >= 1")
+        return n
+
+    p.add_argument("--segments", type=_positive, metavar="N",
                    help="number of fresh-JVM segments for the full "
                         "protocol (default 3)")
     return p.parse_args(argv)
@@ -455,6 +461,6 @@ if __name__ == "__main__":
         os.environ["SPARK_GRAFT_SF_DIR"] = _args.sf
     if _args.only:
         os.environ["BENCH_QUERIES"] = _args.only
-    if _args.segments:
+    if _args.segments is not None:
         os.environ["BENCH_SEGMENTS"] = str(_args.segments)
     main()

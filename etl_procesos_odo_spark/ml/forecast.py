@@ -299,6 +299,13 @@ def seasonal_naive_backtest(
     """
     from pyspark.sql import Window
 
+    if horizon > period:
+        raise ValueError(
+            f"horizon ({horizon}) > period ({period}) would leak: the "
+            "lag-period forecast for late horizon days would read actuals "
+            "from INSIDE the evaluation window (after the origin); iterate "
+            "folds or shorten the horizon"
+        )
     day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
     daily = (
         events.select(F.col(key_col).alias("k"), day.alias("d"))

@@ -223,6 +223,13 @@ def zonemap_prune_audit(
     Returns (layout, pred_id, n_files, files_read, rows_read,
     read_frac) — exact integers plus ONE division.
     """
+    if not layouts:
+        raise ValueError("need at least one candidate layout")
+    if not predicates:
+        raise ValueError(
+            "need at least one predicate — an empty workload would return "
+            "zero rows, indistinguishable from 'nothing needs reading'"
+        )
     parts = []
     for name, file_expr in layouts.items():
         parts.append(

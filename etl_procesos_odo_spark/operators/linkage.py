@@ -22,8 +22,13 @@ Scale: weighting and classification are per-row expressions over an
 already-blocked candidate-pair frame — zero shuffle beyond whatever
 blocking produced the pairs (q130's key blocks, q149's sorted
 neighborhood). Parameter magnitudes: each field multiplies num/den by
-at most max(m_num*u_den, m_den*u_den); products of a dozen
-two-digit-rational fields stay far inside BIGINT.
+at most max over its branches of the integer factors, so capacity is
+checked DRIVER-SIDE at build time — ``fs_classify`` multiplies the
+worst-case per-field factors (plus the threshold cross-multipliers)
+and raises if the product can exceed 2^62, because Spark's default
+non-ANSI long multiply would otherwise WRAP SILENTLY and misclassify
+pairs (with q199's two-digit rationals that ceiling is ~8 fields;
+coarser rationals buy more).
 """
 
 from __future__ import annotations
@@ -92,6 +97,21 @@ def fs_classify(
     nl_n, nl_d = nonlink_below
     if la_n * nl_d <= nl_n * la_d:
         raise ValueError("link_at must exceed nonlink_below")
+    # capacity check (exact, driver-side): the worst-case |_wn| / |_wd|
+    # across agreement patterns, times the largest threshold
+    # cross-multiplier, must stay inside BIGINT — Spark's default
+    # non-ANSI long multiply wraps silently, which would turn an
+    # overflow into wrong link/nonlink decisions instead of an error.
+    max_num = max_den = 1
+    for c in comparators:
+        max_num *= max(c.m_num * c.u_den, (c.m_den - c.m_num) * c.u_den)
+        max_den *= max(c.m_den * c.u_num, c.m_den * (c.u_den - c.u_num))
+    bound = max(max_num * max(la_d, nl_d), max_den * max(la_n, nl_n))
+    if bound >= 2 ** 62:
+        raise ValueError(
+            f"comparator factor product can reach {bound:.3e} — too close "
+            "to BIGINT overflow; coarsen the m/u rationals or drop fields"
+        )
     num, den = fs_weight(comparators)
     out = pairs
     for c in comparators:

@@ -242,12 +242,19 @@ def scd2_build(
     the open interval's valid_to is NULL.
     """
     w_ord = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # NULL is a legal attribute state ("unknown") and must open/close
+    # episodes like any other value: the change test is null-safe
+    # (eqNullSafe), and "first observation" is detected by a lagged
+    # constant marker — NOT by _prev being NULL, which would both drop
+    # NULL episodes and duplicate their neighbors.
     collapsed = (
         df.withColumn("_prev", F.lag(value_col).over(w_ord))
+        .withColumn("_has_prev", F.lag(F.lit(1)).over(w_ord))
         .filter(
-            F.col("_prev").isNull() | (F.col(value_col) != F.col("_prev"))
+            F.col("_has_prev").isNull()
+            | ~F.col(value_col).eqNullSafe(F.col("_prev"))
         )
-        .drop("_prev")
+        .drop("_prev", "_has_prev")
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return collapsed.select(

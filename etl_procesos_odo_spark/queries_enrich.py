@@ -3847,17 +3847,29 @@ _FS_ORACLE = f"""
     "at corpus scale compose finer blocking keys exactly as there.",
 )
 def q199_fs_linkage(spark: SparkSession, sf_dir: str):
+    from .llm.dedup import _persist_capped
     from .llm.text_analysis import tokens
     from .operators.linkage import Comparator, fs_classify
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.expr("n_chars div 100").alias("lenb"),
-        F.element_at(tokens(F.col("text")), 1).alias("blk"),
-    ).filter(F.size(tokens(F.col("text"))) > 0)
+    # tokenize ONCE in the projection (the filter and blk both read the
+    # _w column, not a re-inlined tokens() tree), and persist the tiny
+    # blocked base so the a/b self-join reads the cache instead of
+    # scanning + tokenizing the corpus once per side (the q198 lesson)
+    t = _persist_capped(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("lenb"),
+            tokens(F.col("text")).alias("_w"),
+        )
+        .filter(F.size("_w") > 0)
+        .select(
+            "doc_id", "lang", "source", "lenb",
+            F.element_at("_w", 1).alias("blk"),
+        )
+    )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b,

@@ -288,11 +288,13 @@ def _run_similarity_sf(sf_dir: str) -> None:
     pairs: dict[str, int] = {}
     by_name = {q.name: q for q in registry()}
     for name in SIMILARITY_QUERIES:
+        # ONE execution per query: count() forces the full plan (same
+        # work as the noop sink plus a trivial 1-row aggregate) AND
+        # yields the cardinality — a separate noop save would double
+        # the cost of the most expensive arm at the 50k-doc point
         t0 = time.perf_counter()
-        df = by_name[name].spark_fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        pairs[name] = by_name[name].spark_fn(spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 2)
-        pairs[name] = df.count()
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     print(json.dumps({"n_docs": n, "queries": out, "n_pairs": pairs}))
 

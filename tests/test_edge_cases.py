@@ -1207,3 +1207,57 @@ def test_scd2_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_scd2_null_values_form_episodes(spark):
+    """NULL is a legal attribute state: A -> NULL -> A must yield THREE
+    episodes (the unknown interval preserved), and a NULL first
+    observation must survive — the naive `value != prev` collapse drops
+    both."""
+    import datetime as dt
+
+    from etl_procesos_odo_spark.operators.windows import scd2_build
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, T(0), "A", 10),
+        (1, T(10), None, 11),
+        (1, T(20), "A", 12),
+        (2, T(0), None, 20),
+        (2, T(5), None, 21),  # no-op NULL -> collapses
+        (2, T(9), "B", 22),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string, event_id long")
+    out = sorted(
+        scd2_build(df, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    seq = [(r["user_id"], r["event_type"], r["version"], r["is_current"])
+           for r in out]
+    assert seq == [
+        (1, "A", 1, False), (1, None, 2, False), (1, "A", 3, True),
+        (2, None, 1, False), (2, "B", 2, True),
+    ]
+
+
+def test_seasonal_backtest_rejects_leaky_horizon(spark):
+    from etl_procesos_odo_spark.ml.forecast import seasonal_naive_backtest
+
+    import pytest
+
+    with pytest.raises(ValueError, match="leak"):
+        seasonal_naive_backtest(None, "k", "ts", period=7, horizon=14)
+
+
+def test_bench_cli_rejects_bad_segments():
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "bench.py"), "--segments", "0"],
+        capture_output=True, text=True, timeout=30,
+    )
+    assert r.returncode != 0 and "segments must be >= 1" in r.stderr

@@ -278,3 +278,16 @@ def test_zonemap_audit_zorder_prunes_second_dimension(spark):
     }
     assert out["by_user"]["files_read"] == 64  # no skipping at all
     assert out["zorder"]["files_read"] < 64 / 2  # real pruning on dim 2
+
+
+def test_zonemap_audit_rejects_degenerate_inputs(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_procesos_odo_spark.operators.layout import zonemap_prune_audit
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="layout"):
+        zonemap_prune_audit(df, {}, "x", [(1, "2024-01-01", "2024-01-02")])
+    with pytest.raises(ValueError, match="predicate"):
+        zonemap_prune_audit(df, {"a": F.lit(0)}, "x", [])

@@ -69,3 +69,18 @@ def test_all_agree_links_all_disagree_rejects(spark):
     )
     out = {r["pid"]: r["decision"] for r in fs_classify(df, _comps()).collect()}
     assert out == {1: "link", 2: "nonlink"}
+
+
+def test_fs_overflow_guard(spark):
+    """Non-ANSI long multiply wraps silently, so fs_classify must refuse
+    comparator sets whose worst-case factor product can reach 2^62 —
+    twelve q199-grade fields overflow (76^12 ~ 3.7e22), one is fine."""
+    many = [
+        Comparator(f"f{i}", F.lit(True), 19, 20, 1, 4) for i in range(12)
+    ]
+    with pytest.raises(ValueError, match="overflow"):
+        fs_classify(None, many)
+    fs_classify(
+        spark.createDataFrame([(1, True)], ["pid", "al"]),
+        [Comparator("lang", F.col("al"), 19, 20, 1, 4)],
+    )
