@@ -3853,11 +3853,14 @@ def q199_fs_linkage(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE in the projection (the filter and blk both read the
-    # _w column, not a re-inlined tokens() tree), and persist the tiny
-    # blocked base so the a/b self-join reads the cache instead of
-    # scanning + tokenizing the corpus once per side (the q198 lesson)
+    # _w column, not a re-inlined tokens() tree), spread a sub-parallel
+    # scan before the tokenize (single-file small input), and persist
+    # the tiny blocked base so the a/b self-join reads the cache instead
+    # of scanning + tokenizing the corpus once per side (the q198 lesson)
+    from .session import spread_small_input
+
     t = _persist_capped(
-        docs.select(
+        spread_small_input(docs).select(
             "doc_id",
             "lang",
             "source",

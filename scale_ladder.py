@@ -140,6 +140,9 @@ def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
     pq.write_table(
         pa.table(
             {
+                "event_id": pa.array(
+                    np.arange(n_ev, dtype=np.int64)
+                ),
                 "user_id": pa.array(
                     rng.integers(0, n_users, size=n_ev, dtype=np.int64)
                 ),
@@ -299,6 +302,36 @@ def _run_similarity_sf(sf_dir: str) -> None:
     print(json.dumps({"n_docs": n, "queries": out, "n_pairs": pairs}))
 
 
+R8OPS_DOC_QUERIES = ["q199_fs_linkage", "q200_cdc_chunks"]
+R8OPS_EVENT_QUERIES = ["q202_scd2_build", "q203_seasonal_backtest"]
+
+
+def _run_r8ops_sf(sf_dir: str, which: str) -> None:
+    """(internal, fresh JVM) Time the round-8 operators at one scale
+    point: the documents-based pair (linkage, CDC chunking) on the
+    documents ladder, the events-based pair (SCD2, backtest) on the
+    mining ladder's 10x events table. Noop-sink convention."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    names = R8OPS_DOC_QUERIES if which == "docs" else R8OPS_EVENT_QUERIES
+    table = "documents" if which == "docs" else "events"
+    spark = get_spark("scale-ladder")
+    spark.read.parquet(f"{sf_dir}/{table}.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out: dict[str, float] = {}
+    by_name = {q.name: q for q in registry()}
+    for name in names:
+        t0 = time.perf_counter()
+        by_name[name].spark_fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    print(json.dumps({f"n_{table}": n, "queries": out}))
+
+
 def _run_one_sf(sf_dir: str) -> None:
     """(internal, fresh JVM) Time the four ladder queries at one scale
     point with the bench.py noop-sink convention; print ONE JSON line."""
@@ -343,6 +376,38 @@ def main() -> None:
         return
     if "--run-similarity" in sys.argv:
         _run_similarity_sf(sys.argv[sys.argv.index("--run-similarity") + 1])
+        return
+    if "--run-r8ops" in sys.argv:
+        i = sys.argv.index("--run-r8ops")
+        _run_r8ops_sf(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    if "--r8ops" in sys.argv:
+        generate_sf1()
+        generate_mining_sf1()
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        r8: dict[str, dict] = {}
+        for label, sf_dir, which in (
+            [(lb, d, "docs") for lb, d in LADDER]
+            + [(lb, d, "events") for lb, d in MINING_LADDER]
+        ):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-r8ops",
+                 sf_dir, which],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"r8ops segment {label}/{which} failed")
+            seg = json.loads(proc.stdout.strip().splitlines()[-1])
+            slot = r8.setdefault(label, {"queries": {}})
+            slot["queries"].update(seg.pop("queries"))
+            slot.update(seg)
+        results["r8ops"] = r8
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(r8))
         return
     if "--similarity" in sys.argv:
         generate_sf1()

@@ -896,9 +896,14 @@ def test_keyness_join_inputs_are_post_aggregate(plan):
 
 
 def test_cdc_chunks_scan_speed_no_shuffle(plan):
-    """q200 is pure array-side per-row work + one explode — any Exchange
-    is an accidental wide dependency."""
-    assert "Exchange" not in plan("q200_cdc_chunks")
+    """q200 is pure array-side per-row work + one explode — the ONLY
+    allowed exchange is the deliberate small-input spread (round-robin,
+    before the per-token md5 work; measured 27.5 -> 3.1 s on a
+    2-partition 50k-doc file). Any hash/range exchange is an accidental
+    wide dependency."""
+    p = plan("q200_cdc_chunks")
+    assert p.count("Exchange") == p.count("Exchange RoundRobinPartitioning")
+    assert p.count("Exchange") <= 1
 
 
 def test_no_cartesian_product_anywhere(spark):
