@@ -2449,3 +2449,104 @@ def test_cdc_chunks_reassemble_and_edit_stability(spark):
     for r in sorted(frows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
         fixed[r["doc_id"]].append(r["chunk_text"])
     assert fixed[0][-1] != fixed[1][-1]
+
+
+def test_cdc_boundary_shift_property():
+    """Hypothesis property for the CDC edit-stability THEOREM: inserting
+    one token at 0-based index p leaves every boundary j <= p in place
+    and shifts every boundary j >= p+4 (whose 4-token window lies
+    entirely after the insertion) by exactly +1 — nothing else survives
+    outside the 3-position affected zone. Runs on the pure-Python
+    reference that test_cdc_chunks_match_hashlib_reference proves
+    equal to the Spark operator, so the property transfers."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def boundaries(toks, window=4, divisor=16, mod=32768):
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % mod
+            for t in toks
+        ]
+        return {
+            j
+            for j in range(window, len(toks) + 1)
+            if (((hs[j - 4] * mod + hs[j - 3]) * mod + hs[j - 2]) * mod
+                + hs[j - 1]) % divisor == 0
+        }
+
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(vocab), min_size=8, max_size=120),
+        data=st.data(),
+    )
+    def prop(toks, data):
+        p = data.draw(st.integers(min_value=0, max_value=len(toks)))
+        x = data.draw(st.sampled_from(vocab))
+        edited = toks[:p] + [x] + toks[p:]
+        ba, bb = boundaries(toks), boundaries(edited)
+        assert {j for j in ba if j <= p} == {j for j in bb if j <= p}
+        assert {j + 1 for j in ba if j >= p + 4} == {
+            j for j in bb if j >= p + 5
+        }
+
+    prop()
+
+
+def test_scd2_matches_python_reference(spark):
+    """Randomized (seeded) SCD2 arbiter: 300 observations over 12 keys
+    with timestamp ties and NULL values, compared row-for-row against an
+    independent itertools-based Python replication."""
+    import datetime as dt
+    import random
+    from itertools import groupby
+
+    from etl_procesos_odo_spark.operators.windows import scd2_build
+
+    rng = random.Random(13)
+    vals = ["A", "B", "C", None]
+    rows = []
+    for eid in range(300):
+        rows.append((
+            rng.randrange(12),
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(40)),
+            rng.choice(vals),
+            eid,
+        ))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    by_kv = lambda t: (t[0], t[4])  # (key, version) — unique, None-free
+    got = sorted(
+        (
+            (r["user_id"], r["event_type"], r["valid_from_us"],
+             r["valid_to_us"], r["version"], r["is_current"])
+            for r in scd2_build(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        ),
+        key=by_kv,
+    )
+    # reference: sort by (key, ts, eid), collapse consecutive equal
+    # values (None == None collapses), LEAD/version/is_current
+    exp = []
+    key_fn = lambda r: r[0]
+    for k, grp in groupby(sorted(rows, key=lambda r: (r[0], r[1], r[3])),
+                          key=key_fn):
+        g = list(grp)
+        episodes = [g[0]]
+        for r in g[1:]:
+            if r[2] != episodes[-1][2] or (
+                (r[2] is None) != (episodes[-1][2] is None)
+            ):
+                episodes.append(r)
+        us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp()
+                           * 1_000_000)
+        for i, r in enumerate(episodes):
+            nxt = episodes[i + 1][1] if i + 1 < len(episodes) else None
+            exp.append((k, r[2], us(r[1]),
+                        us(nxt) if nxt else None, i + 1, nxt is None))
+    assert got == sorted(exp, key=by_kv)
