@@ -620,7 +620,15 @@ def decontaminate(
 
         if not 0 < max_df < 1:
             raise ValueError("fractional max_df must be in (0, 1)")
-        max_df = max(1, math.floor(max_df * (train.count() + bench.count())))
+        # Derive the combined doc count from the already-persisted exploded
+        # frame — one in-memory aggregate instead of two extra full input
+        # scans (train.count() + bench.count() would re-read both corpora
+        # for a single scalar). Docs too short to yield a single k-shingle
+        # contribute no rows here and drop out of the denominator; they
+        # also carry zero contamination evidence, so the cap stays
+        # calibrated to the docs actually in play.
+        n_docs = e.select("_side", "_id").distinct().count()
+        max_df = max(1, math.floor(max_df * n_docs))
     if max_df is not None:
         keep = (
             e.groupBy("g")

@@ -63,10 +63,35 @@ class Comparator:
             raise ValueError(f"{self.name}: need m < 1 and u < 1")
 
 
+def _weight_capacity(comparators: list[Comparator]) -> tuple[int, int]:
+    """Worst-case (numerator, denominator) factor products across all
+    agreement patterns — exact, driver-side Python ints."""
+    max_num = max_den = 1
+    for c in comparators:
+        max_num *= max(c.m_num * c.u_den, (c.m_den - c.m_num) * c.u_den)
+        max_den *= max(c.m_den * c.u_num, c.m_den * (c.u_den - c.u_num))
+    return max_num, max_den
+
+
 def fs_weight(comparators: list[Comparator]) -> tuple[Column, Column]:
     """Exact-integer composite match weight: returns (w_num, w_den)
     BIGINT columns with ``w_num/w_den = prod_i ratio_i``, where
-    ``ratio_i = m/u`` on agreement and ``(1-m)/(1-u)`` on disagreement."""
+    ``ratio_i = m/u`` on agreement and ``(1-m)/(1-u)`` on disagreement.
+
+    Guards its own capacity: fs_weight is a public composition surface,
+    so the worst-case factor product must stay inside BIGINT here too —
+    Spark's default non-ANSI long multiply wraps SILENTLY, and a caller
+    composing fs_weight directly (outside fs_classify's
+    threshold-augmented check) would otherwise get wrong weights with
+    many or fine-grained comparators.
+    """
+    max_num, max_den = _weight_capacity(comparators)
+    if max(max_num, max_den) >= 2 ** 62:
+        raise ValueError(
+            f"comparator factor product can reach "
+            f"{float(max(max_num, max_den)):.3e} — too close to BIGINT "
+            "overflow; coarsen the m/u rationals or drop fields"
+        )
     num: Column = F.lit(1).cast("long")
     den: Column = F.lit(1).cast("long")
     for c in comparators:
@@ -102,10 +127,8 @@ def fs_classify(
     # cross-multiplier, must stay inside BIGINT — Spark's default
     # non-ANSI long multiply wraps silently, which would turn an
     # overflow into wrong link/nonlink decisions instead of an error.
-    max_num = max_den = 1
-    for c in comparators:
-        max_num *= max(c.m_num * c.u_den, (c.m_den - c.m_num) * c.u_den)
-        max_den *= max(c.m_den * c.u_num, c.m_den * (c.u_den - c.u_num))
+    # (fs_weight guards the bare product; this adds the threshold factors.)
+    max_num, max_den = _weight_capacity(comparators)
     bound = max(max_num * max(la_d, nl_d), max_den * max(la_n, nl_n))
     if bound >= 2 ** 62:
         raise ValueError(

@@ -3998,12 +3998,18 @@ def q201_zonemap_audit(spark: SparkSession, sf_dir: str):
     """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+             LAG(event_type) OVER w0 AS prev,
+             LAG(1) OVER w0 AS prev_marker
       FROM events
+      WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     collapsed AS (
-      SELECT * FROM ordered WHERE prev IS NULL OR event_type <> prev
+      -- Null-safe episode boundary: first row per key is detected by the
+      -- lagged-constant marker (not by prev IS NULL, which a NULL attribute
+      -- state would also satisfy), and value change uses IS DISTINCT FROM —
+      -- matching scd2_build's eqNullSafe semantics exactly.
+      SELECT * FROM ordered
+      WHERE prev_marker IS NULL OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id, event_type,
            epoch_us(ts) AS valid_from_us,
@@ -4028,7 +4034,10 @@ def q201_zonemap_audit(spark: SparkSession, sf_dir: str):
     "share ONE hash partitioning and sort — a single shuffle; per-key "
     "history is an entity's change count, never corpus-scale. Epochs "
     "are exact BIGINT micros (unix_micros / epoch_us), ties broken by "
-    "event_id.",
+    "event_id. Containment: q139_scd2_intervals builds validity "
+    "intervals over the same table; q202 strictly widens it (adds "
+    "null-safe no-op collapse + version numbers + is_current), the "
+    "same strictly-widening relationship as q34->q107.",
 )
 def q202_scd2_build(spark: SparkSession, sf_dir: str):
     from .operators.windows import scd2_build

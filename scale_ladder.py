@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -98,8 +99,16 @@ def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(os.path.join(out_dir, "events.parquet")):
-        return
+    events_path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(events_path):
+        # Validate the cached file's schema before trusting it: the event_id
+        # tiebreak column was added after the first mining-ladder rounds, so a
+        # dir cached from a prior round would break the --r8ops events arm.
+        import pyarrow.parquet as _pq
+
+        if "event_id" in _pq.read_schema(events_path).names:
+            return
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
 

@@ -84,3 +84,28 @@ def test_fs_overflow_guard(spark):
         spark.createDataFrame([(1, True)], ["pid", "al"]),
         [Comparator("lang", F.col("al"), 19, 20, 1, 4)],
     )
+
+
+def test_fs_weight_guards_its_own_capacity(spark):
+    """fs_weight is a public composition surface (ADVICE r8): a caller
+    using it outside fs_classify must hit the same BIGINT capacity
+    guard, not silent non-ANSI wraparound."""
+    from etl_procesos_odo_spark.operators.linkage import fs_weight
+
+    many = [
+        Comparator(f"f{i}", F.lit(True), 19, 20, 1, 4) for i in range(12)
+    ]
+    with pytest.raises(ValueError, match="overflow"):
+        fs_weight(many)
+    # a safe set still returns the column pair
+    num, den = fs_weight(_comps())
+    row = (
+        spark.createDataFrame([(True, True, True)], ["al", "asrc", "alen"])
+        .select(num.alias("n"), den.alias("d"))
+        .collect()[0]
+    )
+    assert Fraction(row["n"], row["d"]) == (
+        Fraction(19, 20) / Fraction(1, 4)
+        * Fraction(9, 10) / Fraction(1, 20)
+        * Fraction(4, 5) / Fraction(1, 10)
+    )

@@ -2550,3 +2550,58 @@ def test_scd2_matches_python_reference(spark):
             exp.append((k, r[2], us(r[1]),
                         us(nxt) if nxt else None, i + 1, nxt is None))
     assert got == sorted(exp, key=by_kv)
+
+
+def test_scd2_oracle_sql_null_safe(spark):
+    """ADVICE r8: the q202 oracle's collapse must be null-safe (IS
+    DISTINCT FROM + lagged-constant first-row marker), matching
+    scd2_build's eqNullSafe semantics — pinned here by running the
+    REGISTERED oracle SQL in DuckDB on a NULL-bearing change log and
+    comparing row-for-row against the operator."""
+    import datetime as dt
+
+    import duckdb
+
+    from etl_procesos_odo_spark.operators.windows import scd2_build
+    from etl_procesos_odo_spark.registry import registry
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, T(0), "A", 10),
+        (1, T(10), None, 11),   # A -> NULL is a real episode change
+        (1, T(20), None, 12),   # NULL -> NULL collapses
+        (1, T(30), "A", 13),
+        (2, T(0), None, 20),    # NULL first observation must survive
+        (2, T(5), "B", 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["event_type"], r["valid_from_us"],
+             r["valid_to_us"], r["version"], r["is_current"])
+            for r in scd2_build(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[4]),
+    )
+    oracle = {q.name: q.oracle for q in registry()}["q202_scd2_build"]
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, "
+        "event_type VARCHAR, event_id BIGINT)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    exp = sorted(
+        ((r[0], r[1], r[2], r[3], r[4], bool(r[5]))
+         for r in con.sql(oracle).fetchall()),
+        key=lambda t: (t[0], t[4]),
+    )
+    assert got == exp
+    # both engines agree on the NULL-episode structure, not just shape
+    assert [(u, v) for u, v, *_ in got] == [
+        (1, "A"), (1, None), (1, "A"), (2, None), (2, "B")
+    ]
