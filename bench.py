@@ -421,6 +421,41 @@ def main() -> None:
         json.dump(result, fh, indent=1)
         fh.write("\n")
     print(json.dumps(result))
+    # The external driver keeps only the LAST 2000 chars of stdout and
+    # json-parses what it finds there; a 203-query record is ~8 KB, so
+    # every prior round's BENCH_r{N}.json came back `parsed: null` with a
+    # mid-line truncated tail. Emit a compact-but-complete record as the
+    # FINAL line — guaranteed to sit whole inside any >=1.6 KB tail —
+    # carrying the headline numbers plus the slowest queries that fit;
+    # the full per-query detail lives in the line above and in
+    # BENCH_full.json.
+    print(json.dumps(_compact_record(result)))
+
+
+def _compact_record(result: dict, budget: int = 1500) -> dict:
+    """A <=``budget``-char rendering of the bench record: headline
+    fields verbatim, `queries` reduced to the slowest entries that fit
+    (2-decimal times), with counts so nothing truncates silently."""
+    compact = {
+        "metric": result["metric"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "value": result["value"],
+        "n_queries": len(result["queries"]),
+        "single_session_sec": result["extras"]["single_session_total_sec"],
+        "full_record": "BENCH_full.json",
+        "queries_slowest": {},
+    }
+    by_cost = sorted(
+        result["queries"].items(), key=lambda kv: -kv[1]
+    )
+    for name, t in by_cost:
+        compact["queries_slowest"][name] = round(t, 2)
+        if len(json.dumps(compact)) > budget - 40:
+            del compact["queries_slowest"][name]
+            break
+    compact["n_shown"] = len(compact["queries_slowest"])
+    return compact
 
 
 def _parse_args(argv: list[str]):

@@ -78,7 +78,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # inside their pipelines; q60 stays green in the back-half censuses.
     # q121 is the binned range join — a new-in-r5 family with no driver
     # row class until now.)
-    "q121_attribution_range_join", "q80_quantize_int8",
+    # (r9 swap q80 -> q202: q80's plan is pure per-row array expressions
+    # at scan speed — the scale/round list_transform plus the exact
+    # original-vs-dequantized cosine, whose o_dot zip_with/aggregate
+    # chain runs VERBATIM in the q107 recall head row's exact-verify arm
+    # and the q120 hybrid head row's vector arm; the quantize_int8
+    # surface stays unit-tested and q80 stays green in the back-half
+    # censuses. q202 is the SCD2 dimension build — the warehouse
+    # history-versioning discipline (null-safe no-op collapse + LEAD
+    # close sharing one exchange, exact-micros half-open intervals; the
+    # q81 as-of join's canonical right side), new in r8 with no driver
+    # row.)
+    "q121_attribution_range_join", "q202_scd2_build",
     "q62_multimodal_transform",
     # dedup family: exact, exact-first LSH (wraps the q32 band pipeline),
     # SimHash pairs, big-star CC, block-level, decontamination, semantic
@@ -113,9 +124,19 @@ DRIVER_HEAD: tuple[str, ...] = (
     # the association-mining family new in r7 with no driver-row class,
     # and the flagship of the one-shuffle basket-array architecture
     # (see SCALE.md mining ladder).)
+    # (r9 swap q70 -> q200: q70's expensive stage — the MinHash-LSH
+    # banded pair generation — runs verbatim inside BOTH the q67
+    # collapsed-LSH head row and the q134 PageRank head row (which
+    # builds the same minhash_lsh_pairs graph), and its iterative-graph
+    # loop discipline (localCheckpoint truncation, one shuffle pair per
+    # round) is head-evidenced by q134; the big-star CC semantics stay
+    # census-green as q70 (and as q47's recursive-oracle row). q200 is
+    # content-defined chunking — the shift-robust segmentation
+    # discipline (rolling-hash boundaries, all array-side, zero
+    # shuffle), new in r8 with no driver row.)
     "q155_decontaminate_bloom", "q176_frequent_itemsets",
     "q67_minhash_lsh_collapsed",
-    "q78_simhash_pairs", "q70_dedup_clusters_bigstar", "q160_line_dedup",
+    "q78_simhash_pairs", "q200_cdc_chunks", "q160_line_dedup",
     "q158_pii_redaction",
     # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
     # sampled scan, S4 — AND the q74 IVF arm; r4 swap q34 -> q107, which
@@ -166,7 +187,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # Mann-Whitney U drift test — the drift kit's hardest member
     # (tie-doubled ranks on the compressed value table) with no
     # driver-row class.)
-    "q35_langid", "q168_kmv_source_sketch", "q190_mwu_drift",
+    # (r9 swap q35 -> q199: q35's plan is the per-row tokenize-once
+    # array-expression scan shape (tokenize -> distinct lowered tokens ->
+    # marker-intersection scores -> argmax) plus a tiny confusion-matrix
+    # group-count — the q100 head row's scan stage builds the same
+    # tokenize -> array chain and the group-count shape is pervasive in
+    # the pipeline head rows; the langid FUNCTION itself stays
+    # unit-tested (tests/test_llm.py) and q35 stays green in the
+    # back-half censuses. q199 is Fellegi-Sunter probabilistic record
+    # linkage — the LINKAGE discipline's only row class (exact-rational
+    # m/u weights, BIGINT cross-multiplied three-way decision), new in
+    # r8 with no driver row.)
+    "q199_fs_linkage", "q168_kmv_source_sketch", "q190_mwu_drift",
     # enrichment + retrieval
     # (r5 swap q85 -> q110: q85's token-rarity idf shape runs INSIDE
     # q110's per-term df/idf stats, so the row strictly widens — BM25
@@ -187,8 +219,19 @@ DRIVER_HEAD: tuple[str, ...] = (
     # censuses. q178 is GSP sequential-pattern mining — the order-
     # statistics collapse (user-history length never enters cost), the
     # mining library's second surface with no driver-row class.)
+    # (r9 swap q88 -> q203: q88's plan shape is one grouped aggregate
+    # over per-row scan expressions — the A-family shape the pipeline
+    # head rows exercise pervasively (and Spark `percentile` / DuckDB
+    # `quantile_cont` parity is pinned by the census row, which stays
+    # green) — while the quantile DISCIPLINE keeps its deeper census
+    # rows (q181 robust median/MAD, q182 selection median, q185
+    # one-pass quantile grid, q173 mergeable histogram). q203 is the
+    # rolling-origin seasonal-naive backtest — the ML family's
+    # EVALUATION arm (exact-BIGINT MASE, embargoed origins), new in r8;
+    # the ML head block previously evidenced only features (q104) and
+    # predict (q151).)
     "q178_sequential_patterns", "q84_json_extract", "q110_bm25_search",
-    "q88_corpus_quantiles", "q137_volume_anomalies",
+    "q203_seasonal_backtest", "q137_volume_anomalies",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
     # aggregate + broadcast stage on top of q72's primitive; q86 stays
@@ -234,7 +277,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # back-half censuses. q154 is the exact all-pairs TF-IDF cosine
     # (inverted-index equi-join, df-cap-pruned), the exact complement to
     # the approximate similarity arms, new in r6 with no driver row.)
-    "q154_tfidf_cosine_pairs", "q100_corpus_prep_v3",
+    # (r9 swap q154 -> q201: q154's constituent shapes stay
+    # head-evidenced — the tokenize -> explode -> per-term df inverted
+    # index is the q110 BM25 head row's index build, and the candidate
+    # equi-join + exact-similarity verify is the q175 PPJoin head row's
+    # verify stage (and the q107 recall row's exact-cosine arm); the
+    # df-cap pruning keeps its property test + similarity-ladder
+    # measurement, and q154 stays green in the back-half censuses.
+    # q201 is the zone-map pruning audit — the storage-layout
+    # GOVERNANCE discipline (files/rows-read per predicate under
+    # lexicographic vs z-order layouts, layouts as expressions, one
+    # combining agg each), new in r8 with no driver row.)
+    "q201_zonemap_audit", "q100_corpus_prep_v3",
     # relational §2 family representatives (filters P2-P7; Pareto A6/A13;
     # top-N W4/W6/X7; set ops J7/X1-X3; scalar kit F9/F17/F19/F24;
     # salted skew join; as-of join)

@@ -314,6 +314,159 @@ def _run_similarity_sf(sf_dir: str) -> None:
 R8OPS_DOC_QUERIES = ["q199_fs_linkage", "q200_cdc_chunks"]
 R8OPS_EVENT_QUERIES = ["q202_scd2_build", "q203_seasonal_backtest"]
 
+# --- streaming arm (round 9) -----------------------------------------------
+# The registry's streaming rows replay events.parquet as ONE micro-batch
+# (exactness vs the batch oracle). This arm measures the MULTI-batch
+# production path the SCALE.md streaming argument is actually about:
+# events split into 8 chronological files, maxFilesPerTrigger=1 → 8
+# micro-batches with an advancing watermark, per-batch trigger cost and
+# state-store rows read from the engine's own progress telemetry.
+STREAM_N_FILES = 8
+STREAM_POINTS = [
+    ("10k", 10_000),
+    ("100k", 100_000),
+    ("1m", 1_000_000),
+]
+
+
+def stream_dir(label: str) -> str:
+    return os.path.join(REPO_ROOT, ".scaledata", f"stream_{label}")
+
+
+def generate_streaming_events(out_dir: str, n_events: int) -> None:
+    """Deterministic event stream with the testdata profile (5 event
+    types, ~n/100 users, 30-day span, value in [0, 100)), sorted by ts
+    and split into STREAM_N_FILES chronological slices — each file is
+    one micro-batch, so event time advances across batches and the
+    watermark actually moves (the condition for state eviction)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done_marker = os.path.join(out_dir, f"part-{STREAM_N_FILES - 1:05d}.parquet")
+    if os.path.exists(done_marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    n_users = max(100, n_events // 100)
+    types = np.array(["signup", "error", "click", "view", "purchase"])
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(rng.integers(0, span_us, size=n_events))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(t0 + ts),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_events, dtype=np.int64)
+            ),
+            "event_type": pa.array(
+                types[rng.integers(0, len(types), size=n_events)]
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 100, size=n_events), 2)
+            ),
+        }
+    )
+    per = (n_events + STREAM_N_FILES - 1) // STREAM_N_FILES
+    for i in range(STREAM_N_FILES):
+        pq.write_table(
+            tbl.slice(i * per, per),
+            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+        )
+
+
+def _run_streaming_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Drive the three stateful streaming operators
+    (q69 session, q58 arbitrary-state, q95 stream-stream join) over the
+    8-file chronological replay and print ONE JSON line with total wall
+    seconds, per-micro-batch trigger costs, and state rows per batch —
+    all read from the engine's StreamingQueryProgress."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from etl_procesos_odo_spark.session import get_spark
+    from etl_procesos_odo_spark.streaming.temporal import (
+        attribution_join,
+        sessionized_stream,
+        stateful_user_stats,
+    )
+
+    spark = get_spark("scale-ladder-streaming")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # state partition sizing: same rationale as run_to_memory — state
+    # store open/commit is paid per partition per micro-batch
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    schema = spark.read.parquet(sf_dir).schema
+    n_events = spark.read.parquet(sf_dir).count()
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sf_dir)
+        )
+
+    def drive(df, name, mode):
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            wall = round(time.perf_counter() - t0, 2)
+            batches = []
+            for p in q.recentProgress:
+                if p["numInputRows"] == 0 and not batches:
+                    continue  # leading no-data triggers
+                st = p.get("stateOperators") or []
+                batches.append(
+                    {
+                        "input_rows": p["numInputRows"],
+                        "trigger_ms": p["durationMs"].get("triggerExecution"),
+                        "state_rows": sum(
+                            s.get("numRowsTotal", 0) for s in st
+                        ),
+                    }
+                )
+        finally:
+            q.stop()
+        n_out = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        per_batch = [b["trigger_ms"] for b in batches]
+        return {
+            "wall_sec": wall,
+            "n_batches": len(batches),
+            "out_rows": n_out,
+            "trigger_ms_per_batch": per_batch,
+            "state_rows_per_batch": [b["state_rows"] for b in batches],
+            "input_rows_per_batch": [b["input_rows"] for b in batches],
+        }
+
+    out = {
+        "n_events": n_events,
+        # q69's production form: append mode emits watermark-finalized
+        # sessions once and drops their state (complete mode is the
+        # harness-only oracle-exactness path)
+        "session_append": drive(
+            sessionized_stream(stream()), "lad_session", "append"
+        ),
+        "stateful_user_stats": drive(
+            stateful_user_stats(stream()), "lad_stateful", "append"
+        ),
+        "stream_stream_join": drive(
+            attribution_join(
+                stream().filter(F.col("event_type") == "click"),
+                stream().filter(F.col("event_type") == "purchase"),
+            ),
+            "lad_ssjoin",
+            "append",
+        ),
+    }
+    print(json.dumps(out))
+
 
 def _run_r8ops_sf(sf_dir: str, which: str) -> None:
     """(internal, fresh JVM) Time the round-8 operators at one scale
@@ -389,6 +542,33 @@ def main() -> None:
     if "--run-r8ops" in sys.argv:
         i = sys.argv.index("--run-r8ops")
         _run_r8ops_sf(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    if "--run-streaming" in sys.argv:
+        _run_streaming_sf(sys.argv[sys.argv.index("--run-streaming") + 1])
+        return
+    if "--streaming" in sys.argv:
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        streaming: dict[str, dict] = {}
+        for label, n in STREAM_POINTS:
+            d = stream_dir(label)
+            generate_streaming_events(d, n)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-streaming", d],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"streaming segment {label} failed")
+            streaming[label] = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )
+        results["streaming"] = streaming
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(streaming))
         return
     if "--r8ops" in sys.argv:
         generate_sf1()

@@ -147,3 +147,50 @@ def test_seasonal_backtest_crafted_series(spark):
     assert (r["n_train"], r["sum_train_abs_diff"]) == (27, 42)
     exp = Fraction(14 * 27, 7 * 42)
     assert r["mase"] == exp.numerator / exp.denominator
+
+
+def test_q41_model_selection_deterministic_across_sessions():
+    """r8-verdict item 4: q41's rows-only contract row gets a
+    reproducibility pin — the best-of-3 winner (model id) and every
+    candidate's held-out R² (to 10 decimals) must be identical across
+    two FRESH SparkSessions at sf0.01. Everything that feeds the pick
+    is seeded (split seed 42, GBT/RF seeds) and single-partition
+    (repartition(1) before fit), so the selection cannot drift with
+    scheduler interleaving or session history."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import json, sys
+sys.path.insert(0, %r)
+from etl_procesos_odo_spark.session import get_spark
+from etl_procesos_odo_spark.registry import load_table
+from etl_procesos_odo_spark.ml.forecast import (
+    demand_features, train_best_forecaster,
+)
+spark = get_spark("q41-determinism")
+spark.conf.set("spark.sql.session.timeZone", "UTC")
+feats = demand_features(load_table(spark, "/root/testdata/sf0.01", "events"))
+model, info = train_best_forecaster(feats, seed=42)
+print("RESULT " + json.dumps(
+    {"best": info["best"],
+     "r2": {k: round(v, 10) for k, v in sorted(info["r2"].items())}},
+    sort_keys=True,
+))
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+
+    def run_once():
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        assert line, proc.stdout[-2000:]
+        return json.loads(line[-1][len("RESULT "):])
+
+    a, b = run_once(), run_once()
+    assert a == b, (a, b)
+    assert a["best"] in {"linear_regression", "gbt", "random_forest"}

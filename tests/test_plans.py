@@ -252,7 +252,16 @@ def test_driver_head_curation():
         "split_governance": "q167_leakage_safe_split",
         "line_dedup": "q160_line_dedup",
         "pii_hygiene": "q158_pii_redaction",
-        "text": "q35_langid",
+        # r9 swaps: q35/q70/q154/q80/q88 rotate out (containment notes in
+        # registry.py + COVERAGE.md round-9); the round-8 wave gets its
+        # first driver rows
+        "record_linkage": "q199_fs_linkage",
+        "cdc_chunking": "q200_cdc_chunks",
+        "layout_governance": "q201_zonemap_audit",
+        "scd2_warehouse": "q202_scd2_build",
+        "ml_backtest_oracle": "q203_seasonal_backtest",
+        # q35's scan shape carried by q100's tokenize stage (r9 note)
+        "text": "q190_mwu_drift",
         # r5 swap: q97's stateful smoothing is evidenced by q58; q137
         # carries the time-series anomaly family in the head
         "enrich": "q137_volume_anomalies",
@@ -280,7 +289,10 @@ def test_driver_head_curation():
         "graph_analytics": "q134_pagerank_neardup",
         "decontamination_bloom": "q155_decontaminate_bloom",
         "interval_overlap": "q153_incident_session_overlap",
-        "exact_similarity": "q154_tfidf_cosine_pairs",
+        # r9: q154 rotates out (index build = q110's, verify join =
+        # q175's verify stage); the exact-pairs discipline's head row is
+        # the prefix-filter arm
+        "exact_similarity": "q175_ppjoin_pairs",
     }
     missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
     assert not missing, missing
