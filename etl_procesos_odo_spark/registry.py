@@ -322,6 +322,160 @@ DRIVER_HEAD: tuple[str, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Two-tier census (round 9): the full registry census costs ~20+ min per
+# refresh at 203 queries and grows linearly with every addition. Queries
+# whose EVERY constituent shape runs verbatim inside (or is strictly
+# widened by) other census rows are demoted to this CONTAINED tier: they
+# stay registered, keep their oracles, and run in `verify_all.py --tier
+# full` (weekly / on-touch), but drop out of the per-iteration
+# `--tier core` census. Zero evidence loss: each entry names the CORE
+# queries that carry its shapes, every §2 family and every LLM family
+# keeps >=1 core row, and DRIVER_HEAD is disjoint from this map by
+# construction (machine-checked in tests/test_plans.py).
+#
+# Value format: "covering-queries — reason". Covering queries must be
+# core (not themselves contained) — also machine-checked.
+CONTAINED: dict[str, str] = {
+    # --- relational shapes contained in the §3 pipeline head rows -------
+    "q02_filter_project": "q50/q51/q53/q54 — the P2-P7 filter/projection "
+        "shapes run inside the pipeline head rows (r5 head note)",
+    "q04_semi_join": "q50 — the J5 semi-join membership runs inside the "
+        "partitioner pipeline head row",
+    "q07_avg_daily_by_dow": "q53 — avg-of-daily-counts (A2) is exactly "
+        "the call-center demand build's chain",
+    "q10_percent_of_total": "q12 — pct-of-total (A9) is the Pareto head "
+        "row's share arithmetic",
+    "q13_top_customers": "q12 — ranked group-count double-cover (r7 "
+        "verdict); top-N windows are the Pareto row's rank chain",
+    "q14_dedup_first": "q51/q52 — keep-first dedup (W1) runs inside both "
+        "pipeline head rows",
+    "q15_lag_wait": "q54, q61 — the LAG sessionized wait (W3) runs in "
+        "the indicadores head row; carry-forward stays core as q61",
+    "q16_running_revenue": "q12 — partitioned cumulative sum (W5) is the "
+        "Pareto row's cum%% chain",
+    "q17_rollup_total": "q93, q52/q54 — grand-total row (A11) strictly "
+        "widened by q93's cube subtotals; row-wise sums in the pipelines",
+    "q18_set_ops": "q12, q05 — X1-X3 evidenced by the q12 head row (r6 "
+        "head note); anti-join difference stays core as q05",
+    "q20_weekday_filter": "q51/q53/q54 — weekday predicates (P11) run "
+        "inside the pipeline head rows",
+    "q21_weekly_revenue": "q55, q51 — period-bucket rollup (F22) runs in "
+        "the facturacion pipeline and the confirmaciones head row",
+    "q23_time_grid_5min": "q53, q06 — the 5-min spine (G1) is built "
+        "inside the call-center head row; date-spine fill stays core",
+    "q27_wide_status_counts": "q11, q12 — pivoted value counts (A6/A12) "
+        "stay core as q11; ranked counts in the Pareto head row",
+    "q28_peak_hour": "q12, q09 — argmax-per-group (A7) is the Pareto "
+        "row's row_number-rank-1 chain; conditional agg stays core as q09",
+    # --- scalar kit: parsed inline by the pipeline head rows ------------
+    "q22_excel_serial": "q51/q52 — Excel-serial parsing (F6) runs inline "
+        "in the pipeline head rows (r6 head note); unit tests in "
+        "tests/test_functions.py",
+    "q24_phone_rules": "q51, q29 — phone classification (F18) runs in "
+        "the confirmaciones head row; classifier kit stays core as q29",
+    "q25_multiformat_dates": "q51 — multi-format date parsing (F1-F2) is "
+        "the confirmaciones head row's date build",
+    "q26_spanish_dates": "q51 — Spanish long-date parse/format (F3) runs "
+        "inline in the confirmaciones head row",
+    "q44_time_scalars": "q52 — the F10-F12 scalars run inside the "
+        "recursos head row (r8 verdict table)",
+    "q59_scalar_kit": "q51/q52 — the F1-F19 kit parses inline in the "
+        "pipeline head rows (r6 head note)",
+    "q66_wallclock_flexible": "q52, q51 — flexible wall-clock parsing "
+        "(F7) is the same datetime_fns path the pipelines execute",
+    # --- dedup: contained in the collapsed-LSH / line-dedup rows --------
+    "q30_dedup_exact": "q67, q160 — exact digest-groupBy dedup runs as "
+        "q67's exact-first collapse; the groupBy-first-occurrence family's "
+        "core row is q160's line dedup (strictly wider than the block "
+        "variant, r7 note)",
+    "q31_ngram_jaccard": "q67, q175 — exact pairwise Jaccard is the "
+        "verify stage of both candidate-generation rows; quadratic "
+        "all-pairs is the documented non-scale path",
+    "q32_minhash_lsh": "q67, q102 — the banded pipeline runs verbatim "
+        "inside the collapsed-LSH and incremental-dedup rows (r4 note)",
+    "q47_dedup_clusters": "q70 — identical clustering semantics "
+        "computed by the big-star row (the semantic identity is recorded "
+        "in q70's doc); q70 stays core as the scale-path CC",
+    "q82_block_dedup": "q160 — strictly widened: finer granularity, "
+        "corpus-wide first-occurrence, ordered reassembly (r7 note)",
+    "q38_fingerprint": "q78 — per-token hash-fold signatures are the "
+        "SimHash head row's expression family (r7 note)",
+    "q73_repetition_metrics": "q152, q100 — per-row n-gram distinct "
+        "fractions stay core as the corpus dup-gram rate; the gate role "
+        "runs inside q100 (r8 note)",
+    "q37_token_counts": "q100, q88, q110 — whitespace token counting "
+        "(token_count_ws) runs verbatim inside the corpus-prep, "
+        "quantile, and BM25 rows; BPE-ish piece counts stay core as "
+        "q124's pair-count base",
+    # --- decontamination ------------------------------------------------
+    "q71_decontaminate": "q155 — the exact inverted-index shingle join "
+        "is the bloom row's verify stage, bloom==exact property-tested "
+        "(r7 note)",
+    # --- ANN / similarity: contained in the routed/trained rows ---------
+    "q34_cosine_topk": "q107 — the brute-force arm runs inside the "
+        "recall row (r4 note, strictly widened)",
+    "q49_ann_ivf": "q123, q107 — identical plan shape with the seed-id "
+        "quantizer q123 retires (q123's doc); IVF arm inside q107",
+    "q74_ann_ivf_multiprobe": "q107 — the IVF multi-probe arm is "
+        "contained in the recall row (documented since r4)",
+    "q68_ann_multiprobe": "q39, q48 — hyperplane-LSH ANN stays core as "
+        "q39/q48 (r4 note)",
+    "q101_quantized_rerank": "q80, q118 — quantization math is q80's "
+        "oracle-proven shape; two-stage overfetch re-rank is q118's "
+        "routed pattern",
+    "q103_semantic_dedup": "q107, q70, q108 — cell-keyed cosine "
+        "equi-join inside the recall row; keep-best canonicalization "
+        "stays core as q108 (r7 note)",
+    "q112_hybrid_rrf": "q120 — the fully-routed head row fuses the "
+        "same ranks-only RRF arithmetic with BOTH arms at scale "
+        "(bit-identical Jaccard and relative order per the q119 doc)",
+    "q119_hybrid_rrf_lsh": "q120 — the fully-routed head row runs the "
+        "same banded lexical arm plus the routed vector arm",
+    "q117_hard_negatives": "q118 — the scale path: same cosine band "
+        "filter + per-anchor rank, routed through IVF cells",
+    "q87_kmeans_step": "q111, q107, q120 — the full iterated trainer "
+        "strictly widens the single Lloyd step; assign arm inside the "
+        "recall/hybrid rows (r8 note)",
+    "q136_dedup_method_agreement": "q67, q48 — both pair sets are the "
+        "banded equi-joins those rows execute; the report is a full "
+        "outer join + counts over them",
+    # --- splits / sampling / packing ------------------------------------
+    "q72_hash_sample": "q100, q167 — the deterministic hash-uniform "
+        "draw runs verbatim inside the corpus-prep split stage (r7 note)",
+    "q86_train_split": "q100, q126, q167 — same hash-split primitive "
+        "inside the corpus-prep head row; eval/leakage-safe splits core",
+    "q109_mix_rebalance": "q100, q105 — the draw inside q100's split "
+        "stage; the quota/rate broadcast pattern stays core as q105 "
+        "(r7 note)",
+    "q76_chunk_documents": "q100, q75 — the chunk expression chain runs "
+        "verbatim in q100's block-dedup stage (r8 note); FFD packing "
+        "stays core as q75",
+    "q77_corpus_prep_pack": "q67, q155, q100, q75 — every composed "
+        "stage (exact dedup, decontamination, gates, rebalance, "
+        "packing) is a core/head row's operator",
+    "q64_corpus_prep": "q100, q70, q35 — corpus prep v3 strictly widens "
+        "this v1 composition; CC + langid constituents stay core",
+    # --- sketches / sessions / time series -------------------------------
+    "q159_hll_cardinality": "q164 — strictly widened: same register "
+        "expression strings plus the rollup algebra (r7 note)",
+    "q127_batch_sessionize": "q56, q69, q61 — q56's oracle IS this "
+        "lag-gap cumulative-sum form; the streaming row runs the same "
+        "session expression; LAG carry-forward stays core as q61",
+    "q139_scd2_intervals": "q202 — strictly widened: adds null-safe "
+        "no-op collapse, version numbers, is_current (r9 note)",
+    # --- multimodal -------------------------------------------------------
+    "q42_multimodal_features": "q62 — the fused resize+frame-sample row "
+        "strictly widens the feature-extraction batch shape (r7 note)",
+    "q145_kwic_concordance": "q100, q110 — block-slice + predicate "
+        "filter inside the corpus-prep row; retrieval core as q110 "
+        "(r8 note)",
+    # --- spines -----------------------------------------------------------
+    "q60_slot_spine_load": "q53, q57, q06 — the 5-min/hour/date spines "
+        "are built inside those head rows (r6 note)",
+}
+
+
 def registry() -> list[QueryDef]:
     from . import queries_relational  # noqa: F401
     from . import queries_llm  # noqa: F401

@@ -957,3 +957,35 @@ def test_no_python_row_udfs_or_topandas_in_package():
                 line = src[: m.start()].count("\n") + 1
                 bad.append(f"{f.name}:{line}:{m.group(0)}")
     assert not bad, bad
+
+
+def test_contained_tier_invariants():
+    """Round-9 two-tier census: the CONTAINED map must (a) keep the core
+    tier at or under 150 queries, (b) never demote a DRIVER_HEAD row,
+    (c) name only real, CORE covering queries in the prefix before the
+    em-dash (a contained query may not be covered by another contained
+    query — no containment chains), and (d) reference only registered
+    names."""
+    import re
+
+    from etl_procesos_odo_spark.registry import CONTAINED, DRIVER_HEAD
+
+    names = {q.name for q in registry()}
+    core = names - set(CONTAINED)
+    assert set(CONTAINED) <= names, sorted(set(CONTAINED) - names)
+    assert len(core) <= 150, len(core)
+    assert not set(CONTAINED) & set(DRIVER_HEAD)
+    by_prefix = {n.split("_")[0]: n for n in names}
+    for demoted, note in CONTAINED.items():
+        covering_prefix = note.split("—")[0]
+        covers = re.findall(r"q\d+", covering_prefix)
+        assert covers, f"{demoted}: no covering queries named"
+        for c in covers:
+            full = by_prefix.get(c)
+            assert full is not None, f"{demoted}: covering {c} not registered"
+            assert full in core, (
+                f"{demoted}: covering {c} is itself contained (chain)"
+            )
+    # every sentinel family from the head-curation test is core by
+    # construction (head ⊆ core) — re-assert the subset relation
+    assert set(DRIVER_HEAD) <= core

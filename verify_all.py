@@ -10,6 +10,9 @@ CORRECTNESS_r01.json came back empty. This runner is the mitigation:
     python verify_all.py                    # one session, whole registry
     python verify_all.py --isolate 12       # fresh subprocess per 12 queries
     python verify_all.py --sf /root/testdata/sf0.01 --out CORRECTNESS_local.json
+    python verify_all.py --tier core        # per-iteration gate: skips the
+                                            # CONTAINED tier (registry.py),
+                                            # 149 of 203 queries
 
 Per query it records the same three driver signals (row-count match,
 sorted-schema match, order-insensitive value match) or a rows-only count
@@ -102,6 +105,14 @@ def main() -> int:
                     help="run in fresh subprocesses of N queries each")
     ap.add_argument("--only", default=None, metavar="CSV",
                     help="restrict to these query names (smoke/CI subsets)")
+    ap.add_argument("--tier", choices=("full", "core"), default="full",
+                    help="census tier (round 9): 'full' runs every "
+                         "registered query; 'core' skips the CONTAINED "
+                         "tier (queries whose every shape runs verbatim "
+                         "inside other census rows — see registry.CONTAINED"
+                         " for the per-query justification). The full tier "
+                         "is the weekly / on-touch refresh; core is the "
+                         "per-iteration gate.")
     ap.add_argument("--run-batch", default=None, help="(internal) CSV of query names")
     args = ap.parse_args()
 
@@ -114,6 +125,10 @@ def main() -> int:
     from etl_procesos_odo_spark.registry import registry
 
     names = [q.name for q in registry()]
+    if args.tier == "core":
+        from etl_procesos_odo_spark.registry import CONTAINED
+
+        names = [n for n in names if n not in CONTAINED]
     if args.only:
         wanted = set(args.only.split(","))
         unknown = wanted - set(names)
