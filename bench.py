@@ -375,6 +375,20 @@ def main() -> None:
     extras.update(hybrid_routing_bench(spark, sf_dir))
     extras.update(striped_rank_bench(spark))
     extras["single_session_total_sec"] = single_session_total
+    # host-speed context (r7 finding: the box drifts ±30% run-to-run):
+    # a fixed 20M-iteration pure-python loop, measured at the end of the
+    # run, so every artifact carries its own drift calibration
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    extras["host_speed_note"] = (
+        f"20M-iteration python loop (function scope): "
+        f"{time.perf_counter() - t0:.2f}s — compare this field across "
+        "BENCH artifacts to calibrate host drift (function-scope locals "
+        "run ~3x faster than the module-scope 2.1-2.8s loop SCALE.md r7 "
+        "quotes; only same-field comparisons are meaningful)"
+    )
     extras["single_session_errors"] = sum(1 for t in ss.values() if t < 0)
     extras["segments"] = n_seg
 
