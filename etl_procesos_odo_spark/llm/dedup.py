@@ -620,14 +620,17 @@ def decontaminate(
 
         if not 0 < max_df < 1:
             raise ValueError("fractional max_df must be in (0, 1)")
-        # Derive the combined doc count from the already-persisted exploded
-        # frame — one in-memory aggregate instead of two extra full input
-        # scans (train.count() + bench.count() would re-read both corpora
-        # for a single scalar). Docs too short to yield a single k-shingle
-        # contribute no rows here and drop out of the denominator; they
-        # also carry zero contamination evidence, so the cap stays
-        # calibrated to the docs actually in play.
-        n_docs = e.select("_side", "_id").distinct().count()
+        # ONE column-pruned count job over both inputs (not two separate
+        # eager train.count() + bench.count() scans) — the denominator is
+        # the documented |train| + |bench|, exactly the same formula as
+        # decontaminate_bloom.bench_max_df and tfidf_cosine_pairs.max_df,
+        # so one fractional setting stays cap-equivalent across all three
+        # surfaces even when some docs are too short to yield a shingle.
+        n_docs = (
+            train.select(F.col(id_col).alias("_i"))
+            .unionAll(bench.select(F.col(id_col).alias("_i")))
+            .count()
+        )
         max_df = max(1, math.floor(max_df * n_docs))
     if max_df is not None:
         keep = (

@@ -73,6 +73,37 @@ def _weight_capacity(comparators: list[Comparator]) -> tuple[int, int]:
     return max_num, max_den
 
 
+def _fmt_big(n: int) -> str:
+    """Render an arbitrarily large int for an error message without the
+    OverflowError that float(n)/f"{n:.3e}" raises past ~1.8e308."""
+    s = str(n)
+    return s if len(s) <= 6 else f"{s[0]}.{s[1:4]}e+{len(s) - 1}"
+
+
+def _check_capacity(bound: int) -> None:
+    if bound >= 2 ** 62:
+        raise ValueError(
+            f"comparator factor product can reach {_fmt_big(bound)} — too "
+            "close to BIGINT overflow; coarsen the m/u rationals or drop "
+            "fields"
+        )
+
+
+def _weight_columns(comparators: list[Comparator]) -> tuple[Column, Column]:
+    """(unguarded) build the BIGINT product columns — callers must have
+    run _check_capacity first."""
+    num: Column = F.lit(1).cast("long")
+    den: Column = F.lit(1).cast("long")
+    for c in comparators:
+        num = num * F.when(
+            c.agree, F.lit(c.m_num * c.u_den)
+        ).otherwise(F.lit((c.m_den - c.m_num) * c.u_den))
+        den = den * F.when(
+            c.agree, F.lit(c.m_den * c.u_num)
+        ).otherwise(F.lit(c.m_den * (c.u_den - c.u_num)))
+    return num, den
+
+
 def fs_weight(comparators: list[Comparator]) -> tuple[Column, Column]:
     """Exact-integer composite match weight: returns (w_num, w_den)
     BIGINT columns with ``w_num/w_den = prod_i ratio_i``, where
@@ -86,22 +117,8 @@ def fs_weight(comparators: list[Comparator]) -> tuple[Column, Column]:
     many or fine-grained comparators.
     """
     max_num, max_den = _weight_capacity(comparators)
-    if max(max_num, max_den) >= 2 ** 62:
-        raise ValueError(
-            f"comparator factor product can reach "
-            f"{float(max(max_num, max_den)):.3e} — too close to BIGINT "
-            "overflow; coarsen the m/u rationals or drop fields"
-        )
-    num: Column = F.lit(1).cast("long")
-    den: Column = F.lit(1).cast("long")
-    for c in comparators:
-        num = num * F.when(
-            c.agree, F.lit(c.m_num * c.u_den)
-        ).otherwise(F.lit((c.m_den - c.m_num) * c.u_den))
-        den = den * F.when(
-            c.agree, F.lit(c.m_den * c.u_num)
-        ).otherwise(F.lit(c.m_den * (c.u_den - c.u_num)))
-    return num, den
+    _check_capacity(max(max_num, max_den))
+    return _weight_columns(comparators)
 
 
 def fs_classify(
@@ -127,15 +144,14 @@ def fs_classify(
     # cross-multiplier, must stay inside BIGINT — Spark's default
     # non-ANSI long multiply wraps silently, which would turn an
     # overflow into wrong link/nonlink decisions instead of an error.
-    # (fs_weight guards the bare product; this adds the threshold factors.)
+    # (fs_weight guards the bare product; this is the stricter
+    # threshold-augmented bound, checked once — the column build below
+    # is the unguarded helper, so the capacity product runs once and the
+    # threshold-aware message always wins.)
     max_num, max_den = _weight_capacity(comparators)
     bound = max(max_num * max(la_d, nl_d), max_den * max(la_n, nl_n))
-    if bound >= 2 ** 62:
-        raise ValueError(
-            f"comparator factor product can reach {bound:.3e} — too close "
-            "to BIGINT overflow; coarsen the m/u rationals or drop fields"
-        )
-    num, den = fs_weight(comparators)
+    _check_capacity(bound)
+    num, den = _weight_columns(comparators)
     out = pairs
     for c in comparators:
         out = out.withColumn(f"agree_{c.name}", c.agree)

@@ -91,6 +91,18 @@ MINING_LADDER = [
 ]
 
 
+# Shared synthetic-events profile (testdata-shaped): BOTH the mining-sf1
+# generator and the streaming-arm generator draw from this one parameter
+# set, so a profile change (new event type, wider span) cannot silently
+# diverge the two ladders. Draw ORDER inside each generator is part of
+# its artifact's determinism contract (seed 42 reproduces the cached
+# parquet byte-for-byte), so only the constants are shared, not the
+# drawing code.
+EVENT_TYPES = ("signup", "error", "click", "view", "purchase")
+EVENT_T0 = "2024-01-01T00:00:00"
+EVENT_SPAN_US = 30 * 24 * 3600 * 1_000_000
+
+
 def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
     """10x lineitem/part/events with the sf0.1 profile (module
     docstring). Deterministic PCG64(seed=42); only the columns the
@@ -104,9 +116,7 @@ def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
         # Validate the cached file's schema before trusting it: the event_id
         # tiebreak column was added after the first mining-ladder rounds, so a
         # dir cached from a prior round would break the --r8ops events arm.
-        import pyarrow.parquet as _pq
-
-        if "event_id" in _pq.read_schema(events_path).names:
+        if "event_id" in pq.read_schema(events_path).names:
             return
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -143,9 +153,9 @@ def generate_mining_sf1(out_dir: str = MINING_SF1_DIR) -> None:
     )
 
     n_ev, n_users = 1_000_000, 15_000
-    types = np.array(["signup", "error", "click", "view", "purchase"])
-    t0 = np.datetime64("2024-01-01T00:00:00", "us")
-    span_us = 30 * 24 * 3600 * 1_000_000
+    types = np.array(EVENT_TYPES)
+    t0 = np.datetime64(EVENT_T0, "us")
+    span_us = EVENT_SPAN_US
     pq.write_table(
         pa.table(
             {
@@ -349,9 +359,9 @@ def generate_streaming_events(out_dir: str, n_events: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     n_users = max(100, n_events // 100)
-    types = np.array(["signup", "error", "click", "view", "purchase"])
-    t0 = np.datetime64("2024-01-01T00:00:00", "us")
-    span_us = 30 * 24 * 3600 * 1_000_000
+    types = np.array(EVENT_TYPES)
+    t0 = np.datetime64(EVENT_T0, "us")
+    span_us = EVENT_SPAN_US
     ts = np.sort(rng.integers(0, span_us, size=n_events))
     tbl = pa.table(
         {

@@ -109,3 +109,19 @@ def test_fs_weight_guards_its_own_capacity(spark):
         * Fraction(9, 10) / Fraction(1, 20)
         * Fraction(4, 5) / Fraction(1, 10)
     )
+
+
+def test_fs_capacity_message_survives_huge_products(spark):
+    """r9 review: the guard must raise its ValueError (with the coarsen
+    hint) even when the worst-case product exceeds float max — float()/
+    f-string .3e formatting OverflowErrors past ~1.8e308."""
+    from etl_procesos_odo_spark.operators.linkage import fs_weight
+
+    huge = [
+        Comparator(f"f{i}", F.lit(True), 10**6 - 1, 10**6, 1, 10**6)
+        for i in range(30)  # factor product far beyond 1e308
+    ]
+    with pytest.raises(ValueError, match="coarsen the m/u rationals"):
+        fs_weight(huge)
+    with pytest.raises(ValueError, match="coarsen the m/u rationals"):
+        fs_classify(None, huge)

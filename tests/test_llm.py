@@ -2605,3 +2605,37 @@ def test_scd2_oracle_sql_null_safe(spark):
     assert [(u, v) for u, v, *_ in got] == [
         (1, "A"), (1, None), (1, "A"), (2, None), (2, "B")
     ]
+
+
+def test_fractional_max_df_denominator_includes_shingleless_docs(spark):
+    """r9 review: decontaminate's fractional cap denominator is the
+    documented |train| + |bench| — including docs too short to yield a
+    single k-shingle — keeping one fractional setting cap-equivalent
+    with decontaminate_bloom/tfidf_cosine_pairs."""
+    rows = [(i, "common shared shingle words here") for i in range(3)]
+    rows += [(10 + i, f"unrelated solitary text body token{i}") for i in range(3)]
+    rows += [(100 + i, "shorty") for i in range(4)]  # < k tokens: no shingle
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    train = docs.filter(F.col("doc_id") < 100)
+    bench = docs.filter(F.col("doc_id") >= 100).union(
+        spark.createDataFrame([(200, "common shared shingle words here")],
+                              ["doc_id", "text"])
+    )
+
+    def decon(cap):
+        return sorted(
+            tuple(r)
+            for r in decontaminate(
+                train, bench, "text", "doc_id", k=3, min_shared=1,
+                max_df=cap,
+            ).collect()
+        )
+
+    # shared shingles have combined df = 4 (3 train + 1 bench docs).
+    # |train| + |bench| = 6 + 5 = 11 -> floor(0.5 * 11) = 5: kept, pairs
+    # found. Were the denominator only the 7 shingle-bearing docs, the
+    # cap would be floor(0.5 * 7) = 3 and every shared shingle would be
+    # filtered as boilerplate -> empty result.
+    assert decon(0.5) == decon(5) and decon(5)
+    assert decon(3) == []
+    assert decon(0.5) != decon(3)

@@ -125,15 +125,27 @@ def main() -> int:
     from etl_procesos_odo_spark.registry import registry
 
     names = [q.name for q in registry()]
-    if args.tier == "core":
-        from etl_procesos_odo_spark.registry import CONTAINED
-
-        names = [n for n in names if n not in CONTAINED]
     if args.only:
+        # validate --only against the FULL registry before tier filtering,
+        # so a registered-but-contained name gets a truthful message
         wanted = set(args.only.split(","))
         unknown = wanted - set(names)
         if unknown:
             ap.error(f"unknown query names: {sorted(unknown)}")
+    if args.tier == "core":
+        from etl_procesos_odo_spark.registry import CONTAINED
+
+        if args.only:
+            demoted = set(args.only.split(",")) & set(CONTAINED)
+            if demoted:
+                ap.error(
+                    f"excluded by --tier core (registry.CONTAINED): "
+                    f"{sorted(demoted)} — drop --tier (full is the "
+                    "default) to spot-check contained queries"
+                )
+        names = [n for n in names if n not in CONTAINED]
+    if args.only:
+        wanted = set(args.only.split(","))
         names = [n for n in names if n in wanted]
     results: dict = {}
     if not args.isolate:
