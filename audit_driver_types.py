@@ -45,6 +45,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--names", default=None, help="CSV subset of query names")
+    ap.add_argument("--tier", choices=("full", "core"), default="full",
+                    help="'core' skips registry.CONTAINED (same two-tier "
+                         "convention as verify_all.py)")
     args = ap.parse_args()
 
     import duckdb
@@ -62,9 +65,16 @@ def main() -> int:
         )
 
     only = set(args.names.split(",")) if args.names else None
+    skip: set = set()
+    if args.tier == "core":
+        from etl_procesos_odo_spark.registry import CONTAINED
+
+        skip = set(CONTAINED)
     findings: dict = {}
     for q in registry():
         if only and q.name not in only:
+            continue
+        if q.name in skip and not only:
             continue
         entry: dict = {}
         try:
