@@ -103,6 +103,12 @@ def main() -> int:
     ap.add_argument("--out", default="CORRECTNESS_local.json")
     ap.add_argument("--isolate", type=int, default=0, metavar="N",
                     help="run in fresh subprocesses of N queries each")
+    ap.add_argument("--jobs", type=int, default=1, metavar="J",
+                    help="with --isolate: run up to J batch subprocesses "
+                         "concurrently (each child gets cpus/J executor "
+                         "threads so the box is not oversubscribed); "
+                         "census cost is dominated by ~17 serial JVM "
+                         "startups otherwise")
     ap.add_argument("--only", default=None, metavar="CSV",
                     help="restrict to these query names (smoke/CI subsets)")
     ap.add_argument("--tier", choices=("full", "core"), default="full",
@@ -152,31 +158,53 @@ def main() -> int:
         results = run_queries(names, args.sf)
     else:
         batches = [names[i:i + args.isolate] for i in range(0, len(names), args.isolate)]
-        for batch in batches:
-            for attempt_batch in (batch,):
-                proc = subprocess.run(
-                    [sys.executable, __file__, "--run-batch", ",".join(attempt_batch),
-                     "--sf", args.sf],
-                    capture_output=True, text=True, timeout=1800,
+        jobs = max(1, args.jobs)
+        child_env = dict(os.environ)
+        if jobs > 1:
+            # split the box between concurrent children instead of
+            # oversubscribing: each child JVM gets cpus/J executor threads
+            try:
+                cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            except ValueError:
+                cpus = 32
+            child_env["SPARK_GRAFT_CPUS"] = str(max(8, cpus // jobs))
+
+        def run_batch(batch: list[str]) -> dict:
+            got: dict = {}
+            proc = subprocess.run(
+                [sys.executable, __file__, "--run-batch", ",".join(batch),
+                 "--sf", args.sf],
+                capture_output=True, text=True, timeout=1800, env=child_env,
+            )
+            if proc.returncode == 0:
+                got.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+                return got
+            # batch crashed (e.g. JVM segfault) — retry one-by-one so
+            # one poisoned query can't empty the whole artifact
+            for n in batch:
+                p1 = subprocess.run(
+                    [sys.executable, __file__, "--run-batch", n, "--sf", args.sf],
+                    capture_output=True, text=True, timeout=1800, env=child_env,
                 )
-                if proc.returncode == 0:
-                    results.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+                if p1.returncode == 0:
+                    got.update(json.loads(p1.stdout.strip().splitlines()[-1]))
                 else:
-                    # batch crashed (e.g. JVM segfault) — retry one-by-one so
-                    # one poisoned query can't empty the whole artifact
-                    for n in attempt_batch:
-                        p1 = subprocess.run(
-                            [sys.executable, __file__, "--run-batch", n, "--sf", args.sf],
-                            capture_output=True, text=True, timeout=1800,
-                        )
-                        if p1.returncode == 0:
-                            results.update(json.loads(p1.stdout.strip().splitlines()[-1]))
-                        else:
-                            results[n] = {
-                                "ok": False,
-                                "error": f"process rc={p1.returncode}: "
-                                         + p1.stderr[-300:],
-                            }
+                    got[n] = {
+                        "ok": False,
+                        "error": f"process rc={p1.returncode}: "
+                                 + p1.stderr[-300:],
+                    }
+            return got
+
+        if jobs == 1:
+            for batch in batches:
+                results.update(run_batch(batch))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=jobs) as pool:
+                for got in pool.map(run_batch, batches):
+                    results.update(got)
 
     out = results
     if args.only and os.path.exists(args.out):
