@@ -70,6 +70,17 @@ def main() -> int:
         from etl_procesos_odo_spark.registry import CONTAINED
 
         skip = set(CONTAINED)
+        if only:
+            # mirror verify_all.py: --names overrides the tier filter, so
+            # refuse the ambiguous combination instead of silently running
+            # contained queries under a flag that claims to skip them
+            demoted = only & skip
+            if demoted:
+                ap.error(
+                    f"excluded by --tier core (registry.CONTAINED): "
+                    f"{sorted(demoted)} — drop --tier (full is the "
+                    "default) to audit contained queries"
+                )
     findings: dict = {}
     for q in registry():
         if only and q.name not in only:

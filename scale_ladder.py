@@ -428,9 +428,14 @@ def _run_streaming_sf(sf_dir: str) -> None:
             q.processAllAvailable()
             wall = round(time.perf_counter() - t0, 2)
             batches = []
+            idle_triggers = 0
             for p in q.recentProgress:
-                if p["numInputRows"] == 0 and not batches:
-                    continue  # leading no-data triggers
+                if p["numInputRows"] == 0:
+                    # skip ALL no-data triggers (leading, interleaved, or
+                    # trailing) so the per-batch arrays reflect exactly the
+                    # data micro-batches; count them separately
+                    idle_triggers += 1
+                    continue
                 st = p.get("stateOperators") or []
                 batches.append(
                     {
@@ -449,6 +454,7 @@ def _run_streaming_sf(sf_dir: str) -> None:
         return {
             "wall_sec": wall,
             "n_batches": len(batches),
+            "idle_triggers": idle_triggers,
             "out_rows": n_out,
             "trigger_ms_per_batch": per_batch,
             "state_rows_per_batch": [b["state_rows"] for b in batches],

@@ -221,7 +221,16 @@ def test_driver_head_curation():
     names = [q.name for q in registry()]
     assert len(DRIVER_HEAD) == 50 == len(set(DRIVER_HEAD))
     assert names[:50] == list(DRIVER_HEAD)
-    sentinels = {
+    missing = {k: v for k, v in FAMILY_SENTINELS.items() if v not in DRIVER_HEAD}
+    assert not missing, missing
+
+
+# One sentinel per operator family. Referenced by BOTH
+# test_driver_head_curation (every sentinel must hold a driver-head row)
+# and test_contained_tier_invariants (every sentinel must stay in the
+# core census tier — the machine check behind registry.CONTAINED's
+# "every §2 family and every LLM family keeps >=1 core row" claim).
+FAMILY_SENTINELS = {
         "pipelines": "q53_callcenter_demand",
         "streaming": "q58_stateful_user_stats",
         "ml": "q41_forecast_demand",
@@ -293,9 +302,7 @@ def test_driver_head_curation():
         # q175's verify stage); the exact-pairs discipline's head row is
         # the prefix-filter arm
         "exact_similarity": "q175_ppjoin_pairs",
-    }
-    missing = {k: v for k, v in sentinels.items() if v not in DRIVER_HEAD}
-    assert not missing, missing
+}
 
 
 def test_shingle_filter_not_pushed_below_spread(spark):
@@ -989,3 +996,11 @@ def test_contained_tier_invariants():
     # every sentinel family from the head-curation test is core by
     # construction (head ⊆ core) — re-assert the subset relation
     assert set(DRIVER_HEAD) <= core
+    # explicit per-family core coverage (r9 advice): registry.CONTAINED's
+    # comment claims every §2 / LLM family keeps >=1 core row — check it
+    # directly against the family sentinel map rather than leaving it
+    # implied by head membership
+    demoted_sentinels = {
+        fam: q for fam, q in FAMILY_SENTINELS.items() if q not in core
+    }
+    assert not demoted_sentinels, demoted_sentinels

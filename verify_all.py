@@ -163,13 +163,27 @@ def main() -> int:
         if jobs > 1:
             # split the box between concurrent children instead of
             # oversubscribing: each child JVM gets cpus/J executor threads
+            host_cpus = os.cpu_count() or 32
             try:
-                cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(host_cpus)))
             except ValueError:
-                cpus = 32
+                cpus = host_cpus
             child_env["SPARK_GRAFT_CPUS"] = str(max(8, cpus // jobs))
 
         def run_batch(batch: list[str]) -> dict:
+            # never let one batch's infrastructure failure (timeout,
+            # truncated stdout) propagate and discard every other
+            # completed batch — record a per-query error entry instead
+            try:
+                return _run_batch_inner(batch)
+            except Exception as e:
+                return {
+                    n: {"ok": False,
+                        "error": f"batch-level {type(e).__name__}: {e}"[:300]}
+                    for n in batch
+                }
+
+        def _run_batch_inner(batch: list[str]) -> dict:
             got: dict = {}
             proc = subprocess.run(
                 [sys.executable, __file__, "--run-batch", ",".join(batch),
