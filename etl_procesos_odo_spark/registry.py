@@ -58,14 +58,42 @@ DRIVER_HEAD: tuple[str, ...] = (
     # stay evidenced by q50-q54/q57 head rows; q55 stays green in the
     # back-half full-registry runs. q116 is the ordered-funnel family,
     # new in r4 with no driver-row class.)
+    # (r10 swap q116 -> q177: q116's ordered funnel is the per-user
+    # order-statistics collapse — conditional first-occurrence ranks
+    # chained per user — which is exactly the q178 GSP head row's
+    # support discipline (q178 generalizes ordered-step reachability to
+    # arbitrary patterns; the funnel is the fixed 3-step instance with
+    # value predicates), and its per-user partitioned window machinery
+    # (row_number + conditional min over user partitions) runs inside
+    # the q54 sessionized head row's W3 chain; q116 stays green in the
+    # back-half censuses. q177 is association rules — confidence/lift
+    # as ONE IEEE division of exact integer counts over q176's
+    # frequent itemsets — the mining family's RULES arm, never headed.)
     "q50_partitioner_pipeline", "q51_confirmaciones_pipeline",
     "q52_recursos_pipeline", "q53_callcenter_demand",
-    "q54_indicadores_pipeline", "q116_funnel",
+    "q54_indicadores_pipeline", "q177_association_rules",
     "q57_narrative_verdicts",
     # streaming (one per family: tumbling, dedup, session, stateful,
     # stream-static, sliding, stream-stream)
-    "q40_streaming_hourly", "q43_streaming_dedup", "q69_streaming_sessionize",
-    "q58_stateful_user_stats", "q90_stream_static_join",
+    # (r10 swap q40 -> q113: q113's streaming stage IS q40's exact
+    # streaming plan — readStream -> groupBy(window(ts,'1 hour'),
+    # event_type) -> complete-mode memory sink (its docstring has
+    # recorded that since r4) — and ADDS the per-window share gate on
+    # the sink output, the streaming heavy-hitter governance form of
+    # q106 that never held a driver row; q40's decimal-exact sum arm is
+    # the A2 aggregate the q53 pipeline head row evidences (the
+    # expression is engine-invariant — same hourly_counts builder) and
+    # q40 stays green in the back-half censuses.)
+    # (r10 swap q90 -> q156: q90's stream-static broadcast equi-join
+    # runs VERBATIM inside q156's streaming plan (the stateless
+    # stream-static join with the capped bench shingle frame), which
+    # ADDS the literal-bloom scan probe and carries the q155-identical
+    # oracle — the streaming DECONTAMINATION gate, a never-headed
+    # family; q90's weighted rollup is the q53/q113 tumbling-agg shape
+    # and q90 stays green in the back-half censuses.)
+    "q113_streaming_heavy_hitters", "q43_streaming_dedup",
+    "q69_streaming_sessionize",
+    "q58_stateful_user_stats", "q156_streaming_decontaminate",
     "q91_streaming_sliding", "q95_stream_stream_join",
     # ML (q104 = q41's feature half with a hard oracle, r4 head swap;
     # q151 = the LinearRegression arm's PREDICT surface closed-form with
@@ -230,8 +258,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # EVALUATION arm (exact-BIGINT MASE, embargoed origins), new in r8;
     # the ML head block previously evidenced only features (q104) and
     # predict (q151).)
+    # (r10 swap q137 -> q186: q137's trailing-window mean/std z-score
+    # flag is a bounded partitioned-FRAME window aggregate — the W5
+    # cumulative/frame shape head-evidenced by q12's Pareto cumulative
+    # sums and q54's sessionized LAG chain — and after this swap the
+    # anomaly/drift DISCIPLINE holds two strictly stronger head rows
+    # (q190 exact MWU + q186 exact KS) instead of one heuristic one;
+    # q137 stays green in the back-half censuses. q186 is the exact
+    # two-sample Kolmogorov-Smirnov drift statistic (BIGINT
+    # |c1*n2-c2*n1| numerator, RANGE-frame tie collapse) — the stats
+    # kit's continuous-distribution arm, never headed.)
     "q178_sequential_patterns", "q84_json_extract", "q110_bm25_search",
-    "q203_seasonal_backtest", "q137_volume_anomalies",
+    "q203_seasonal_backtest", "q186_ks_drift",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
     # aggregate + broadcast stage on top of q72's primitive; q86 stays
@@ -266,7 +304,17 @@ DRIVER_HEAD: tuple[str, ...] = (
     # back-half censuses. q184 is mixture execution — the sampling-
     # governance capstone (waterfill allocation + hash-uniform execute
     # at alloc/cap) with no driver-row class.)
-    "q149_sorted_neighborhood", "q167_leakage_safe_split",
+    # (r10 swap q149 -> q191: q149's candidate generation is a bounded
+    # neighbor window over a global sort — the striped two-pass rank
+    # discipline the q50 partitioner head row evidences — and its
+    # pair-scoring/verify equi-join is the q199 FS-linkage head row's
+    # candidate-pair classification shape (entity resolution keeps q199
+    # as its head row; q149 stays green in the back-half censuses).
+    # q191 is the join-cardinality audit — per-side key multiplicity
+    # histograms + exact sum(m_l*m_r) output size, the EXACT arm of
+    # q171's CMS join bound and the ops/integrity family's second row
+    # class (q189 covers export manifests), never headed.)
+    "q191_join_audit", "q167_leakage_safe_split",
     "q153_incident_session_overlap",
     "q184_mixture_execute",
     # multimodal + capstone

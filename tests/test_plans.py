@@ -271,9 +271,11 @@ FAMILY_SENTINELS = {
         "ml_backtest_oracle": "q203_seasonal_backtest",
         # q35's scan shape carried by q100's tokenize stage (r9 note)
         "text": "q190_mwu_drift",
-        # r5 swap: q97's stateful smoothing is evidenced by q58; q137
-        # carries the time-series anomaly family in the head
-        "enrich": "q137_volume_anomalies",
+        # r5 swap: q97's stateful smoothing is evidenced by q58; r10:
+        # q137 rotates out (trailing-frame window shape — registry.py
+        # note), the enrich/anomaly family's head rows are the exact
+        # drift pair (q190 MWU below + q186 KS)
+        "enrich": "q186_ks_drift",
         # r8 swaps: q73/q76/q87/q106/q145 rotate out (containment notes
         # in registry.py + COVERAGE.md round-8); the round-7
         # statistical/governance wave gets its first driver rows
@@ -286,7 +288,17 @@ FAMILY_SENTINELS = {
         # r5 swaps: q02's filter shapes run inside the pipeline rows
         # (q50/q51/q53/q54); q12 carries the relational family
         "relational": "q12_pareto_brands",
-        "funnel": "q116_funnel",
+        # r10 swap: q116 rotates out (ordered-funnel reachability is the
+        # q178 order-statistics collapse with a fixed 3-step pattern —
+        # registry.py r10 note); the funnel family's sentinel is the
+        # generalizing head row
+        "funnel": "q178_sequential_patterns",
+        # r10: the never-headed families get their first driver rows
+        "association_rules": "q177_association_rules",
+        "streaming_sketch": "q113_streaming_heavy_hitters",
+        "streaming_decontaminate": "q156_streaming_decontaminate",
+        "ks_drift": "q186_ks_drift",
+        "ops_integrity_audit": "q191_join_audit",
         "retrieval_lexical": "q110_bm25_search",
         "retrieval_hybrid_routed": "q120_hybrid_rrf_routed",
         # r6 swaps: q59/q60/q72/q18 rotate out (families doubly covered,
@@ -294,7 +306,10 @@ FAMILY_SENTINELS = {
         # driver-unseen families
         "ml_predict_oracle": "q151_lr_forecast_grid",
         "range_join": "q121_attribution_range_join",
-        "entity_resolution": "q149_sorted_neighborhood",
+        # r10 swap: q149 rotates out (neighbor-window candidate gen +
+        # pair-verify join — registry.py note); FS linkage carries the
+        # entity-resolution family
+        "entity_resolution": "q199_fs_linkage",
         "graph_analytics": "q134_pagerank_neardup",
         "decontamination_bloom": "q155_decontaminate_bloom",
         "interval_overlap": "q153_incident_session_overlap",

@@ -119,6 +119,10 @@ def main() -> int:
                          " for the per-query justification). The full tier "
                          "is the weekly / on-touch refresh; core is the "
                          "per-iteration gate.")
+    ap.add_argument("--timeout", type=int, default=1800, metavar="SEC",
+                    help="per-batch subprocess timeout with --isolate "
+                         "(raise for sf>=1 censuses where one heavy batch "
+                         "can legitimately exceed 30 min)")
     ap.add_argument("--run-batch", default=None, help="(internal) CSV of query names")
     args = ap.parse_args()
 
@@ -188,7 +192,8 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable, __file__, "--run-batch", ",".join(batch),
                  "--sf", args.sf],
-                capture_output=True, text=True, timeout=1800, env=child_env,
+                capture_output=True, text=True, timeout=args.timeout,
+                env=child_env,
             )
             if proc.returncode == 0:
                 got.update(json.loads(proc.stdout.strip().splitlines()[-1]))
@@ -198,7 +203,8 @@ def main() -> int:
             for n in batch:
                 p1 = subprocess.run(
                     [sys.executable, __file__, "--run-batch", n, "--sf", args.sf],
-                    capture_output=True, text=True, timeout=1800, env=child_env,
+                    capture_output=True, text=True, timeout=args.timeout,
+                    env=child_env,
                 )
                 if p1.returncode == 0:
                     got.update(json.loads(p1.stdout.strip().splitlines()[-1]))
