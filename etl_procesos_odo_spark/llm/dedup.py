@@ -394,8 +394,11 @@ def dedup_clusters(
             break
         lab_sum = new_sum
     out_id = F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col)
+    # distinct: one output row per distinct doc id, like the oracle's
+    # GROUP BY — duplicate primary-key rows must not duplicate the
+    # cluster labeling (r10 adversarial census pin)
     return (
-        df.select(out_id)
+        df.select(out_id).distinct()
         .join(lab, F.col("doc_id") == lab["id"], "left")
         .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
@@ -507,8 +510,11 @@ def dedup_clusters_bigstar(
     )
     lab = cc_bigstar(pairs.select("id_a", "id_b"), max_iter=max_iter)
     out_id = F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col)
+    # distinct: one output row per distinct doc id, like the oracle's
+    # GROUP BY — duplicate primary-key rows must not duplicate the
+    # cluster labeling (r10 adversarial census pin)
     return (
-        df.select(out_id)
+        df.select(out_id).distinct()
         .join(lab, F.col("doc_id") == lab["id"], "left")
         .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )

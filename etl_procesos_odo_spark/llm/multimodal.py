@@ -173,19 +173,28 @@ def transform_media(
 
     def op(batches):
         for pdf in batches:
-            resized = pdf["payload"].map(lambda b: bytes(b[:target]))
+            # NULL payloads (a NULL media column at ingestion) pass
+            # through as NULL metadata — same as the oracle's closed-form
+            # NULL propagation (r10 adversarial pin); nullable Int64
+            # keeps the Arrow type long while carrying the NA
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]) if b is not None else None
+            )
             n_frames = pdf["payload"].map(
-                lambda b: fake_decode_meta(b)[2]
-            ).astype("int64")
+                lambda b: fake_decode_meta(b)[2] if b is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "out_w": out_w,
                     "out_h": out_h,
-                    "n_bytes_out": resized.map(len).astype("int64"),
+                    "n_bytes_out": resized.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "n_frames": n_frames,
                     "sampled": n_frames.map(
-                        lambda n: list(range(0, int(n), every_k))
+                        lambda n: (list(range(0, int(n), every_k))
+                                   if pd.notna(n) else None)
                     ),
                 }
             )

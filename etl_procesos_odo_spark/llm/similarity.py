@@ -42,8 +42,13 @@ def norm2(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """cos = dot / (sqrt(|a|²) * sqrt(|b|²)) — one formula, mirrored
-    verbatim in the oracle SQL."""
-    return dot_double(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+    verbatim in the oracle SQL. ``try_divide``: a zero-norm (or NULL)
+    vector has no defined direction — its cosine is NULL, exactly like
+    DuckDB's division-by-zero result (r10 adversarial census pin); ANSI
+    division would abort the whole scan instead."""
+    return F.try_divide(
+        dot_double(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))
+    )
 
 
 def cosine_topk(

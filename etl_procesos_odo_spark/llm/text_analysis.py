@@ -149,9 +149,13 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_toks,
-        "avg_token_len": sum_tok_len.cast("double") / n_toks,
-        "punct_ratio": n_punct.cast("double") / n_chars,
-        "stopword_ratio": n_stop.cast("double") / n_toks,
+        # try_divide: empty/whitespace-only documents have zero tokens /
+        # zero chars; ANSI division would abort the scan, and DuckDB's
+        # x/0 is NULL — try_divide matches that exactly (r10 adversarial
+        # census pin)
+        "avg_token_len": F.try_divide(sum_tok_len.cast("double"), n_toks),
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n_toks),
     }
 
 

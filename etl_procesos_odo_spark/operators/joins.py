@@ -116,20 +116,30 @@ def asof_join(
     from pyspark.sql import Window
 
     lcols = [c for c in left.columns]
+    # carry the right row's attached values as ONE struct, non-null
+    # exactly when the union row IS a right row: last(struct, ignorenulls)
+    # then distinguishes "no right row yet" (struct null -> field null)
+    # from "right row whose attribute is NULL" (struct present, field
+    # null). Per-column last(ignorenulls) conflated the two and bled the
+    # previous row's value over a legitimately-NULL attribute (r10
+    # adversarial census finding on q81).
+    rtypes = dict(right.dtypes)
     l2 = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[rc]).alias(f"_rv_{rc}")
-          for rc in right_vals],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{rc}`:{rtypes[rc]}" for rc in right_vals)
+            + ">"
+        ).alias("_rv"),
     )
     r2 = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(rc).alias(f"_rv_{rc}") for rc in right_vals],
+        F.struct(*[F.col(rc) for rc in right_vals]).alias("_rv"),
     )
     w = (
         Window.partitionBy("_k")
@@ -139,12 +149,15 @@ def asof_join(
     filled = l2.unionByName(r2).select(
         "_side",
         *lcols,
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv_last"),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols,
         *[
-            F.last(f"_rv_{rc}", ignorenulls=True).over(w).alias(alias)
+            F.col("_rv_last").getField(rc).alias(alias)
             for rc, alias in right_vals.items()
         ],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
 
 
 def range_join_binned(

@@ -91,10 +91,22 @@ def _striped_global_rank(
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_c").over(Window.partitionBy(unit_col)).alias("_cnt"),
     )
+    # NULL-safe join on the unit: a plain equi-join silently DROPS every
+    # key whose unit is NULL (r10 adversarial census finding — 3 NULL-
+    # segment customers vanished from q19/q50's partitioning). Both
+    # window partitioning above and the oracle's PARTITION BY treat NULL
+    # as one ordinary group, so the offsets attach must too.
+    off = offsets.withColumnRenamed(unit_col, "_u_off").withColumnRenamed(
+        "_stripe", "_stripe_off"
+    )
     return (
-        local.join(F.broadcast(offsets), on=[unit_col, "_stripe"])
+        local.join(
+            F.broadcast(off),
+            F.col(unit_col).eqNullSafe(F.col("_u_off"))
+            & (F.col("_stripe") == F.col("_stripe_off")),
+        )
         .withColumn("_rk", (F.col("_off") + F.col("_lrk")).cast("long"))
-        .drop("_h", "_stripe", "_lrk", "_off", "_c")
+        .drop("_h", "_stripe", "_lrk", "_off", "_c", "_u_off", "_stripe_off")
     )
 
 

@@ -120,14 +120,23 @@ def q83_pii_mask(spark: SparkSession, sf_dir: str):
 @register(
     "q84_json_extract",
     """
+    WITH j AS (
+      -- json_valid guard: DuckDB's json_extract_string ERRORS on
+      -- malformed JSON where Spark's get_json_object returns NULL (r10
+      -- adversarial census pin) — gate extraction to valid documents so
+      -- both engines yield NULL for garbage rows
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS n_distinct_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT k) AS n_distinct_k,
+           MAX(k) AS max_k
+    FROM j
     GROUP BY event_type
     """,
     doc="Semi-structured extraction: pull a typed field out of the events "
@@ -731,11 +740,15 @@ def q96_longest_streak(spark: SparkSession, sf_dir: str):
     "q97_ewma",
     """
     WITH RECURSIVE o AS (
+      -- user_id IS NOT NULL: the EWMA is per-user state; an unattributed
+      -- event has no state key (and the recursive join's NULL = NULL
+      -- would silently orphan the chain after its seed row — r10
+      -- adversarial pin). Both engines drop NULL users explicitly.
       SELECT user_id, event_id, value,
              CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT user_id, event_id, rn, t, CAST(value AS DOUBLE) AS ewma
@@ -760,7 +773,9 @@ def q96_longest_streak(spark: SparkSession, sf_dir: str):
 def q97_ewma(spark: SparkSession, sf_dir: str):
     from .operators.windows import ewma_time_decay
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()  # see oracle note: no state key
+    )
     return ewma_time_decay(
         ev, "user_id", "ts", "event_id", "value", tau_seconds=600.0
     )
@@ -780,7 +795,14 @@ def q97_ewma(spark: SparkSession, sf_dir: str):
                                    l_discount, l_tax))
     )
     SELECT measure, COUNT(*) AS n,
-           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           -- decimal -> VARCHAR -> DOUBLE: at sf1 the extendedprice sum
+           -- (1.45e11, unscaled 1.45e17 > 2^53) exposes Spark's decimal->
+           -- double as a DOUBLE ROUNDING (unscaled long -> double, then
+           -- /1e6) one ulp off DuckDB's single rounding; the string
+           -- bridge prints exact digits and parses with one correctly-
+           -- rounded step in both engines (r10 sf1 census finding)
+           CAST(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+             AS total,
            MAX(val) AS max_val
     FROM long GROUP BY measure
     """,
@@ -799,12 +821,17 @@ def q98_unpivot_measures(spark: SparkSession, sf_dir: str):
         values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         variableColumnName="measure",
         valueColumnName="val",
+    ).filter(
+        # SQL UNPIVOT drops NULL measures by default (EXCLUDE NULLS);
+        # Spark's unpivot keeps them — align to the SQL semantics (r10
+        # adversarial pin: NULL l_discount/l_tax rows inflated n)
+        F.col("val").isNotNull()
     )
     return long.groupBy("measure").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias(
-            "total"
-        ),
+        # string-bridge cast — see oracle note (exact past 2^53 unscaled)
+        F.sum(F.col("val").cast("decimal(25,6)"))
+        .cast("string").cast("double").alias("total"),
         F.max("val").alias("max_val"),
     )
 
@@ -845,7 +872,12 @@ def q99_quality_percentile(spark: SparkSession, sf_dir: str):
     t = docs.select(
         "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    # asc_nulls_last: DuckDB's default ASC null order is NULLS LAST while
+    # Spark's is NULLS FIRST — NULL-text documents (NULL n_tokens) must
+    # rank at the top end in both engines (r10 adversarial pin)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tokens").asc_nulls_last(), "doc_id"
+    )
     pr = F.percent_rank().over(w)
     return t.select(
         "doc_id",
@@ -868,7 +900,15 @@ _O_DTOKENS = (
 @register(
     "q100_corpus_prep_v3",
     f"""
-    WITH w AS (SELECT doc_id, lang, {O_TOKENS} AS w FROM documents),
+    WITH dd AS (
+      -- idempotent ingestion: exact duplicate rows (re-delivered docs)
+      -- collapse before the pipeline — a duplicate primary key with
+      -- DIFFERENT content is a contract violation (q141's check), but
+      -- identical redeliveries must not perturb dedup/rank/split (r10
+      -- adversarial pin)
+      SELECT DISTINCT doc_id, lang, text FROM documents
+    ),
+    w AS (SELECT doc_id, lang, {O_TOKENS} AS w FROM dd),
     b AS (
       SELECT doc_id, i AS pos,
              array_to_string(w[(8*i + 1):(8*i + 8)], ' ') AS block
@@ -887,7 +927,7 @@ _O_DTOKENS = (
     ),
     scored AS (
       SELECT d.doc_id, d.lang, len({_O_DTOKENS}) AS n_tokens
-      FROM documents d JOIN kept USING (doc_id)
+      FROM dd d JOIN kept USING (doc_id)
     ),
     gated AS (SELECT * FROM scored WHERE n_tokens >= 20),
     ranked AS (
@@ -925,7 +965,11 @@ def q100_corpus_prep_v3(spark: SparkSession, sf_dir: str):
 
     from .llm.text_analysis import token_count_ws
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .distinct()  # idempotent ingestion — see oracle note
+    )
     deduped = block_dedup(docs, "text", "doc_id", block_words=8).filter(
         F.col("n_kept") > 0
     )
@@ -1391,7 +1435,12 @@ def q127_batch_sessionize(spark: SparkSession, sf_dir: str):
       FROM events e JOIN f ON f.user_id = e.user_id
     )
     SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
-           CAST(datediff('week', cohort_week, activity_week) AS BIGINT)
+           -- day-diff // 7, NOT datediff('week', ...): DuckDB's week
+           -- datediff counts its own week-boundary crossings, which for
+           -- multi-year spans (boundary-timestamp rows) disagrees with
+           -- Monday-aligned exact-week arithmetic (r10 adversarial pin);
+           -- both inputs are date_trunc('week') Mondays so // 7 is exact
+           CAST(datediff('day', cohort_week, activity_week) // 7 AS BIGINT)
              AS weeks_since,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM a GROUP BY cohort_week, weeks_since
@@ -2509,7 +2558,12 @@ def _histq_oracle() -> str:
     )
     return f"""
     WITH v AS (
-      SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+      -- n_chars IS NOT NULL: a NULL length has no rank position, and the
+      -- engines disagree on where NULLs sit in cumulative windows
+      -- (Spark NULLS FIRST vs DuckDB NULLS LAST) — excluded explicitly
+      -- in both (r10 adversarial pin)
+      SELECT lang, n_chars, COUNT(*) AS c FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     n AS (SELECT lang, SUM(c) AS n FROM v GROUP BY 1),
     qd AS ({qdim}),
@@ -2530,7 +2584,7 @@ def _histq_oracle() -> str:
     ),
     b AS (
       SELECT lang, n_chars // {_HISTQ_BIN} AS bin, COUNT(*) AS c
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     bc AS (
       SELECT lang, bin,
@@ -2571,7 +2625,9 @@ def _histq_oracle() -> str:
 def q173_histogram_quantiles(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()  # see oracle note: no rank position
+    )
     v = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
     n = v.groupBy("lang").agg(F.sum("c").alias("n"))
     qd = docs.sparkSession.createDataFrame(
@@ -3094,7 +3150,14 @@ def q182_selection_median(spark: SparkSession, sf_dir: str):
         F.max("x").alias("mx"),
         F.count(F.lit(1)).alias("n"),
     )
-    b = ev.join(F.broadcast(stats), "t").selectExpr(
+    # eqNullSafe joins throughout: the group key is a raw event_type that
+    # can be NULL, and a plain equi-join would silently drop the NULL
+    # group from the selection while the oracle's window keeps it (r10
+    # adversarial census pin — same class as the q19 partitioner bug)
+    b = ev.join(
+        F.broadcast(stats.withColumnRenamed("t", "_t")),
+        F.col("t").eqNullSafe(F.col("_t")),
+    ).selectExpr(
         "t", "x", "n",
         "case when mx = mn then 0 else "
         "least(4095, cast(floor((x - mn) / (mx - mn) * 4096) as int)) "
@@ -3107,15 +3170,22 @@ def q182_selection_median(spark: SparkSession, sf_dir: str):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     located = (
-        hist.join(F.broadcast(stats.select("t", "n")), "t")
+        hist.join(
+            F.broadcast(stats.selectExpr("t as _t", "n")),
+            F.col("t").eqNullSafe(F.col("_t")),
+        )
         .select(
             "t", "bin", "c", "n",
             F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
         )
         .filter("below < (n + 1) div 2 and below + c >= (n + 1) div 2")
-        .selectExpr("t", "bin", "(n + 1) div 2 - below as k_in_bin")
+        .selectExpr("t", "bin", "n", "(n + 1) div 2 - below as k_in_bin")
     )
-    cand = b.join(F.broadcast(located), ["t", "bin"])
+    cand = b.drop("n").join(
+        F.broadcast(located.selectExpr("t as _t", "bin as _bin",
+                                       "n", "k_in_bin")),
+        F.col("t").eqNullSafe(F.col("_t")) & (F.col("bin") == F.col("_bin")),
+    )
     wsel = Window.partitionBy("t").orderBy("x")
     return (
         cand.select(
@@ -3193,7 +3263,13 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
     ranks = stats.crossJoin(qs).selectExpr(
         "t", "q", "n", "greatest(1, (num * n + den - 1) div den) as k"
     )
-    b = ev.join(F.broadcast(stats), "t").selectExpr(
+    # eqNullSafe joins on the group key — NULL event_type groups must
+    # survive the histogram/candidate equi-joins (r10 adversarial pin,
+    # same fix as q182)
+    b = ev.join(
+        F.broadcast(stats.withColumnRenamed("t", "_t")),
+        F.col("t").eqNullSafe(F.col("_t")),
+    ).selectExpr(
         "t", "x",
         "case when mx = mn then 0 else "
         "least(4095, cast(floor((x - mn) / (mx - mn) * 4096) as int)) "
@@ -3210,12 +3286,18 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
         F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("below"),
     )
     located = (
-        cum.join(F.broadcast(ranks), "t")
+        cum.join(
+            F.broadcast(ranks.withColumnRenamed("t", "_t")),
+            F.col("t").eqNullSafe(F.col("_t")),
+        )
         .filter("below < k and below + c >= k")
         .selectExpr("t", "bin", "q", "n", "k - below as k_in_bin")
     )
     cand = b.join(
-        F.broadcast(located.select("t", "bin").distinct()), ["t", "bin"]
+        F.broadcast(
+            located.selectExpr("t as _ct", "bin as _cbin").distinct()
+        ),
+        F.col("t").eqNullSafe(F.col("_ct")) & (F.col("bin") == F.col("_cbin")),
     )
     wsel = Window.partitionBy("t", "bin").orderBy("x")
     ranked = cand.select(
@@ -3224,7 +3306,7 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
     return (
         ranked.join(
             F.broadcast(located),
-            (ranked["t"] == located["t"])
+            ranked["t"].eqNullSafe(located["t"])
             & (ranked["bin"] == located["bin"])
             & (ranked["rn"] == located["k_in_bin"]),
         )
@@ -3348,7 +3430,10 @@ def q186_ks_drift(spark: SparkSession, sf_dir: str):
             "cast(_n1 as bigint) as n_train",
             "cast(_n2 as bigint) as n_test",
             "cast(_kn as bigint) as ks_num",
-            "cast(_kn as double) / (_n1 * _n2) as ks",
+            # try_divide: a group present in only one split has n1*n2 = 0 —
+            # its KS is undefined (NULL), matching DuckDB x/0 (r10
+            # adversarial pin)
+            "try_divide(cast(_kn as double), _n1 * _n2) as ks",
         )
     )
 
@@ -3630,7 +3715,9 @@ def q190_mwu_drift(spark: SparkSession, sf_dir: str):
             "cast(n1 as bigint) as n_train",
             "cast(n2 as bigint) as n_test",
             "cast(r1x2 - n1 * (n1 + 1) as bigint) as u1x2",
-            "cast(r1x2 - n1 * (n1 + 1) as double) / (2 * n1 * n2) as auc",
+            # try_divide: one-sided groups (n1*n2 = 0) have undefined AUC
+            # (r10 adversarial pin)
+            "try_divide(cast(r1x2 - n1 * (n1 + 1) as double), 2 * n1 * n2) as auc",
         )
     )
 

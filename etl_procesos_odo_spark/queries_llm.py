@@ -1232,7 +1232,11 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str):
     )
     SELECT doc_id,
            CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
-           CAST(least(n_bytes, 256) AS BIGINT) AS n_bytes_out,
+           -- guard NULL payloads: least() IGNORES NULLs in both engines
+           -- (least(NULL, 256) = 256), but a NULL payload must stay NULL
+           -- metadata (r10 adversarial pin)
+           CAST(CASE WHEN n_bytes IS NULL THEN NULL
+                     ELSE least(n_bytes, 256) END AS BIGINT) AS n_bytes_out,
            CAST(n_frames AS BIGINT) AS n_frames,
            array_to_string(
              list_transform(generate_series(0, CAST(floor((n_frames - 1) / 3) AS BIGINT)),
@@ -1744,7 +1748,13 @@ def _bm25_oracle(
     score = "CAST(0.0 AS DOUBLE) + " + " + ".join(parts)
     tf_out = ", ".join(f"tf_{t}" for t in terms)
     return f"""
-    WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
+    WITH dd AS (
+      -- distinct ingestion: duplicate primary-key redeliveries must not
+      -- inflate df/N corpus stats (r10 adversarial pin; same contract
+      -- as q100)
+      SELECT DISTINCT doc_id, text FROM documents
+    ),
+    w AS (SELECT doc_id, {O_TOKENS} AS w FROM dd),
     toks AS (SELECT doc_id, unnest(w) AS term FROM w),
     tf AS (
       SELECT doc_id,
@@ -1787,7 +1797,11 @@ def _bm25_oracle(
 def q110_bm25_search(spark: SparkSession, sf_dir: str):
     from .llm.text_analysis import bm25_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()  # distinct ingestion — see oracle note
+    )
     return bm25_topk(
         docs, "text", "doc_id", _BM25_TERMS,
         k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
@@ -2430,7 +2444,13 @@ def q124_bpe_pair_counts(spark: SparkSession, sf_dir: str):
     SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_tokens,
            CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
-           md5(array_to_string(kept, ' ')) AS cleaned_digest
+           -- DuckDB's array_to_string([], ' ') is NULL while Spark's
+           -- array_join([], ' ') is '' — coalesce so a fully-collapsed
+           -- (but present) document digests as md5('') in both engines,
+           -- while a NULL document stays NULL (r10 adversarial pin)
+           CASE WHEN kept IS NULL THEN NULL
+                ELSE md5(coalesce(array_to_string(kept, ' '), ''))
+           END AS cleaned_digest
     FROM k
     """,
     doc="C4-style in-document cleanup (Raffel et al. 2020's repeated-"
@@ -3260,7 +3280,13 @@ def q159_hll_cardinality(spark: SparkSession, sf_dir: str):
 
 
 _LINE_DEDUP_ORACLE = """
-    WITH d AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+    WITH dd AS (
+      -- distinct ingestion: duplicate primary-key redeliveries must not
+      -- double a document's lines in the reassembly (r10 adversarial
+      -- pin; same contract as q100/q110)
+      SELECT DISTINCT doc_id, text FROM documents
+    ),
+    d AS (SELECT doc_id, str_split(text, ' ') AS words FROM dd),
     l AS (
       SELECT doc_id, i AS li,
              array_to_string(words[i*3+1 : i*3+3], ' ') AS line
@@ -3298,7 +3324,11 @@ _LINE_DEDUP_ORACLE = """
 def q160_line_dedup(spark: SparkSession, sf_dir: str):
     from .llm.dedup import line_dedup_corpus
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()  # distinct ingestion — see oracle note
+    )
     return line_dedup_corpus(docs, line_words=3)
 
 

@@ -143,7 +143,13 @@ def q50_partitioner_pipeline(spark: SparkSession, sf_dir: str):
     assign = balanced_partition(
         fact, "c_mktsegment", "c_custkey", 3, seed=42, hash_method="md5"
     )
-    att = fact.join(assign.drop("c_mktsegment"), on="c_custkey")
+    # attach onto ORDERS, not the customer-joined fact: with duplicate
+    # customer primary keys the fact is already key-inflated, so joining
+    # it again against the assignment double-counts orders (r10
+    # adversarial census finding); the oracle's att joins orders directly
+    att = assign.drop("c_mktsegment").join(
+        orders, assign["c_custkey"] == orders["o_custkey"]
+    )
     return att.groupBy(F.col("particion").cast("long").alias("particion")).agg(
         F.countDistinct("c_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
@@ -206,10 +212,14 @@ def q51_confirmaciones_pipeline(spark: SparkSession, sf_dir: str):
     joined = joined.withColumn(
         "direccion", F.coalesce(F.col("direccion"), F.lit("SIN DIRECCIÓN"))
     )
-    mensaje = F.concat_ws(
-        "|",
+    # F.concat (not concat_ws): a NULL component — e.g. the Spanish label
+    # of a NULL order date — must NULL the whole message like the
+    # oracle's `||`, not be silently skipped (r10 adversarial census pin)
+    mensaje = F.concat(
         F.col("o_custkey").cast("string"),
+        F.lit("|"),
         spanish_long_date(F.col("fecha")),
+        F.lit("|"),
         F.col("direccion"),
     )
     return joined.select("o_custkey", "fecha", "sede", mensaje.alias("mensaje"))

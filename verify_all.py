@@ -119,6 +119,14 @@ def main() -> int:
                          " for the per-query justification). The full tier "
                          "is the weekly / on-touch refresh; core is the "
                          "per-iteration gate.")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="run the census against the hostile generated "
+                         "dataset (datagen.py --adversarial: NULLs, dup "
+                         "keys, empty strings, boundary timestamps, zero "
+                         "vectors) instead of the driver fixtures; "
+                         "generates .scaledata/adversarial on first use "
+                         "and defaults --out to "
+                         "CORRECTNESS_adversarial.json")
     ap.add_argument("--timeout", type=int, default=1800, metavar="SEC",
                     help="per-batch subprocess timeout with --isolate "
                          "(raise for sf>=1 censuses where one heavy batch "
@@ -130,6 +138,19 @@ def main() -> int:
         results = run_queries(args.run_batch.split(","), args.sf)
         print("\n" + json.dumps(results))
         return 0
+
+    if args.adversarial:
+        adv_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scaledata", "adversarial",
+        )
+        if not os.path.exists(os.path.join(adv_dir, "lineitem.parquet")):
+            import datagen
+
+            datagen.generate(adv_dir, 0.001, adversarial=True)
+        args.sf = adv_dir
+        if args.out == "CORRECTNESS_local.json":  # the argparse default
+            args.out = "CORRECTNESS_adversarial.json"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from etl_procesos_odo_spark.registry import registry
