@@ -336,6 +336,10 @@ STREAM_POINTS = [
     ("10k", 10_000),
     ("100k", 100_000),
     ("1m", 1_000_000),
+    # r10 (verdict item 7): one more decade to pin the per-batch cost
+    # curve; ~100k users, so this point runs 32 state partitions (see
+    # _run_streaming_sf)
+    ("10m", 10_000_000),
 ]
 
 
@@ -403,11 +407,16 @@ def _run_streaming_sf(sf_dir: str) -> None:
 
     spark = get_spark("scale-ladder-streaming")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # state partition sizing: same rationale as run_to_memory — state
-    # store open/commit is paid per partition per micro-batch
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     schema = spark.read.parquet(sf_dir).schema
     n_events = spark.read.parquet(sf_dir).count()
+    # state partition sizing tracks KEY CARDINALITY (r9 finding: q58 at
+    # 1M events went 63 s @8 state partitions -> 24.3 s @32): state-store
+    # open/commit is paid per partition per micro-batch, so few
+    # partitions win while keys are few, but the 10m point carries ~100k
+    # users and needs the parallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", "8" if n_events <= 1_000_000 else "32"
+    )
 
     def stream():
         return (
