@@ -45,9 +45,15 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height,
     n_frames) from the payload bytes. Replace with PIL/ffmpeg on a
-    codec-enabled cluster."""
+    codec-enabled cluster.
+
+    "width" comes from the first CHARACTER's codepoint (payloads here are
+    UTF-8 text stand-ins), matching the oracle's ``ascii(substr(text,1,1))``
+    exactly even when the text leads with a multibyte char (first-BYTE
+    semantics would diverge: ascii('北')=21271 vs 0xE5=229 — r10
+    adversarial pin)."""
     n = len(payload)
-    first = payload[0] if n else 0
+    first = ord(payload.decode("utf-8")[0]) if n else 0
     return 16 + first % 64, 16 + n % 64, 1 + n % 8
 
 
@@ -75,14 +81,25 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = pdf["payload"].map(fake_decode_meta)
+            # NULL payload (e.g. NULL source text) -> NULL metadata row,
+            # never a worker crash — a 1000-executor decode job must not
+            # abort on one undecodable blob (r10 adversarial pin; the
+            # oracle's encode(NULL)/ascii(NULL) yield NULL the same way).
+            feats = pdf["payload"].map(
+                lambda b: (None, None, None, None) if b is None
+                else (len(b),) + fake_decode_meta(b)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": feats.map(lambda t: t[0]).astype("int64"),
-                    "height": feats.map(lambda t: t[1]).astype("int64"),
-                    "n_frames": feats.map(lambda t: t[2]).astype("int64"),
+                    "n_bytes": pd.array(
+                        feats.map(lambda t: t[0]), dtype="Int64"),
+                    "width": pd.array(
+                        feats.map(lambda t: t[1]), dtype="Int64"),
+                    "height": pd.array(
+                        feats.map(lambda t: t[2]), dtype="Int64"),
+                    "n_frames": pd.array(
+                        feats.map(lambda t: t[3]), dtype="Int64"),
                 }
             )
 

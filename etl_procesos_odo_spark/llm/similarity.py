@@ -627,8 +627,14 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            (dot_double(F.col("va"), F.col("vb"))
-             / (F.col("na") * F.col("nb"))).alias("cs"),
+            # try_divide: a zero-norm (all-zero) vector yields cs=NULL —
+            # matching DuckDB x/0=NULL — and NULL fails the >= threshold
+            # filter in both engines, so degenerate vectors are never
+            # "duplicates" and never abort the job (ANSI would throw).
+            F.try_divide(
+                dot_double(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"),
+            ).alias("cs"),
         )
         .filter(F.col("cs") >= threshold)
     )

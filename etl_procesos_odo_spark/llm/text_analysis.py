@@ -115,11 +115,16 @@ def repetition_metrics(
 
     def dup_frac(k: int) -> Column:
         g = raw_grams(k)
+        # three-way: repetitive fraction for non-empty docs, 0.0 for
+        # EMPTY docs, NULL for NULL docs (size(NULL)=NULL falls through
+        # both branches). A NULL document has no repetition signal and
+        # must not pass a `dup_frac < x` quality gate as "not
+        # repetitive" (r10 adversarial pin; oracle CASE yields the same).
         return F.when(
             F.size(g) > 0,
             F.lit(1.0)
             - F.size(F.array_distinct(g)).cast("double") / F.size(g),
-        ).otherwise(F.lit(0.0))
+        ).when(F.size(g) == 0, F.lit(0.0))
 
     return {
         "dup_word_frac": dup_frac(1),

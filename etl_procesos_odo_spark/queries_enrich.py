@@ -390,7 +390,13 @@ def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
 def q103_semantic_dedup(spark: SparkSession, sf_dir: str):
     from .llm.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # distinct ingestion (q100/q110 contract): duplicate primary-key
+    # redeliveries collapse before the pipeline — without it the final
+    # verdict join back to the raw projection re-multiplies dup vec_ids
+    # (r10 adversarial pin; the oracle's rk=1-per-vec_id does the same)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).distinct()
     return semantic_dedup(
         emb, "vec_id", "embedding",
         n_cells=_Q103_N_CELLS, threshold=_Q103_THRESHOLD,

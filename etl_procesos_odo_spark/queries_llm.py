@@ -596,10 +596,16 @@ def q74_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str):
            CASE WHEN len(w) = 0 THEN 0.0
                 ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
            END AS dup_word_frac,
-           CASE WHEN len(g2) = 0 THEN 0.0
+           -- NULL text must stay NULL here too: DuckDB greatest(NULL,0)
+           -- IGNORES the NULL (returns 0), so g2/g3 silently become []
+           -- for a NULL doc while g1 stays NULL — pin the three metrics
+           -- to the same NULL-propagation (r10 adversarial pin)
+           CASE WHEN w IS NULL THEN NULL
+                WHEN len(g2) = 0 THEN 0.0
                 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
            END AS dup_2gram_frac,
-           CASE WHEN len(g3) = 0 THEN 0.0
+           CASE WHEN w IS NULL THEN NULL
+                WHEN len(g3) = 0 THEN 0.0
                 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
            END AS dup_3gram_frac
     FROM g

@@ -512,7 +512,11 @@ def q16_running_revenue(spark: SparkSession, sf_dir: str):
     d = orders.groupBy(F.to_date("o_orderdate").alias("fecha")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_dec")
     )
-    w = Window.orderBy("fecha").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # asc_nulls_last pins the running order when a NULL order-date group
+    # exists (Spark ASC is NULLS FIRST, DuckDB ASC is NULLS LAST — r10
+    # adversarial pin, same class as the q182/q185 fixes)
+    w = Window.orderBy(F.col("fecha").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
     return d.select(
         "fecha",
         F.col("_dec").cast("double").alias("revenue"),
@@ -1159,8 +1163,13 @@ def q46_constrained_partition(spark: SparkSession, sf_dir: str):
     """
     SELECT event_id,
            translate(event_type, 'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN') AS slug,
-           concat_ws('|', event_type, CAST(CAST(ts AS DATE) AS VARCHAR),
-                     CAST(user_id AS VARCHAR)) AS msg_key,
+           -- COALESCE each part: composite_message_key keeps an EMPTY
+           -- segment for a NULL field (fixed arity, so 'a||c' stays
+           -- distinct from a two-field key) while bare concat_ws would
+           -- silently drop it (r10 adversarial pin)
+           concat_ws('|', COALESCE(event_type, ''),
+                     COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), ''),
+                     COALESCE(CAST(user_id AS VARCHAR), '')) AS msg_key,
            COALESCE(TRY_CAST(props AS DOUBLE), 1.0) AS props_num,
            ts - INTERVAL 30 MINUTE AS arrival_ts,
            CAST(FLOOR((day(ts) - 1) / 7) + 1 AS BIGINT) AS semana_del_mes

@@ -205,3 +205,88 @@ def test_datagen_adversarial_injections(tmp_path):
     assert one(f"SELECT count(*) FROM (SELECT user_id, ts FROM "
                f"'{d}/events.parquet' WHERE user_id IS NOT NULL "
                "GROUP BY 1, 2 HAVING count(*) > 1)") > 0
+
+
+def test_repetition_metrics_null_vs_empty_three_way(spark):
+    # r10 contained-tier adversarial census: NULL text yields NULL for
+    # ALL THREE dup fractions (no repetition signal — must not pass a
+    # `dup_frac < x` quality gate as "not repetitive"), empty text
+    # yields 0.0, real text a value. The k>=2 gram builders go through
+    # greatest(size-k+1, 0), which IGNORES the NULL, so the pin covers
+    # every k, not just words.
+    from etl_procesos_odo_spark.llm.text_analysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    m = repetition_metrics(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in m.items()]
+    ).collect()}
+    assert out[0]["dup_word_frac"] == pytest.approx(1.0 - 2.0 / 3.0)
+    for k in ("dup_word_frac", "dup_2gram_frac", "dup_3gram_frac"):
+        assert out[1][k] == 0.0, k
+        assert out[2][k] is None, k
+
+
+def test_extract_features_null_payload_and_multibyte_first_char(spark):
+    # r10: a NULL payload yields a NULL-metadata row (never a Python
+    # worker crash), and "width" derives from the first CHARACTER's
+    # codepoint — matching the oracle's ascii(substr(text,1,1)) even
+    # when the doc leads with a multibyte char (first-BYTE semantics
+    # would give 0xE5=229 for '北' instead of codepoint 21271)
+    from etl_procesos_odo_spark.llm.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, None), (2, "北京 text"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in extract_features(
+        attach_payload(docs, "text", "doc_id")
+    ).collect()}
+    assert out[0]["width"] == 16 + ord("a") % 64
+    assert out[1]["n_bytes"] is None and out[1]["width"] is None
+    assert out[2]["width"] == 16 + ord("北") % 64
+    assert out[3]["width"] == 16 and out[3]["n_frames"] == 1
+
+
+def test_composite_message_key_keeps_empty_segment_for_null(spark):
+    # r10: fixed arity — a NULL field becomes an EMPTY segment so
+    # 'a||c' stays distinct from a two-field key 'a|c' (bare concat_ws
+    # would silently drop the segment)
+    from etl_procesos_odo_spark.functions.text_fns import composite_message_key
+
+    df = spark.createDataFrame(
+        [("a", None, "c"), ("a", "c", None)], "x string, y string, z string"
+    )
+    got = [r[0] for r in df.select(
+        composite_message_key([F.col("x"), F.col("y"), F.col("z")])
+    ).collect()]
+    assert got == ["a||c", "a|c|"]
+
+
+def test_semantic_dedup_zero_norm_vector_and_dup_ids(spark):
+    # r10: a zero-norm (all-zero) vector gets cs=NULL via try_divide
+    # (never an ANSI divide-by-zero abort) and is always "kept"; with
+    # distinct ingestion a duplicate-row redelivery yields ONE verdict
+    # row per vec_id
+    from etl_procesos_odo_spark.llm.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.001]),
+        (2, [0.0, 0.0]),                     # zero-norm
+        (0, [1.0, 0.0]),                     # exact dup redelivery
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).distinct()
+    out = semantic_dedup(emb, "vec_id", "embedding", n_cells=1, threshold=0.9)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 3 and out.count() == 3
+    assert got[2]["status"] == "kept" and got[2]["max_cos"] is None
+    # 0 and 1 are near-identical: the higher id is pruned toward the lower
+    assert got[1]["status"] == "pruned" and got[1]["dup_of"] == 0
+    assert got[0]["status"] == "kept"
