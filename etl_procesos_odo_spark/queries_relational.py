@@ -497,8 +497,11 @@ def q15_lag_wait(spark: SparkSession, sf_dir: str):
              SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS dec
       FROM orders GROUP BY 1
     )
-    SELECT fecha, CAST(dec AS DOUBLE) AS revenue,
-           CAST(SUM(dec) OVER (ORDER BY fecha ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    SELECT fecha, CAST(CAST(dec AS VARCHAR) AS DOUBLE) AS revenue,
+           -- string bridge (q98 convention): at sf1 the running total
+           -- crosses 2^53 unscaled and a direct decimal->double cast
+           -- double-rounds one ulp off between engines
+           CAST(CAST(SUM(dec) OVER (ORDER BY fecha ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS acumulado
     FROM d
     """,
@@ -519,8 +522,9 @@ def q16_running_revenue(spark: SparkSession, sf_dir: str):
         Window.unboundedPreceding, Window.currentRow)
     return d.select(
         "fecha",
-        F.col("_dec").cast("double").alias("revenue"),
-        F.sum("_dec").over(w).cast("double").alias("acumulado"),
+        # string-bridge casts — see oracle note (exact past 2^53 unscaled)
+        F.col("_dec").cast("string").cast("double").alias("revenue"),
+        F.sum("_dec").over(w).cast("string").cast("double").alias("acumulado"),
     )
 
 
