@@ -373,15 +373,46 @@ def main() -> None:
     order = [q.name for q in registry()]
     queries = {n: seg_timings[n] for n in order if n in seg_timings}
 
-    # 2) single-session continuity total + extras benches (one JVM)
-    spark = get_spark("etl-odo-bench")
-    _warm_spark(spark, sf_dir)
-    t0 = time.perf_counter()
-    ss = _time_queries(spark, sf_dir)
-    single_session_total = round(time.perf_counter() - t0, 3)
-    extras = skew_join_bench(spark, sf_dir)
-    extras.update(hybrid_routing_bench(spark, sf_dir))
-    extras.update(striped_rank_bench(spark))
+    # 2) single-session continuity total + extras benches (one JVM) —
+    # resilient since r10: an sf1 heap OOM inside this long-lived JVM
+    # (q154 after ~100 prior queries) used to cascade — ConnectionRefused
+    # on every later query, then an uncaught throw in skew_join_bench's
+    # parquet read — and the completed fresh-JVM segment results were
+    # never published. Each post-segment stage now degrades to an error
+    # note in extras; the segmented per-query numbers always publish.
+    extras: dict = {}
+    ss: dict[str, float] = {}
+    single_session_total = -1.0
+    session_dead = False
+    spark = None
+    try:
+        spark = get_spark("etl-odo-bench")
+        _warm_spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        ss = _time_queries(spark, sf_dir)
+        single_session_total = round(time.perf_counter() - t0, 3)
+        session_dead = spark.sparkContext._jsc.sc().isStopped()
+    except Exception as exc:
+        print(f"BENCH ERROR single-session: {exc}", file=sys.stderr)
+        extras["single_session_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        session_dead = True
+    for fn, args in (
+        (skew_join_bench, lambda: (spark, sf_dir)),
+        (hybrid_routing_bench, lambda: (spark, sf_dir)),
+        (striped_rank_bench, lambda: (spark,)),
+    ):
+        if session_dead:
+            extras[f"{fn.__name__}_error"] = "skipped: session dead"
+            continue
+        try:
+            extras.update(fn(*args()))
+        except Exception as exc:
+            print(f"BENCH ERROR {fn.__name__}: {exc}", file=sys.stderr)
+            extras[f"{fn.__name__}_error"] = f"{type(exc).__name__}: {exc}"[:300]
+            try:
+                session_dead = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                session_dead = True
     extras["single_session_total_sec"] = single_session_total
     # host-speed context (r7 finding: the box drifts ±30% run-to-run):
     # a fixed 20M-iteration pure-python loop, measured at the end of the
@@ -408,7 +439,9 @@ def main() -> None:
     prev = _prev_round_times(sf)
     warm: dict[str, float] = {}
     by_name = {q.name: q for q in registry()}
-    for name in queries:
+    if session_dead:
+        extras["warm_triage_error"] = "skipped: session dead"
+    for name in queries if not session_dead else ():
         cur, old = queries.get(name), prev.get(name)
         if cur is None or cur < 0 or not old or old <= 0 or cur <= 2 * old:
             continue
