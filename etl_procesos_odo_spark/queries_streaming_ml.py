@@ -509,10 +509,13 @@ def _q156_oracle() -> str:
     "probed against the SAME literal bloom bitmap (a pure scan "
     "expression — streaming-safe by construction), and survivors flow "
     "through a STATELESS stream-static equi-join with the capped bench "
-    "shingle frame into an append-mode sink; the per-pair and per-doc "
-    "rollups run as the downstream batch step (chained streaming "
-    "aggregations are unsupported, and a production gate emits match "
-    "events to Kafka/Delta for exactly this kind of rollup anyway). "
+    "shingle frame into an append-mode foreachBatch export that reduces "
+    "each micro-batch to per-(doc,bench) partial counts DISTRIBUTEDLY "
+    "(decomposable: a downstream SUM re-aggregates across batches — "
+    "chained streaming aggregations are unsupported, and a production "
+    "gate emits match events to Kafka/Delta with the same consumer-side "
+    "rollup; the raw-pair memory sink was the r10 sf1 bench's one "
+    "super-linear row, 96x pair growth collected on the driver). "
     "The whole streaming plan holds ZERO state: filter + explode + "
     "bloom probe + broadcast stream-static join, so there is no "
     "watermark to tune and per-micro-batch cost is pure scan work. "
@@ -530,7 +533,7 @@ def q156_streaming_decontaminate(spark: SparkSession, sf_dir: str):
         shingles,
     )
     from .registry import load_table
-    from .streaming.temporal import documents_stream, run_to_memory
+    from .streaming.temporal import documents_stream, run_append_partials
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
@@ -556,16 +559,33 @@ def q156_streaming_decontaminate(spark: SparkSession, sf_dir: str):
     )
     surv = t.filter(bloom_probe_filter(F.col("g"), bits, BLOOM_M_BITS, BLOOM_K))
     matched = surv.join(b, "g").select("doc_id", "b_id")
-    out = run_to_memory(matched, "q156_streaming_decontaminate_out", "append")
-    pair = (
-        out.groupBy("doc_id", "b_id")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
-    return pair.groupBy("doc_id").agg(
-        F.count("*").alias("n_bench_docs"),
-        F.sum("n_shared").alias("n_shared_shingles"),
-        F.max("n_shared").alias("max_shared"),
+
+    # the matched-pair stream grows ~96x from sf0.1 to sf1 (64,345 ->
+    # 6,181,482 rows — both join sides grow with the corpus until the
+    # bench df cap binds), so the raw-row memory sink (driver collect)
+    # was the one super-linear cost in the r10 sf1 bench (155 s vs the
+    # batch q155's 10.3 s). Per-batch partial counts are decomposable
+    # (SUM re-aggregates across micro-batches), so the sink volume is
+    # distinct pairs, reduced distributedly — bit-identical rollup.
+    def _partial(bdf):
+        return bdf.groupBy("doc_id", "b_id").agg(
+            F.count(F.lit(1)).alias("n_part")
+        )
+
+    def _finalize(parts):
+        pair = (
+            parts.groupBy("doc_id", "b_id")
+            .agg(F.sum("n_part").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+        return pair.groupBy("doc_id").agg(
+            F.count("*").alias("n_bench_docs"),
+            F.sum("n_shared").alias("n_shared_shingles"),
+            F.max("n_shared").alias("max_shared"),
+        )
+
+    return run_append_partials(
+        matched, "q156_streaming_decontaminate_out", _partial, _finalize
     )
 
 

@@ -360,3 +360,67 @@ def test_checkpoint_restart_stateless_decontamination_gate(spark, tmp_path):
         ).join(b, "g").select("doc_id", "b_id").collect()
     )
     assert both == batch_rows
+
+
+def test_run_append_partials_multibatch_decomposable(spark, tmp_path):
+    """run_append_partials must equal the batch aggregate when the
+    stream arrives in MULTIPLE micro-batches (maxFilesPerTrigger=1):
+    per-batch partial counts unioned + final SUM == one global count —
+    the decomposability contract q156 relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_procesos_odo_spark.streaming.temporal import (
+        run_append_partials,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # key 'a' spans both files -> its count MUST be summed across the
+    # two micro-batches, not taken from either one
+    pq.write_table(
+        pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]}), str(src / "f1.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": ["a", "c", "c"], "v": [4, 5, 6]}), str(src / "f2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def partial(bdf):
+        return bdf.groupBy("k").agg(F.count(F.lit(1)).alias("n_part"))
+
+    def finalize(parts):
+        return parts.groupBy("k").agg(F.sum("n_part").alias("n"))
+
+    out = run_append_partials(stream, "t_rap_multibatch", partial, finalize)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", 3), ("b", 1), ("c", 2)
+    ]
+
+
+def test_run_append_partials_empty_stream(spark, tmp_path):
+    """Zero-data stream: no micro-batch ever fires, so no partial file
+    exists — the helper must still return an EMPTY frame with the
+    finalize schema instead of failing on an empty parquet dir."""
+    from etl_procesos_odo_spark.streaming.temporal import (
+        run_append_partials,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("k string, v long").parquet(str(src))
+
+    def partial(bdf):
+        return bdf.groupBy("k").agg(F.count(F.lit(1)).alias("n_part"))
+
+    def finalize(parts):
+        return parts.groupBy("k").agg(F.sum("n_part").alias("n"))
+
+    out = run_append_partials(stream, "t_rap_empty", partial, finalize)
+    assert out.columns == ["k", "n"]
+    assert out.count() == 0
