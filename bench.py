@@ -247,10 +247,12 @@ def striped_rank_bench(spark) -> dict[str, float]:
     return res
 
 
-def _time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
+def _time_queries(spark, sf_dir: str, names=None, into=None) -> dict[str, float]:
     """Cold-time each registry query (optionally a subset) in registry
-    order; -1.0 marks a failure (stderr carries the exception)."""
-    timings: dict[str, float] = {}
+    order; -1.0 marks a failure (stderr carries the exception). Pass
+    ``into`` to accumulate timings in-place so a mid-run crash (e.g. a
+    dead JVM) still leaves the completed portion with the caller."""
+    timings: dict[str, float] = into if into is not None else {}
     for q in registry():
         if names is not None and q.name not in names:
             continue
@@ -389,13 +391,22 @@ def main() -> None:
         spark = get_spark("etl-odo-bench")
         _warm_spark(spark, sf_dir)
         t0 = time.perf_counter()
-        ss = _time_queries(spark, sf_dir)
+        _time_queries(spark, sf_dir, into=ss)
         single_session_total = round(time.perf_counter() - t0, 3)
         session_dead = spark.sparkContext._jsc.sc().isStopped()
     except Exception as exc:
         print(f"BENCH ERROR single-session: {exc}", file=sys.stderr)
         extras["single_session_error"] = f"{type(exc).__name__}: {exc}"[:300]
-        session_dead = True
+        extras["single_session_completed"] = len(ss)
+        # a single AnalysisException must not cost the extras benches and
+        # the warm triage: re-probe the JVM like the extras loop does
+        # instead of assuming the session died
+        try:
+            session_dead = (
+                spark is None or spark.sparkContext._jsc.sc().isStopped()
+            )
+        except Exception:
+            session_dead = True
     for fn, args in (
         (skew_join_bench, lambda: (spark, sf_dir)),
         (hybrid_routing_bench, lambda: (spark, sf_dir)),
@@ -428,7 +439,12 @@ def main() -> None:
         "run ~3x faster than the module-scope 2.1-2.8s loop SCALE.md r7 "
         "quotes; only same-field comparisons are meaningful)"
     )
-    extras["single_session_errors"] = sum(1 for t in ss.values() if t < 0)
+    # None (not 0) when the stage itself crashed: the completed portion's
+    # error count would understate a run that never finished
+    extras["single_session_errors"] = (
+        None if "single_session_error" in extras
+        else sum(1 for t in ss.values() if t < 0)
+    )
     extras["segments"] = n_seg
 
     # 3) dynamic warm triage (registry-wide since r10 — the r9 judge had

@@ -131,12 +131,28 @@ def run_append_partials(
     Here every micro-batch is reduced DISTRIBUTEDLY by ``partial_agg``
     (a map-side-combine-style callback whose outputs are unioned across
     batches — it must be decomposable, e.g. partial counts that a final
-    SUM re-aggregates), partials land in a session-temp parquet dir
-    (executor-side write, no driver materialization), and only the
-    bounded ``finalize`` rollup is collected — the same bounded-export
-    contract as run_to_memory. Production swaps the parquet spool for
-    the Kafka/Delta topic the sink docstrings already name; partial_agg
-    then runs as the consumer's first stage.
+    SUM re-aggregates): the reduce itself runs on the executors, and only
+    the bounded ``finalize`` rollup is collected — the same bounded-export
+    contract as run_to_memory.
+
+    The parquet spool is a driver-local ``tempfile.mkdtemp`` path, which
+    is the LOCAL-MODE harness contract (the same single-machine contract
+    session.py documents): on ``local[n]`` the "executors" are threads of
+    the driver JVM, so their writes land in the one shared filesystem. On
+    a real cluster a driver-local path would receive only the partials of
+    executors that happen to share the driver's disk — derive the spool
+    from a cluster-visible scratch location (HDFS/S3 staging dir) there,
+    or better, swap the spool for the Kafka/Delta topic the sink
+    docstrings already name; partial_agg then runs as the consumer's
+    first stage.
+
+    Each batch writes to a batchId-keyed subdirectory with
+    ``mode("overwrite")``, so a re-fired micro-batch (foreachBatch is
+    at-least-once under checkpointed restart/retry) replaces its own
+    partials instead of double-counting them. The helper itself runs
+    synchronously with a temp checkpoint (no restart path), but the
+    write stays idempotent so the pattern survives being lifted into a
+    checkpointed production job.
 
     Zero-data streams finalize an empty partial frame built from
     ``partial_agg`` on an empty batch, so the returned schema is
@@ -148,13 +164,9 @@ def run_append_partials(
     spark = stream_df.sparkSession
     tmpdir = tempfile.mkdtemp(prefix=f"{name}_partials_")
     try:
-
-        def _emit(bdf: DataFrame, _batch_id: int) -> None:
-            partial_agg(bdf).write.mode("append").parquet(tmpdir)
-
         q = (
             stream_df.writeStream.outputMode("append")
-            .foreachBatch(_emit)
+            .foreachBatch(_partial_emitter(tmpdir, partial_agg))
             .queryName(name)
             .start()
         )
@@ -165,8 +177,10 @@ def run_append_partials(
         import glob as _glob
         import os as _os
 
-        if _glob.glob(_os.path.join(tmpdir, "*.parquet")):
-            partials = spark.read.parquet(tmpdir)
+        if _glob.glob(_os.path.join(tmpdir, "b*", "*.parquet")):
+            partials = spark.read.option(
+                "recursiveFileLookup", "true"
+            ).parquet(tmpdir)
         else:
             partials = partial_agg(
                 spark.createDataFrame([], stream_df.schema)
@@ -176,6 +190,23 @@ def run_append_partials(
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _partial_emitter(tmpdir: str, partial_agg):
+    """foreachBatch callback: reduce one micro-batch via ``partial_agg``
+    and spool the partials to a batchId-keyed subdir, overwriting any
+    partials a previous attempt of the SAME batch left behind (the
+    at-least-once idempotency contract — see run_append_partials).
+    Module-level so the idempotency is unit-testable without driving a
+    stream (tests/test_streaming.py re-fires a batch id directly)."""
+    import os as _os
+
+    def _emit(bdf: DataFrame, batch_id: int) -> None:
+        partial_agg(bdf).write.mode("overwrite").parquet(
+            _os.path.join(tmpdir, f"b{batch_id}")
+        )
+
+    return _emit
 
 
 def sessionized_stream(

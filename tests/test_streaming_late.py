@@ -424,3 +424,31 @@ def test_run_append_partials_empty_stream(spark, tmp_path):
     out = run_append_partials(stream, "t_rap_empty", partial, finalize)
     assert out.columns == ["k", "n"]
     assert out.count() == 0
+
+
+def test_run_append_partials_refire_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once under checkpointed restart/retry: a
+    RE-FIRED micro-batch must replace its own spooled partials, never
+    double-count them. Drives the module-level emitter directly — fire
+    batch 0, fire it AGAIN (the retry), then fire batch 1 — and checks
+    the spool reads back as exactly one copy of each batch."""
+    from etl_procesos_odo_spark.streaming.temporal import _partial_emitter
+
+    spool = str(tmp_path / "spool")
+
+    def partial(bdf):
+        return bdf.groupBy("k").agg(F.count(F.lit(1)).alias("n_part"))
+
+    emit = _partial_emitter(spool, partial)
+    b0 = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    b1 = spark.createDataFrame([("a", 3), ("b", 4)], "k string, v long")
+    emit(b0, 0)
+    emit(b0, 0)  # the retry: same batch id, same data
+    emit(b1, 1)
+    parts = spark.read.option("recursiveFileLookup", "true").parquet(spool)
+    merged = sorted(
+        tuple(r)
+        for r in parts.groupBy("k").agg(F.sum("n_part").alias("n")).collect()
+    )
+    # a += retry would report ("a", 4): batch 0's two rows counted twice
+    assert merged == [("a", 3), ("b", 1)]
