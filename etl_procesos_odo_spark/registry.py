@@ -164,7 +164,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # shuffle), new in r8 with no driver row.)
     "q155_decontaminate_bloom", "q176_frequent_itemsets",
     "q67_minhash_lsh_collapsed",
-    "q78_simhash_pairs", "q200_cdc_chunks", "q160_line_dedup",
+    # (r11 swap q78 -> q169: q78's candidate discipline — per-token base
+    # hashes folded into a fixed-width signature, banded into key
+    # fragments, self-joined on band equality, exact-verified on
+    # candidates only — is the q67 collapsed-LSH head row's discipline
+    # with a different fold (bit-vote sum vs min) and verify predicate
+    # (hamming vs Jaccard), both per-row array expressions of the scan
+    # shape the head exercises pervasively; q78 stays green in the
+    # back-half censuses. q169 is priority sampling
+    # (Duffield-Lund-Thorup) — the weighted without-replacement sample
+    # with the unbiased subset-sum estimator, the sampling-governance
+    # family's ESTIMATION arm, never headed.)
+    "q169_priority_sample", "q200_cdc_chunks", "q160_line_dedup",
     "q158_pii_redaction",
     # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
     # sampled scan, S4 — AND the q74 IVF arm; r4 swap q34 -> q107, which
@@ -193,7 +204,17 @@ DRIVER_HEAD: tuple[str, ...] = (
     # back-half censuses. q175 is PPJoin — the THIRD exact-recall
     # candidate-generation discipline (prefix filter, vs q67's bands and
     # q154's df-cap index) with no driver-row class.)
-    "q107_ann_recall", "q164_hll_rollup",
+    # (r11 swap q164 -> q161: q161 evaluates the IDENTICAL p=6 register
+    # and estimate expression strings (one shared generator,
+    # llm/sketches.py — the r7 q159 -> q164 convention), and its
+    # per-micro-batch associative max-merge IS the register-union
+    # algebra q164's rollup applies at rest, exercised here
+    # incrementally as streaming aggregation state; q164 stays green in
+    # the back-half censuses. q161 is the STREAMING HyperLogLog —
+    # fixed-state real-time cardinality, the streaming-sketch family's
+    # cardinality arm (q113's heavy-hitter head row covers its
+    # frequency arm), never headed.)
+    "q107_ann_recall", "q161_streaming_hll",
     "q175_ppjoin_pairs",
     # text analysis
     # (r7 swap q38 -> q168: q38's order-sensitive fingerprint is a
@@ -268,7 +289,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # two-sample Kolmogorov-Smirnov drift statistic (BIGINT
     # |c1*n2-c2*n1| numerator, RANGE-frame tie collapse) — the stats
     # kit's continuous-distribution arm, never headed.)
-    "q178_sequential_patterns", "q84_json_extract", "q110_bm25_search",
+    # (r11 swap q84 -> q192: q84's JSON field extraction is a JVM scalar
+    # parse expression at scan speed feeding one grouped aggregate — the
+    # scalar-kit precedent (r6 q59 note): the q51/q52 pipeline head rows
+    # parse the same class of per-row scalars (Spanish dates, Excel
+    # serials, phone rules) inline, and the grouped-agg shape is
+    # pervasive across the head; q84 stays green in the back-half
+    # censuses. q192 is the right-to-be-forgotten deletion cascade —
+    # LEFT-SEMI erasure propagation down the FK chain plus LEFT-ANTI
+    # orphan audits (the head's first anti-join row class), the
+    # erasure-governance surface, never headed.)
+    "q178_sequential_patterns", "q192_deletion_cascade",
+    "q110_bm25_search",
     "q203_seasonal_backtest", "q186_ks_drift",
     # splits / packing / governance (r4 swap q86 -> q109: both are
     # hash-uniform deterministic samples, but q109 adds the derived-rate
@@ -314,7 +346,17 @@ DRIVER_HEAD: tuple[str, ...] = (
     # histograms + exact sum(m_l*m_r) output size, the EXACT arm of
     # q171's CMS join bound and the ops/integrity family's second row
     # class (q189 covers export manifests), never headed.)
-    "q191_join_audit", "q167_leakage_safe_split",
+    # (r11 swap q167 -> q126: q167's constituent shapes stay
+    # head-evidenced — its duplicate-cluster map is the md5
+    # digest-groupBy dedup shape that runs inside the q67 exact-first
+    # collapse (the r7 q30 note), and its cluster-keyed hash_uniform
+    # draw + equi-join assignment is the q100 head row's split-stage
+    # shape (the r7 q109 precedent); q167 stays green in the back-half
+    # censuses and keeps its CONTAINED-coverer role for q72/q86. q126
+    # is the stratified eval split — exact per-(lang, source) quota
+    # held-out selection by content-hash order, the governance
+    # family's EVAL arm, never headed.)
+    "q191_join_audit", "q126_eval_split",
     "q153_incident_session_overlap",
     "q184_mixture_execute",
     # multimodal + capstone
@@ -339,7 +381,8 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q201_zonemap_audit", "q100_corpus_prep_v3",
     # relational §2 family representatives (filters P2-P7; Pareto A6/A13;
     # top-N W4/W6/X7; set ops J7/X1-X3; scalar kit F9/F17/F19/F24;
-    # salted skew join; as-of join)
+    # salted skew join — via q194's verbatim kit use since r11; as-of
+    # join)
     # (r4 swap q13 -> q106: top-N/W4/W6/X7 stay evidenced by q12's
     # ranked Pareto head + back-half q13; q106 adds the sketch-then-verify
     # heavy-hitter family, a new-in-r4 scale pattern with no other row)
@@ -365,8 +408,27 @@ DRIVER_HEAD: tuple[str, ...] = (
     # green as q106 plus its streaming complement q174. q189 is the
     # export shard manifest with order-insensitive XOR row-hash
     # checksums — the integrity/ops family's first driver row.)
-    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q189_shard_manifest",
-    "q134_pagerank_neardup", "q63_salted_segments", "q81_asof_join",
+    # (r11 swap q189 -> q165: q189's manifest checksum is an
+    # order-insensitive per-row-hash reduce into one combining groupBy
+    # — the same map-side-combinable order-independent content-digest
+    # discipline as q165's buckets (bit_xor vs sum-mod fold of the same
+    # hash60 row encoding) — and q165 STRICTLY WIDENS it: bucket-keyed
+    # digests plus the full-outer divergence diff that localizes WHERE
+    # two copies differ, not just whether; q189 stays green in the
+    # back-half censuses (and keeps its cross-layout determinism pins,
+    # tests/test_edge_cases.py). q165 is Merkle-style divergence
+    # localization, never headed.)
+    # (r11 swap q63 -> q194: q63's salted-join kit runs VERBATIM inside
+    # q194's plan — both of q194's token-keyed equi-joins call the same
+    # operators/joins.py salted_join with the same deterministic
+    # per-row salting — so the skew-placement discipline keeps head
+    # evidence in the row that also motivates it at corpus scale
+    # (Zipf-hot token keys); q63 stays green in the back-half censuses.
+    # q194 is PMI collocation mining — the log-free exact-ratio ranking
+    # family (monotone-transform ordering of exact BIGINT products),
+    # never headed.)
+    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q165_digest_diff",
+    "q134_pagerank_neardup", "q194_pmi_collocations", "q81_asof_join",
 )
 
 

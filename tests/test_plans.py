@@ -256,9 +256,18 @@ FAMILY_SENTINELS = {
         # hash-fold fingerprint family carried by q78's SimHash
         # signatures; q109's hash-uniform draw carried by q100's split
         # stage — COVERAGE.md round-7
-        "cardinality_sketch": "q164_hll_rollup",
+        # r11 swap: q164 rotates out (q161 evaluates the identical p=6
+        # register/estimate expression strings and its per-batch
+        # max-merge is the register-union algebra the rollup applies at
+        # rest — registry.py r11 note); the streaming-cardinality arm
+        # gets its first driver row
+        "cardinality_sketch": "q161_streaming_hll",
         "intersection_sketch": "q168_kmv_source_sketch",
-        "split_governance": "q167_leakage_safe_split",
+        # r11 swap: q167 rotates out (digest-groupBy cluster map inside
+        # q67's exact-first collapse; cluster-keyed hash split = q100's
+        # split stage — registry.py r11 note); the governance split
+        # family's sentinel is the stratified eval-split row
+        "split_governance": "q126_eval_split",
         "line_dedup": "q160_line_dedup",
         "pii_hygiene": "q158_pii_redaction",
         # r9 swaps: q35/q70/q154/q80/q88 rotate out (containment notes in
@@ -281,7 +290,11 @@ FAMILY_SENTINELS = {
         # statistical/governance wave gets its first driver rows
         "drift_stats": "q190_mwu_drift",
         "mixture_governance": "q184_mixture_execute",
-        "integrity_manifest": "q189_shard_manifest",
+        # r11 swap: q189 rotates out (same order-independent
+        # content-digest reduce discipline, strictly widened by q165's
+        # bucket-keyed digests + full-outer localization diff —
+        # registry.py r11 note)
+        "integrity_manifest": "q165_digest_diff",
         "prefix_filter_similarity": "q175_ppjoin_pairs",
         "sequential_mining": "q178_sequential_patterns",
         "multimodal": "q62_multimodal_transform",
@@ -317,6 +330,11 @@ FAMILY_SENTINELS = {
         # q175's verify stage); the exact-pairs discipline's head row is
         # the prefix-filter arm
         "exact_similarity": "q175_ppjoin_pairs",
+        # r11: the never-headed families get their first driver rows
+        # (q84/q78/q63 rotate out — containment notes in registry.py)
+        "erasure_governance": "q192_deletion_cascade",
+        "priority_sampling": "q169_priority_sample",
+        "collocation_mining": "q194_pmi_collocations",
 }
 
 
