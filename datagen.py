@@ -28,6 +28,19 @@ sf <= 0.1) cannot provide:
    consistent but canon() text round-trips differ), so NaN rows would
    flag reader-level noise, not query bugs.
 
+3. ``--skew`` (round 11): a skew-hostile variant at any ``--sf`` —
+   value-clean (every oracle runs unchanged; parity is data-independent)
+   but with the key distributions a 100 TB pipeline actually fears: one
+   supplier on 20% of lineitems, one customer on 10% of orders, one user
+   on 20% of events (the hot FK the salted join / AQE skew split guard),
+   and one LSH-hot 40-word boilerplate template shared by 2% of
+   documents (pairwise Jaccard ~0.9 — one giant near-dup cluster
+   stressing the banded-join hot-band caps, df-cap pruning, and
+   connected-components paths). ``verify_all.py --sf
+   .scaledata/star_sf1_skew`` runs the census on it; the
+   ``scale_ladder.py --skew-tasks`` arm records per-stage task max/median
+   times uniform-vs-skew for the join/dedup/CC headliners.
+
 Dimension tables nation/region stay clean in adversarial mode: they are
 the join spine, and a broken spine fails every query identically
 instead of exercising distinct code paths.
@@ -84,11 +97,15 @@ def _vocab() -> list[str]:
     return sorted({w for t in ref.column("text").to_pylist() for w in t.split()})
 
 
-def generate(out_dir: str, sf: float, adversarial: bool = False) -> str:
+def generate(
+    out_dir: str, sf: float, adversarial: bool = False, skew: bool = False
+) -> str:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if adversarial and skew:
+        raise ValueError("pick one hostile axis: --adversarial or --skew")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     m = sf / 0.001  # multiplier vs the smallest driver fixture
@@ -189,9 +206,13 @@ def generate(out_dir: str, sf: float, adversarial: bool = False) -> str:
     o_days = rng.integers(0, ORDERDATE_SPAN_DAYS, size=n_orders)
     o_date = t0 + o_days * np.int64(86400_000_000)
     o_price = np.round(rng.uniform(1000, 500000, n_orders), 2)
+    o_cust = rng.integers(0, n_cust, size=n_orders, dtype=np.int64)
+    if skew:
+        # one customer owns 10% of all orders (hot FK into customer)
+        o_cust[_pick(rng, n_orders, 0.10)] = 13 % n_cust
     o_cols = {
         "o_orderkey": pa.array(o_key),
-        "o_custkey": pa.array(rng.integers(0, n_cust, size=n_orders, dtype=np.int64)),
+        "o_custkey": pa.array(o_cust),
         "o_orderstatus": pa.array(rng.choice(np.array(["P", "O", "F"]), size=n_orders)),
         "o_totalprice": pa.array(o_price),
         "o_orderdate": pa.array(o_date),
@@ -235,10 +256,14 @@ def generate(out_dir: str, sf: float, adversarial: bool = False) -> str:
     li_disc = rng.integers(0, 11, size=n_li) / 100.0
     li_tax = rng.integers(0, 9, size=n_li) / 100.0
     li_rf = rng.choice(np.array(["A", "N", "R"]), size=n_li)
+    li_supp = rng.integers(0, n_supp, size=n_li, dtype=np.int64)
+    if skew:
+        # one supplier carries 20% of all lineitems (hot join/group key)
+        li_supp[_pick(rng, n_li, 0.20)] = 7 % n_supp
     li_cols = {
         "l_orderkey": pa.array(li_order),
         "l_partkey": pa.array(rng.integers(0, n_part, size=n_li, dtype=np.int64)),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li, dtype=np.int64)),
+        "l_suppkey": pa.array(li_supp),
         "l_linenumber": pa.array(li_line),
         "l_quantity": pa.array(li_qty),
         "l_extendedprice": pa.array(np.round(li_qty * rng.uniform(900, 1000, n_li), 2)),
@@ -266,6 +291,11 @@ def generate(out_dir: str, sf: float, adversarial: bool = False) -> str:
     ev_t0 = np.datetime64(EVENT_T0, "us")
     ev_ts = ev_t0 + rng.integers(0, EVENT_SPAN_US, size=n_events)
     ev_user = rng.integers(0, n_users, size=n_events, dtype=np.int64)
+    if skew:
+        # one user fires 20% of all events — the hot key q63's salted
+        # join and AQE's skew-join split exist for (user_id joins
+        # customer.c_custkey across the registry)
+        ev_user[_pick(rng, n_events, 0.20)] = 0
     ev_type = rng.choice(np.array(EVENT_TYPES), size=n_events)
     ev_val = np.maximum(np.round(rng.exponential(50.0, n_events), 2), 0.01)
     ev_props = [f'{{"k": {int(k)}}}'
@@ -315,6 +345,16 @@ def generate(out_dir: str, sf: float, adversarial: bool = False) -> str:
     n_dups = max(1, round(n_docs * 8 / 5000))
     for d in rng.choice(np.arange(1, n_docs), size=n_dups, replace=False):
         texts[int(d)] = texts[int(rng.integers(0, d))]
+    if skew:
+        # one LSH-hot template: 2% of documents share a 40-word
+        # boilerplate prefix plus one distinct suffix word each —
+        # pairwise Jaccard ~0.9, so they land in the same MinHash/SimHash
+        # bands and form one giant near-dup cluster (the crawl-scale
+        # boilerplate case the hot-band caps, df-cap pruning, and
+        # big-star CC exist for)
+        template = " ".join(vocab[np.arange(40) % len(vocab)])
+        for j, d in enumerate(sorted(_pick(rng, n_docs, 0.02))):
+            texts[int(d)] = template + " " + vocab[j % len(vocab)]
     langs = rng.choice(np.array(DOC_LANGS), size=n_docs, p=np.array(DOC_LANG_P))
     d_cols = {
         "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
@@ -406,6 +446,14 @@ def main() -> None:
     ap.add_argument("--adversarial", action="store_true",
                     help="sf0.001-scale hostile variant (NULLs, dup keys, "
                          "boundary timestamps, empty strings, zero vectors)")
+    ap.add_argument("--skew", action="store_true",
+                    help="skew-hostile variant at the given --sf: one "
+                         "supplier on 20%% of lineitems, one customer on "
+                         "10%% of orders, one user on 20%% of events, one "
+                         "LSH-hot document template on 2%% of documents — "
+                         "value-clean, so the same oracles run unchanged; "
+                         "exercises the salted-join/AQE-skew and hot-band/"
+                         "df-cap paths under real volume")
     args = ap.parse_args()
     if args.adversarial:
         sf = 0.001 if args.sf == 1.0 else args.sf
@@ -413,8 +461,10 @@ def main() -> None:
     else:
         sf = args.sf
         sf_tag = f"{sf:g}"
-        out = args.out or os.path.join(REPO_ROOT, ".scaledata", f"star_sf{sf_tag}")
-    generate(out, sf, adversarial=args.adversarial)
+        suffix = "_skew" if args.skew else ""
+        out = args.out or os.path.join(
+            REPO_ROOT, ".scaledata", f"star_sf{sf_tag}{suffix}")
+    generate(out, sf, adversarial=args.adversarial, skew=args.skew)
     import pyarrow.parquet as pq
 
     for t in sorted(os.listdir(out)):

@@ -38,6 +38,10 @@ Usage:
     python scale_ladder.py            # generate (if absent) + run ladder
     python scale_ladder.py --sf10     # append the 500k fixed-bench point
     python scale_ladder.py --mining   # append the mining-family curve
+    python scale_ladder.py --streaming-rocksdb  # 1m/10m points on the
+                                      # RocksDB state store (round 11)
+    python scale_ladder.py --skew-tasks  # uniform-vs-skew sf1 straggler
+                                      # task metrics (round 11)
     python scale_ladder.py --gen-only
     python scale_ladder.py --run-sf /root/repo/.scaledata/sf1  # internal
 """
@@ -390,12 +394,26 @@ def generate_streaming_events(out_dir: str, n_events: int) -> None:
         )
 
 
-def _run_streaming_sf(sf_dir: str) -> None:
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
     """(internal, fresh JVM) Drive the three stateful streaming operators
     (q69 session, q58 arbitrary-state, q95 stream-stream join) over the
     8-file chronological replay and print ONE JSON line with total wall
     seconds, per-micro-batch trigger costs, and state rows per batch —
-    all read from the engine's StreamingQueryProgress."""
+    all read from the engine's StreamingQueryProgress.
+
+    ``provider="rocksdb"`` re-runs the same plans on the RocksDB state
+    store (round-11 arm): the default HDFSBackedStateStoreProvider holds
+    every state row on the JVM heap — fine at harness scale, but at
+    100 TB / billions of keys the deployment answer is RocksDB (state
+    spills to local disk, heap stays bounded, snapshot+changelog
+    checkpointing). Same telemetry, so the two providers' per-batch
+    trigger costs and state-row curves compare side by side."""
     from pyspark.sql import functions as F  # noqa: N812
 
     from etl_procesos_odo_spark.session import get_spark
@@ -407,6 +425,10 @@ def _run_streaming_sf(sf_dir: str) -> None:
 
     spark = get_spark("scale-ladder-streaming")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     schema = spark.read.parquet(sf_dir).schema
     n_events = spark.read.parquet(sf_dir).count()
     # state partition sizing tracks KEY CARDINALITY (r9 finding: q58 at
@@ -472,6 +494,7 @@ def _run_streaming_sf(sf_dir: str) -> None:
 
     out = {
         "n_events": n_events,
+        "state_store": provider or "hdfs_backed_default",
         # q69's production form: append mode emits watermark-finalized
         # sessions once and drops their state (complete mode is the
         # harness-only oracle-exactness path)
@@ -490,6 +513,95 @@ def _run_streaming_sf(sf_dir: str) -> None:
             "append",
         ),
     }
+    print(json.dumps(out))
+
+
+# --- skew-tasks arm (round 11) ----------------------------------------------
+# The adversarial census is value-hostile; this arm is SKEW-hostile at
+# volume: the same four join/dedup/CC headliners timed on the uniform sf1
+# star schema and on its --skew twin (datagen.py: hot supplier/customer/
+# user keys + one LSH-hot document template), with PER-TASK max/median
+# times read from the UI REST API — the straggler evidence wall-clock
+# alone can't show — plus the final adaptive plan's skew-join markers.
+SKEW_TASK_QUERIES = (
+    "q63_salted_segments",        # manually salted hot-key join
+    "q67_minhash_lsh_collapsed",  # banded LSH + hot-band min-k cap
+    "q130_entity_resolution",     # blocked ER candidate pairs
+    "q134_pagerank_neardup",      # iterative CC/PageRank on the dup graph
+)
+
+
+def _run_skew_tasks(sf_dir: str) -> None:
+    """(internal, fresh JVM, spark.ui on) Run the four skew headliners at
+    one scale point and print ONE JSON line: per query, wall seconds,
+    number of new stages, the straggler stage's task count and its
+    executorRunTime min/median/max (ms), the max task time across all
+    stages, and whether the final adaptive plan engaged a skew-split
+    join (isSkewJoin / skew=true markers)."""
+    import re
+    import urllib.request
+
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-ladder-skew", extra_conf={"spark.ui.enabled": "true"}
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app_id = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications")
+    )[0]["id"]
+
+    def stages() -> dict[tuple[int, int], int]:
+        data = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+        ))
+        return {
+            (s["stageId"], s["attemptId"]): s["numCompleteTasks"]
+            for s in data
+        }
+
+    def task_summary(stage_id: int, attempt: int) -> list[float] | None:
+        try:
+            ts = json.load(urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages/"
+                f"{stage_id}/{attempt}/taskSummary?quantiles=0.0,0.5,1.0"
+            ))
+            return ts.get("executorRunTime")
+        except Exception:
+            return None  # 1-task stages sometimes age out of the store
+
+    qdefs = {q.name: q for q in registry()}
+    # warm the IO/codegen path once so stage timings measure the plans
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out: dict = {"sf_dir": sf_dir, "queries": {}}
+    for name in SKEW_TASK_QUERIES:
+        before = stages()
+        df = qdefs[name].spark_fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        wall = round(time.perf_counter() - t0, 2)
+        plan = df._jdf.queryExecution().toString()
+        new = {k: v for k, v in stages().items() if k not in before}
+        worst = None  # (max_ms, [min, med, max], n_tasks, stage_id)
+        for (sid, att), n_tasks in new.items():
+            q3 = task_summary(sid, att)
+            if q3 and (worst is None or q3[2] > worst[0]):
+                worst = (q3[2], q3, n_tasks, sid)
+        out["queries"][name] = {
+            "wall_sec": wall,
+            "n_stages": len(new),
+            "skew_join_in_plan": bool(
+                re.search(r"isSkewJoin=true|skew=true", plan)
+            ),
+            "straggler_stage": None if worst is None else {
+                "stage_id": worst[3],
+                "n_tasks": worst[2],
+                "task_ms_min_med_max": worst[1],
+            },
+        }
     print(json.dumps(out))
 
 
@@ -569,7 +681,67 @@ def main() -> None:
         _run_r8ops_sf(sys.argv[i + 1], sys.argv[i + 2])
         return
     if "--run-streaming" in sys.argv:
-        _run_streaming_sf(sys.argv[sys.argv.index("--run-streaming") + 1])
+        i = sys.argv.index("--run-streaming")
+        prov = sys.argv[i + 2] if len(sys.argv) > i + 2 else None
+        _run_streaming_sf(sys.argv[i + 1], provider=prov)
+        return
+    if "--run-skew-tasks" in sys.argv:
+        _run_skew_tasks(sys.argv[sys.argv.index("--run-skew-tasks") + 1])
+        return
+    if "--skew-tasks" in sys.argv:
+        # round-11 arm: uniform-vs-skew straggler evidence for the four
+        # join/dedup/CC headliners. Expects both sf1 star dirs generated
+        # (datagen.py --sf 1 [--skew]); one fresh JVM per dataset.
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        arms: dict[str, dict] = {}
+        for label, d in (
+            ("uniform_sf1", os.path.join(REPO_ROOT, ".scaledata", "star_sf1")),
+            ("skew_sf1", os.path.join(REPO_ROOT, ".scaledata", "star_sf1_skew")),
+        ):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-skew-tasks", d],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"skew-tasks segment {label} failed")
+            arms[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results["skew_tasks"] = arms
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(arms))
+        return
+    if "--streaming-rocksdb" in sys.argv:
+        # round-11 arm: the 1m/10m decade of the streaming ladder on the
+        # RocksDB state store, side-by-side with the default-provider
+        # numbers already under results["streaming"]
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        rocks: dict[str, dict] = {}
+        for label, n in STREAM_POINTS:
+            if label not in ("1m", "10m"):
+                continue
+            d = stream_dir(label)
+            generate_streaming_events(d, n)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-streaming", d, "rocksdb"],
+                capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"streaming-rocksdb segment {label} failed")
+            rocks[label] = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )
+        results["streaming_rocksdb"] = rocks
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(rocks))
         return
     if "--streaming" in sys.argv:
         ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
