@@ -774,7 +774,14 @@ def q96_longest_streak(spark: SparkSession, sf_dir: str):
     "per key). No exp/pow — pure +*/ keeps it IEEE-identical across "
     "engines; the oracle is a recursive CTE stepping the same formula. "
     "Parallelism = #users; the behavioral-feature op (decayed activity "
-    "level) of a training-data pipeline.",
+    "level) of a training-data pipeline. ORACLE HOT-KEY HAZARD (r11): "
+    "the recursive CTE's iteration count is max-events-per-key, so a "
+    "skewed key makes the ORACLE (not the operator — one linear pass "
+    "per key) infeasible: the sf1-skew census's 200k-event hot user "
+    "never finishes in DuckDB. Skewed datasets verify this row against "
+    "a driver-side python recurrence instead (bit-exact on all 1M "
+    "sf1-skew rows; tests/test_adversarial.py pins the hot-key case at "
+    "50k events).",
 )
 def q97_ewma(spark: SparkSession, sf_dir: str):
     from .operators.windows import ewma_time_decay

@@ -290,3 +290,59 @@ def test_semantic_dedup_zero_norm_vector_and_dup_ids(spark):
     # 0 and 1 are near-identical: the higher id is pruned toward the lower
     assert got[1]["status"] == "pruned" and got[1]["dup_of"] == 0
     assert got[0]["status"] == "kept"
+
+
+def test_ewma_hot_key_python_oracle(spark):
+    """Hot-key EWMA pin (round 11): the q97 SQL oracle is a recursive
+    CTE stepping rn -> rn+1, so its iteration count is max-events-per-
+    key — computationally infeasible against a skewed key (the sf1-skew
+    census's hot user holds 200k events; measured: the recursion never
+    finishes). The OPERATOR is one linear pass per key, so the hot-key
+    case is verified here against an independent driver-side numpy
+    recurrence instead: one user with 50k events plus two normal users,
+    exact float equality (both sides run the identical IEEE +*/ chain
+    in the same order)."""
+    import numpy as np
+
+    from etl_procesos_odo_spark.operators.windows import ewma_time_decay
+
+    rng = np.random.default_rng(7)
+    n_hot, tau = 50_000, 600.0
+    # irregular gaps exercise the data-dependent gain; two cold users
+    # make sure the hot key shares the frame with normal groups
+    t_hot = np.cumsum(rng.integers(1, 900, size=n_hot)).astype("float64")
+    rows = [(0, int(i), float(t), float(v)) for i, (t, v) in enumerate(
+        zip(t_hot, rng.uniform(0, 100, size=n_hot)))]
+    rows += [(1, 100_000, 50.0, 10.0), (1, 100_001, 700.0, 20.0),
+             (2, 200_000, 5.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsec double, value double"
+    ).select(
+        "user_id", "event_id", "value",
+        F.timestamp_micros((F.col("tsec") * 1_000_000).cast("long")).alias("ts"),
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_time_decay(df).collect()
+    }
+
+    def py_ewma(ts, vs):
+        acc, prev, res = None, None, []
+        for t, x in zip(ts, vs):
+            if acc is None:
+                acc = float(x)
+            else:
+                dt = t - prev
+                a = dt / (dt + tau)
+                acc = a * float(x) + (1.0 - a) * acc
+            prev = t
+            res.append(acc)
+        return res
+
+    exp_hot = py_ewma(t_hot, [r[3] for r in rows[:n_hot]])
+    assert len(out) == n_hot + 3
+    # exact equality: same IEEE ops in the same order on both sides
+    assert all(out[(0, i)] == exp_hot[i] for i in range(n_hot))
+    assert out[(1, 100_001)] == py_ewma(
+        [50.0, 700.0], [10.0, 20.0])[1]
+    assert out[(2, 200_000)] == 3.0
