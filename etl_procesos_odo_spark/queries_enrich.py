@@ -1620,7 +1620,7 @@ def q132_event_transitions(spark: SparkSession, sf_dir: str):
              datediff('day', MAX(o_orderdate), (SELECT maxd FROM mx))
                AS recency_days,
              COUNT(*) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     )
@@ -2458,9 +2458,9 @@ def q153_incident_session_overlap(spark: SparkSession, sf_dir: str):
 _INC_ROLLUP_ORACLE = """
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              AS total_value,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_value,
            MIN(ts) AS first_ts, MAX(ts) AS last_ts
     FROM events

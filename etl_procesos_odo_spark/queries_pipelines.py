@@ -242,7 +242,7 @@ def q51_confirmaciones_pipeline(spark: SparkSession, sf_dir: str):
                     + floor((day(d) - 1) / 7) + 1 AS DOUBLE) AS peso
       FROM t
     )
-    SELECT slot, CAST(SUM(CAST(peso AS DECIMAL(20,12))) AS DOUBLE) AS carga
+    SELECT slot, CAST(CAST(SUM(CAST(peso AS DECIMAL(20,12))) AS VARCHAR) AS DOUBLE) AS carga
     FROM w GROUP BY slot
     """,
     doc="Entry-point pipeline (recursos modelo atencion, SURVEY.md §3 / "
@@ -418,7 +418,7 @@ def q55_facturacion_pipeline(spark: SparkSession, sf_dir: str):
     """
     WITH r AS (
       SELECT n_name AS sede, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              100.0 * COUNT(*) FILTER (WHERE o_orderstatus = 'F')
                / COUNT(*) AS pct_fulfilled
       FROM orders

@@ -276,7 +276,7 @@ def q08_distinct_days(spark: SparkSession, sf_dir: str):
     "q09_conditional_agg",
     """
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE value > 100) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE value > 100) AS VARCHAR) AS DOUBLE)
              / COUNT(value) FILTER (WHERE value > 100) AS avg_value_high,
            MIN(value) FILTER (WHERE value > 0) AS min_pos,
            MAX(value) FILTER (WHERE value <> 60) AS max_not60,
@@ -363,10 +363,10 @@ def q11_pivot_counts(spark: SparkSession, sf_dir: str):
       FROM r GROUP BY 1
     )
     SELECT p_brand,
-           CAST(dec AS DOUBLE) AS valor,
-           CAST(dec AS DOUBLE) * 100.0 / CAST(SUM(dec) OVER () AS DOUBLE) AS pct,
-           CAST(SUM(dec) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             * 100.0 / CAST(SUM(dec) OVER () AS DOUBLE) AS pct_acumulado
+           CAST(CAST(dec AS VARCHAR) AS DOUBLE) AS valor,
+           CAST(CAST(dec AS VARCHAR) AS DOUBLE) * 100.0 / CAST(CAST(SUM(dec) OVER () AS VARCHAR) AS DOUBLE) AS pct,
+           CAST(CAST(SUM(dec) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             * 100.0 / CAST(CAST(SUM(dec) OVER () AS VARCHAR) AS DOUBLE) AS pct_acumulado
     FROM b
     """,
     doc="A13 Pareto: top-5 + OTROS + cumulative % "
@@ -391,7 +391,7 @@ def q12_pareto_brands(spark: SparkSession, sf_dir: str):
     "q13_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o_custkey = c_custkey
     GROUP BY 1, 2
     ORDER BY SUM(CAST(o_totalprice AS DECIMAL(25,6))) DESC, c_custkey
@@ -534,7 +534,7 @@ def q16_running_revenue(spark: SparkSession, sf_dir: str):
     SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'TOTAL'
                 ELSE o_orderstatus END AS o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders GROUP BY ROLLUP(o_orderstatus)
     """,
     doc="A11 grand-TOTAL row append (app.py:383-392; "
@@ -639,7 +639,7 @@ def q20_weekday_filter(spark: SparkSession, sf_dir: str):
     """
     SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semana,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
     doc="F22 weekly period bucketing, Monday-start "
@@ -1066,7 +1066,7 @@ def q44_time_scalars(spark: SparkSession, sf_dir: str):
            CASE WHEN o_orderdate >= fecha_inicio THEN 'EN MODELO'
                 ELSE 'FUERA DE MODELO' END AS estado,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM o JOIN sedes USING (sede)
     GROUP BY 1, 2
     """,
@@ -1312,7 +1312,7 @@ def q61_lag_carryforward(spark: SparkSession, sf_dir: str):
     "q63_salted_segments",
     """
     SELECT c_mktsegment, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,

@@ -25,7 +25,7 @@ from .streaming.temporal import (
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     doc="Streaming tumbling 1-hour window counts + exact sums per "
@@ -202,7 +202,7 @@ _SESSION_ORACLE = """
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, sid
     """
 
@@ -293,7 +293,7 @@ def q58_stateful_user_stats(spark: SparkSession, sf_dir: str):
     )
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            e.event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value * weight AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value * weight AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              AS weighted_value
     FROM events e JOIN w USING (event_type)
     GROUP BY 1, 2

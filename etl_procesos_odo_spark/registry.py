@@ -4,10 +4,17 @@ oracle SQL) pair — the correctness surface consumed by ``__spark_entry__``.
 Conventions that make the Spark result hash-identical to the oracle:
 
 - **Decimal-exact sums.** ``SUM`` / ``AVG`` over double columns is
-  order-dependent in floating point; both sides compute
-  ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`` so the aggregate is
-  exact integer arithmetic and the final double is bit-identical.
-  Averages of integers are exact in double (< 2^53) and safe as-is.
+  order-dependent in floating point; both sides sum
+  ``CAST(x AS DECIMAL(25,6))`` so the aggregate is exact integer
+  arithmetic. The oracle's final decimal -> double cast routes through
+  VARCHAR (``CAST(CAST(dec AS VARCHAR) AS DOUBLE)``): DuckDB's direct
+  cast double-rounds (scaled int128 first, /10^scale second) and is
+  measurably off by one ulp for ~25% of values whose scaled integer
+  exceeds 2^53 — the sf>=1 census magnitudes; strtod of the exact
+  decimal string is correctly rounded and matches Spark's
+  BigDecimal -> double bit for bit (r11, caught by the sf1-skew
+  census's q12 OTROS row). Averages of integers are exact in double
+  (< 2^53) and safe as-is.
 - **Fractional epochs.** Spark's ``unix_timestamp`` truncates to seconds;
   use ``cast(ts as double)`` (micros-exact) to match DuckDB's ``epoch()``.
 - **Explicit tie-breaks** on every top-N / argmax / dedup-first ordering.
@@ -627,9 +634,21 @@ def davg(col, alias: str):
     ).alias(alias)
 
 
-# DuckDB-side equivalents (string templates)
+# DuckDB-side equivalents (string templates).
+# The decimal -> double cast routes through VARCHAR (r11): DuckDB's
+# direct DECIMAL->DOUBLE cast converts the scaled int128 first and
+# divides by 10^scale second — two roundings, measured 25% off-by-one-
+# ulp once the scaled integer exceeds 2^53 (values > ~9e9 at scale 6,
+# i.e. exactly the sf>=1 census magnitudes; caught by the sf1-skew
+# census's q12 OTROS row). VARCHAR of a decimal is exact and
+# strtod is correctly rounded, which matches Spark's (and Python's)
+# correctly-rounded decimal -> double conversion bit for bit.
+def o_d2d(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def o_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+    return o_d2d(f"SUM(CAST(({expr}) AS DECIMAL(25,6)))")
 
 
 def o_davg(expr: str) -> str:

@@ -1037,3 +1037,62 @@ def test_contained_tier_invariants():
         fam: q for fam, q in FAMILY_SENTINELS.items() if q not in core
     }
     assert not demoted_sentinels, demoted_sentinels
+
+
+def test_oracle_decimal_double_casts_varchar_routed():
+    """r11 lint: DuckDB's direct DECIMAL->DOUBLE cast double-rounds
+    (scaled int128 first, /10^scale second) and is off by one ulp for
+    ~25% of values whose scaled integer exceeds 2^53 — the sf>=1 census
+    magnitudes (caught by the sf1-skew census's q12 OTROS row). Every
+    decimal-typed CAST(... AS DOUBLE) in every registered oracle must
+    therefore route through VARCHAR (strtod is correctly rounded and
+    matches Spark's BigDecimal->double). This walks each oracle's CAST
+    spans with balanced parens and flags any decimal-looking inner
+    expression cast straight to DOUBLE."""
+    import re
+
+    offenders = []
+    for q in registry():
+        if q.oracle is None:
+            continue
+        src = q.oracle
+        for m in re.finditer(r"CAST\(", src):
+            i, depth, j = m.end(), 1, m.end()
+            while j < len(src) and depth > 0:
+                if src[j] == "(":
+                    depth += 1
+                elif src[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                continue
+            inner = src[i:j - 1]
+            mm = re.match(r"(?s)^(.*)\s+AS\s+DOUBLE\s*$", inner)
+            if not mm:
+                continue
+            body = mm.group(1)
+            if "AS VARCHAR" in body:
+                continue
+            if re.search(r"DECIMAL\(\d+|\bdec\b", body):
+                offenders.append(f"{q.name}: {' '.join(body.split())[:90]}")
+    assert not offenders, offenders
+
+
+def test_duckdb_decimal_double_cast_hazard_is_real():
+    """Documents WHY the varchar routing exists: DuckDB's direct cast of
+    a >2^53-scaled decimal to double really is off by one ulp where the
+    string round-trip (and Python, and Spark) are correctly rounded —
+    the concrete value the sf1-skew census caught. If a future DuckDB
+    fixes the cast, this starts failing and the routing can be retired."""
+    import duckdb
+    from decimal import Decimal
+
+    v = "109971850836.893000"
+    con = duckdb.connect()
+    direct, routed = con.sql(
+        f"SELECT CAST(CAST('{v}' AS DECIMAL(38,6)) AS DOUBLE), "
+        f"CAST(CAST(CAST('{v}' AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()
+    con.close()
+    assert routed == float(Decimal(v))          # strtod: correctly rounded
+    assert direct != routed                      # the documented hazard
