@@ -37,7 +37,9 @@ sf <= 0.1) cannot provide:
    documents (pairwise Jaccard ~0.9 — one giant near-dup cluster
    stressing the banded-join hot-band caps, df-cap pruning, and
    connected-components paths). ``verify_all.py --sf
-   .scaledata/star_sf1_skew`` runs the census on it; the
+   .scaledata/star_sf1_skew`` runs the census on it (q97's recursive-CTE
+   oracle is data-infeasible on the hot user — the harness substitutes
+   its sanctioned python-recurrence arbiter automatically, r12); the
    ``scale_ladder.py --skew-tasks`` arm records per-stage task max/median
    times uniform-vs-skew for the join/dedup/CC headliners.
 

@@ -94,6 +94,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: dict[str, str],
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join (a temporal operator Spark lacks natively; the
     feature-backfill primitive: "for each observation, the latest
@@ -112,6 +113,14 @@ def asof_join(
     ``right_vals`` maps right column -> output alias. The right side must
     be unique per (key, ts); callers dedupe first (ties would otherwise
     be resolved by engine-dependent window order).
+
+    ``tolerance_seconds`` (r12): maximum staleness — a matched right row
+    older than ``left_ts - tolerance`` yields nulls instead (pandas
+    ``merge_asof(tolerance=...)`` semantics). Since the as-of match is
+    the LATEST right row at-or-before, a too-old latest means every
+    candidate is too old, so nulling (not re-matching) is exact. The
+    comparison runs on micros-exact epoch doubles (``cast(ts as
+    double)``), the same expression a SQL oracle evaluates.
     """
     from pyspark.sql import Window
 
@@ -124,22 +133,30 @@ def asof_join(
     # previous row's value over a legitimately-NULL attribute (r10
     # adversarial census finding on q81).
     rtypes = dict(right.dtypes)
+    # with a tolerance the struct also carries the right row's epoch
+    # seconds (`_rts`) so staleness is checked after the window fill
+    rfields = dict.fromkeys(right_vals)
+    struct_t = "struct<" + ",".join(
+        f"`{rc}`:{rtypes[rc]}" for rc in rfields
+    )
+    r_struct = [F.col(rc) for rc in rfields]
+    if tolerance_seconds is not None:
+        struct_t += ",`_rts`:double"
+        r_struct.append(F.col(right_ts).cast("double").alias("_rts"))
+    struct_t += ">"
     l2 = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(
-            "struct<" + ",".join(f"`{rc}`:{rtypes[rc]}" for rc in right_vals)
-            + ">"
-        ).alias("_rv"),
+        F.lit(None).cast(struct_t).alias("_rv"),
     )
     r2 = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        F.struct(*[F.col(rc) for rc in right_vals]).alias("_rv"),
+        F.struct(*r_struct).alias("_rv"),
     )
     w = (
         Window.partitionBy("_k")
@@ -151,12 +168,15 @@ def asof_join(
         *lcols,
         F.last("_rv", ignorenulls=True).over(w).alias("_rv_last"),
     )
+    rv = F.col("_rv_last")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col(left_ts).cast("double") - rv.getField("_rts")
+        ) <= F.lit(float(tolerance_seconds))
+        rv = F.when(fresh, rv)  # stale or no match -> NULL struct -> nulls
     return filled.filter(F.col("_side") == 1).select(
         *lcols,
-        *[
-            F.col("_rv_last").getField(rc).alias(alias)
-            for rc, alias in right_vals.items()
-        ],
+        *[rv.getField(rc).alias(alias) for rc, alias in right_vals.items()],
     )
 
 

@@ -778,10 +778,13 @@ def q96_longest_streak(spark: SparkSession, sf_dir: str):
     "the recursive CTE's iteration count is max-events-per-key, so a "
     "skewed key makes the ORACLE (not the operator — one linear pass "
     "per key) infeasible: the sf1-skew census's 200k-event hot user "
-    "never finishes in DuckDB. Skewed datasets verify this row against "
-    "a driver-side python recurrence instead (bit-exact on all 1M "
-    "sf1-skew rows; tests/test_adversarial.py pins the hot-key case at "
-    "50k events).",
+    "never finishes in DuckDB. Above verify_all.Q97_RECURSION_FEASIBLE "
+    "events on one key, the census swaps in a sanctioned driver-side "
+    "python-recurrence arbiter automatically (data-driven, recorded in "
+    "the artifact row under 'arbiter'; r12). The arbiter is pinned "
+    "row/bit-exact against this CTE on feasible sizes "
+    "(tests/test_verify_harness.py) and against the operator at a 50k-"
+    "event hot key (tests/test_adversarial.py).",
 )
 def q97_ewma(spark: SparkSession, sf_dir: str):
     from .operators.windows import ewma_time_decay

@@ -57,10 +57,19 @@ from .registry import load_table, register
 # ---------------------------------------------------------------------------
 
 O_TOKENS = r"list_filter(str_split_regex(trim(text), '\s+'), x -> x <> '')"
-O_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
-    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
-)
+def _shingles_sql(k: int = 3) -> str:
+    """DuckDB spelling of llm/dedup.py `shingles(col, k)`: distinct word
+    k-grams joined by single spaces (parameterized for the fuzz arbiter)."""
+    parts = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i+{j}]" for j in range(k)
+    )
+    return (
+        "list_distinct(list_transform(generate_series(1, "
+        f"greatest(len(w) - {k - 1}, 0)), i -> {parts}))"
+    )
+
+
+O_SHINGLES = _shingles_sql(3)
 
 
 def o_h60(expr: str) -> str:
@@ -826,27 +835,48 @@ def q37_token_counts(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "q71_decontaminate",
-    f"""
+def _decontaminate_oracle(
+    k: int = 3,
+    min_shared: int = 2,
+    max_df: int | float = 20,
+    bench_mod: int = 50,
+) -> str:
+    """Oracle builder for llm/dedup.py `decontaminate` with a
+    doc_id %% bench_mod == 0 benchmark split (so |train| + |bench| =
+    |documents| and a fractional df cap's denominator is COUNT(*)).
+    A float max_df is the documented fraction-of-combined-docs form;
+    the SQL floors the same IEEE product the operator floors."""
+    if isinstance(max_df, float):
+        cap = (
+            f"GREATEST(1, CAST(FLOOR({max_df!r} * "
+            "(SELECT COUNT(*) FROM documents)) AS BIGINT))"
+        )
+    else:
+        cap = str(max_df)
+    return f"""
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
-    sh AS (SELECT doc_id, {O_SHINGLES} AS sh FROM w),
+    sh AS (SELECT doc_id, {_shingles_sql(k)} AS sh FROM w),
     e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-    keep AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 20),
+    keep AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= {cap}),
     t AS (SELECT doc_id, g FROM e
-          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM keep)),
+          WHERE doc_id % {bench_mod} <> 0 AND g IN (SELECT g FROM keep)),
     b AS (SELECT doc_id AS b_id, g FROM e
-          WHERE doc_id % 50 = 0 AND g IN (SELECT g FROM keep)),
+          WHERE doc_id % {bench_mod} = 0 AND g IN (SELECT g FROM keep)),
     p AS (SELECT t.doc_id, b.b_id, COUNT(*) AS n_shared
           FROM t JOIN b USING (g)
           GROUP BY t.doc_id, b.b_id
-          HAVING COUNT(*) >= 2)
+          HAVING COUNT(*) >= {min_shared})
     SELECT doc_id,
            COUNT(*) AS n_bench_docs,
            CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
            MAX(n_shared) AS max_shared
     FROM p GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "q71_decontaminate",
+    _decontaminate_oracle(k=3, min_shared=2, max_df=20),
     doc="Train/test decontamination: training docs (doc_id % 50 != 0) "
     "sharing >= 2 distinct 3-gram shingles with any benchmark doc "
     "(doc_id % 50 = 0), via an inverted-index equi-join on the shingle — "
@@ -4801,19 +4831,23 @@ def q198_keyness_terms(spark: SparkSession, sf_dir: str):
 # q200 — content-defined chunking (rolling-hash boundaries)
 # ---------------------------------------------------------------------------
 
-_CDC_ORACLE = f"""
+def _cdc_oracle(divisor: int = 16, hash_mod: int = 32768) -> str:
+    """Oracle builder for llm/packing.py `cdc_chunks` (window fixed at 4,
+    matching the operator's unrolled polynomial)."""
+    B = hash_mod
+    return f"""
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
     p AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
     h AS (
       SELECT doc_id, w, n,
-             list_transform(w, t -> {o_h60("t")} % 32768) AS hs
+             list_transform(w, t -> {o_h60("t")} % {B}) AS hs
       FROM p
     ),
     r AS (
       SELECT doc_id, w, n,
              list_filter(list_transform(generate_series(4, n),
-               j -> CASE WHEN (((hs[j-3] * 32768 + hs[j-2]) * 32768
-                                + hs[j-1]) * 32768 + hs[j]) % 16 = 0
+               j -> CASE WHEN (((hs[j-3] * {B} + hs[j-2]) * {B}
+                                + hs[j-1]) * {B} + hs[j]) % {divisor} = 0
                          THEN j ELSE -1 END), b -> b > 0) AS bpos
       FROM h
     ),
@@ -4831,6 +4865,9 @@ _CDC_ORACLE = f"""
     FROM c, UNNEST(generate_series(1, len(starts))) AS t(i)
     WHERE starts[i] <= ends[i]
     """
+
+
+_CDC_ORACLE = _cdc_oracle(divisor=16, hash_mod=32768)
 
 
 @register(

@@ -1,7 +1,9 @@
 """The driver-tail contract (round 9): the external driver keeps only the
 LAST 2000 chars of bench stdout and json-parses what it finds there, so
 bench.py must END its output with a compact-but-complete record. These
-tests pin that contract without running the bench."""
+tests pin that contract — plus the r12 noise-proofing contract (headline
+= single-session total, _triage_set selection rules, sf1 keeper glob) —
+without running the bench."""
 
 from __future__ import annotations
 
@@ -11,7 +13,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _compact_record  # noqa: E402
+from bench import (  # noqa: E402
+    _compact_record,
+    _headline_value,
+    _prev_round_times,
+    _triage_set,
+)
 
 TAIL_CAP = 2000  # chars the driver keeps
 
@@ -60,3 +67,57 @@ def test_compact_record_handles_error_sentinels():
     shown = _compact_record(r)["queries_slowest"]
     # sentinel sorts last, never displacing a real slow query
     assert list(shown.values())[0] >= 0
+
+
+# --- r12 noise-proofing contract (r11 verdict item 1) ----------------------
+
+
+def test_headline_is_single_session_total():
+    val, which = _headline_value(396.3, 292.8)
+    assert val == 292.8 and which == "single_session_total_sec"
+    # single-session pass died -> fall back to the segmented sum
+    val, which = _headline_value(396.3, -1.0)
+    assert val == 396.3 and which.startswith("segmented_total_sec")
+
+
+def test_triage_registry_wide_2x_rule_still_holds():
+    sel = _triage_set({"qa": 4.1, "qb": 1.9}, {"qa": 2.0, "qb": 1.0},
+                      head_names=frozenset(), top_abs=0)
+    assert sel == {"qa"}  # qb at 1.9x stays below the registry-wide bar
+
+
+def test_triage_head_movers_at_1_5x():
+    # r11's untriaged head movers: q50 11.83s vs 8.61 (1.37x), but a
+    # 1.5x head mover MUST ship with a warm row even below 2x
+    queries = {"q50": 9.0, "q99": 9.0}
+    prev = {"q50": 6.0, "q99": 6.0}
+    sel = _triage_set(queries, prev, head_names=frozenset({"q50"}),
+                      top_abs=0)
+    assert sel == {"q50"}  # same ratio, non-head stays untriaged
+
+
+def test_triage_top5_absolute_regressions():
+    # big absolute movers below every ratio bar still get triaged
+    queries = {f"q{i}": 10.0 + i for i in range(8)}
+    prev = {f"q{i}": 9.0 + i for i in range(8)}  # all ~1.1x, +1.0s each
+    queries["qbig"] = 20.0
+    prev["qbig"] = 15.0  # 1.33x but +5s — the r11 q50-class mover
+    sel = _triage_set(queries, prev, head_names=frozenset())
+    assert "qbig" in sel and len(sel) == 5
+    # improvements and missing baselines are never selected
+    sel2 = _triage_set({"qf": 1.0, "qn": 50.0}, {"qf": 2.0}, frozenset())
+    assert sel2 == set()
+
+
+def test_triage_skips_error_sentinels_and_dead_baselines():
+    sel = _triage_set({"qa": -1.0, "qb": 9.0}, {"qa": 1.0, "qb": 0.0},
+                      frozenset({"qa", "qb"}))
+    assert sel == set()
+
+
+def test_prev_round_times_finds_same_sf_keeper():
+    # the r11 gap: the sf1 keeper found no same-sf baseline because the
+    # glob only matched BENCH_full_r*.json — both series must resolve
+    assert _prev_round_times(0.1), "no sf0.1 keeper baseline found"
+    assert _prev_round_times(1.0), "no sf1 keeper baseline found"
+    assert _prev_round_times(123.456) == {}  # alien sf -> empty, not wrong-sf

@@ -287,9 +287,14 @@ def test_fuzz_mix_rebalance(p, spark, ddb):
 
 _SALTED = _draws(lambda r: {"n_salt": r.choice((2, 3, 8, 16, 32))})
 
-_SALTED_ORACLE = """
+# o_dsum routes the decimal -> double cast through VARCHAR like every
+# registry oracle (r11 lint convention): safe at any sum magnitude, not
+# just the sf0.001 fixture's (r11 advice)
+from etl_procesos_odo_spark.registry import o_dsum  # noqa: E402
+
+_SALTED_ORACLE = f"""
     SELECT c_mktsegment, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           {o_dsum('value')} AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """
@@ -355,3 +360,402 @@ def test_fuzz_zorder(p, spark, ddb):
     dd = normalize_to_bits(day, 0.0, 365.0, bits)
     df = ev.select("event_id", zorder_key([du, dd], bits=bits).alias("zkey"))
     assert_parity(df, ddb, _zorder_oracle(bits), name=f"fuzz_zorder{p}")
+
+
+# --- 12. Balanced partitioner (operators/partitioner.py, r11 verdict) ---
+# Membership is seeded-hash-order dependent (documented divergence from
+# the reference RNG shuffle), so the oracle is the ntile SIZE invariant:
+# per-(unit, particion) counts must equal ntile's closed-form quota for
+# EVERY (num_parts, seed) draw — sizes differ <=1, remainder to the
+# lowest part ids.
+
+_PARTITIONER = _draws(lambda r: {
+    "num_parts": r.choice((2, 3, 4, 5, 7, 8)),
+    "seed": r.choice((1, 7, 42, 99, 123)),
+})
+
+
+def _partitioner_oracle(num_parts: int) -> str:
+    return f"""
+    WITH a AS (
+      SELECT c_mktsegment,
+             ntile({num_parts}) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_custkey) AS particion
+      FROM (SELECT DISTINCT c_mktsegment, c_custkey FROM customer)
+    )
+    SELECT c_mktsegment, CAST(particion AS BIGINT) AS particion,
+           COUNT(*) AS n_keys
+    FROM a GROUP BY 1, 2
+    """
+
+
+@pytest.mark.parametrize(
+    "p", _PARTITIONER, ids=[str(p) for p in _PARTITIONER]
+)
+def test_fuzz_partitioner(p, spark, ddb):
+    from etl_procesos_odo_spark.operators.partitioner import (
+        balanced_partition,
+    )
+
+    cust = load_table(spark, SF_DIR, "customer")
+    assign = balanced_partition(
+        cust, "c_mktsegment", "c_custkey", p["num_parts"], seed=p["seed"]
+    )
+    df = assign.groupBy(
+        "c_mktsegment", F.col("particion").cast("long").alias("particion")
+    ).agg(F.count("*").alias("n_keys"))
+    assert_parity(
+        df, ddb, _partitioner_oracle(p["num_parts"]),
+        name=f"fuzz_partitioner{p}",
+    )
+
+
+# --- 13. Decontamination (llm/dedup.py decontaminate, r11 verdict) ------
+
+_DECON = _draws(lambda r: {
+    "k": r.choice((2, 3, 4)),
+    "min_shared": r.randint(1, 3),
+    # exact-in-binary fractions (n/64) so FLOOR(frac * n_docs) is the
+    # same IEEE product on both sides; ints exercise the absolute cap
+    "max_df": r.choice((5, 20, 50, 1 / 64, 1 / 32, 3 / 64)),
+})
+
+
+@pytest.mark.parametrize("p", _DECON, ids=[str(p) for p in _DECON])
+def test_fuzz_decontaminate(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.dedup import decontaminate
+    from etl_procesos_odo_spark.queries_llm import _decontaminate_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "text", "doc_id",
+        k=p["k"], min_shared=p["min_shared"], max_df=p["max_df"],
+    )
+    assert_parity(
+        df, ddb,
+        _decontaminate_oracle(p["k"], p["min_shared"], p["max_df"]),
+        name=f"fuzz_decon{p}",
+    )
+
+
+# --- 14. As-of join tolerance (operators/joins.py, r11 verdict) ---------
+
+_ASOF = _draws(lambda r: {
+    # sf0.001 purchase gaps span minutes-to-days: these tolerances put
+    # both fresh and stale matches in play
+    "tolerance": r.choice((600.0, 3600.0, 6 * 3600.0, 86400.0, None)),
+})
+
+
+def _asof_oracle(tolerance: float | None) -> str:
+    val = "r.value"
+    rts = "r.ts"
+    if tolerance is not None:
+        fresh = (
+            "(CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0 - "
+            f"CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0) <= {tolerance!r}"
+        )
+        val = f"CASE WHEN {fresh} THEN r.value END"
+        rts = f"CASE WHEN {fresh} THEN r.ts END"
+    return f"""
+    WITH rdd AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rk
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rk = 1
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts,
+           {val} AS last_purchase_value, {rts} AS last_purchase_ts
+    FROM l ASOF LEFT JOIN rdd r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+@pytest.mark.parametrize("p", _ASOF, ids=[str(p) for p in _ASOF])
+def test_fuzz_asof_tolerance(p, spark, ddb):
+    from pyspark.sql import Window
+
+    from etl_procesos_odo_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, SF_DIR, "events")
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rk", F.row_number().over(wdd))
+        .filter("rk = 1")
+        .select("user_id", "ts", "value")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    df = asof_join(
+        left, right, "user_id", "ts", "ts",
+        {"value": "last_purchase_value", "ts": "last_purchase_ts"},
+        tolerance_seconds=p["tolerance"],
+    )
+    assert_parity(
+        df, ddb, _asof_oracle(p["tolerance"]), name=f"fuzz_asof{p}"
+    )
+
+
+# --- 15. CDC chunk bounds (llm/packing.py cdc_chunks, r11 verdict) ------
+
+_CDC = _draws(lambda r: {
+    "divisor": r.choice((4, 8, 16, 32, 64)),
+    "hash_mod": r.choice((4096, 8192, 16384, 32768)),
+})
+
+
+@pytest.mark.parametrize("p", _CDC, ids=[str(p) for p in _CDC])
+def test_fuzz_cdc_chunks(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.packing import cdc_chunks
+    from etl_procesos_odo_spark.queries_llm import _cdc_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = cdc_chunks(
+        docs, "text", "doc_id",
+        window=4, divisor=p["divisor"], hash_mod=p["hash_mod"],
+    )
+    assert_parity(
+        df, ddb, _cdc_oracle(p["divisor"], p["hash_mod"]),
+        name=f"fuzz_cdc{p}",
+    )
+
+
+# --- 16. Near-dup triangle count (queries_llm q146 shape) ---------------
+
+_TRI = _draws(lambda r: {"threshold": r.choice((0.3, 0.4, 0.5, 0.6))})
+
+
+@pytest.mark.parametrize("p", _TRI, ids=[str(p) for p in _TRI])
+def test_fuzz_triangles(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.dedup import minhash_lsh_pairs
+    from etl_procesos_odo_spark.queries_llm import _triangles_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    e = (
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=p["threshold"])
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("va"), F.col("b").alias("vb"))
+    tri = (
+        e.join(e2, e["b"] == e2["b2a"])
+        .join(e3, (F.col("a") == F.col("va")) & (F.col("c") == F.col("vb")))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    assert_parity(
+        n_tri.crossJoin(n_e), ddb, _triangles_oracle(p["threshold"]),
+        name=f"fuzz_tri{p}",
+    )
+
+
+# --- 17. K-means training loop (llm/similarity.py kmeans_train) ---------
+
+_KTRAIN = _draws(lambda r: {
+    "n_cells": r.choice((4, 8, 12)),
+    "rounds": r.randint(1, 4),
+})
+
+
+@pytest.mark.parametrize("p", _KTRAIN, ids=[str(p) for p in _KTRAIN])
+def test_fuzz_kmeans_train(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import kmeans_train
+    from etl_procesos_odo_spark.queries_enrich import _kmeans_train_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = kmeans_train(
+        emb, "vec_id", "embedding",
+        n_cells=p["n_cells"], rounds=p["rounds"],
+    )
+    assert_parity(
+        df, ddb, _kmeans_train_oracle(p["n_cells"], p["rounds"]),
+        name=f"fuzz_ktrain{p}",
+    )
+
+
+# --- 18. Trained-IVF ANN (llm/similarity.py, q123 shape) -----------------
+
+_IVFT = _draws(lambda r: {
+    "n_cells": r.choice((4, 8, 12)),
+    "rounds": r.randint(1, 3),
+    "k": r.choice((3, 5)),
+    "nprobe": r.randint(1, 3),
+})
+
+
+@pytest.mark.parametrize("p", _IVFT, ids=[str(p) for p in _IVFT])
+def test_fuzz_ivf_trained(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import (
+        ivf_topk, kmeans_train_centroids,
+    )
+    from etl_procesos_odo_spark.queries_enrich import _ivf_trained_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_train_centroids(
+        emb, "vec_id", "embedding", n_cells=p["n_cells"], rounds=p["rounds"]
+    )
+    df = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_cells=p["n_cells"], k=p["k"], nprobe=p["nprobe"],
+        centroids=cents,
+    ).withColumn("cell", F.col("cell").cast("long"))
+    assert_parity(
+        df, ddb,
+        _ivf_trained_oracle(
+            n_cells=p["n_cells"], rounds=p["rounds"],
+            k=p["k"], nprobe=p["nprobe"],
+        ),
+        name=f"fuzz_ivft{p}",
+    )
+
+
+# --- 19. IVF recall@k eval (llm/similarity.py ann_recall, q107 shape) ---
+
+_RECALL = _draws(lambda r: {
+    "n_cells": r.choice((8, 16, 32)),
+    "k": r.choice((3, 5, 8)),
+    "nprobe": r.randint(1, 3),
+})
+
+
+@pytest.mark.parametrize("p", _RECALL, ids=[str(p) for p in _RECALL])
+def test_fuzz_recall(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import ann_recall
+    from etl_procesos_odo_spark.queries_llm import _recall_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ann_recall(
+        emb, emb.filter(F.col("vec_id") < 10),
+        n_cells=p["n_cells"], k=p["k"], nprobe=p["nprobe"],
+    )
+    assert_parity(
+        df, ddb, _recall_oracle(p["n_cells"], p["k"], p["nprobe"]),
+        name=f"fuzz_recall{p}",
+    )
+
+
+# --- 20. Hybrid RRF fusion (llm/similarity.py hybrid_rrf_topk) -----------
+
+_RRF = _draws(lambda r: {
+    "n_queries": r.choice((4, 8)),
+    "pool": r.choice((10, 20)),
+    "k": r.choice((5, 10)),
+    "rrf_k": r.choice((10, 60, 100)),
+})
+
+
+@pytest.mark.parametrize("p", _RRF, ids=[str(p) for p in _RRF])
+def test_fuzz_hybrid_rrf(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import hybrid_rrf_topk
+    from etl_procesos_odo_spark.queries_llm import _rrf_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = hybrid_rrf_topk(
+        docs, emb,
+        n_queries=p["n_queries"], pool=p["pool"],
+        k=p["k"], rrf_k=p["rrf_k"],
+    )
+    assert_parity(
+        df, ddb,
+        _rrf_oracle(p["n_queries"], p["pool"], p["k"], p["rrf_k"]),
+        name=f"fuzz_rrf{p}",
+    )
+
+
+# --- 21. Multi-probe hyperplane-LSH ANN (q68 shape) ----------------------
+
+_PROBE = _draws(lambda r: {
+    "n_planes": r.choice((6, 8, 10)),
+    "k": r.choice((3, 5)),
+    "seed": r.choice((1, 42, 123)),
+})
+
+
+@pytest.mark.parametrize("p", _PROBE, ids=[str(p) for p in _PROBE])
+def test_fuzz_ann_multiprobe(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import (
+        lsh_bucket_topk_multiprobe,
+    )
+    from etl_procesos_odo_spark.queries_llm import _ann_multiprobe_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = lsh_bucket_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, k=p["k"], n_planes=p["n_planes"], seed=p["seed"], probe=2,
+    )
+    assert_parity(
+        df, ddb,
+        _ann_multiprobe_oracle(64, p["n_planes"], p["seed"], p["k"]),
+        name=f"fuzz_probe{p}",
+    )
+
+
+# --- 22. Embedding near-dup pairs (q48 shape) -----------------------------
+
+_ENEAR = _draws(lambda r: {
+    "threshold": r.choice((0.25, 0.35, 0.45)),
+    "n_planes": r.choice((6, 8)),
+    "seed": r.choice((7, 42)),
+})
+
+
+@pytest.mark.parametrize("p", _ENEAR, ids=[str(p) for p in _ENEAR])
+def test_fuzz_embedding_neardup(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import cosine_neardup_pairs
+    from etl_procesos_odo_spark.queries_llm import _neardup_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = cosine_neardup_pairs(
+        emb, dim=64,
+        threshold=p["threshold"], n_planes=p["n_planes"], seed=p["seed"],
+    )
+    assert_parity(
+        df, ddb,
+        _neardup_oracle(64, p["n_planes"], p["seed"], p["threshold"]),
+        name=f"fuzz_eneardup{p}",
+    )
+
+
+# --- 23. IVF hard-negative mining (q118 shape) ----------------------------
+
+_HARDNEG = _draws(lambda r: {
+    "n_cells": r.choice((4, 8)),
+    "nprobe": r.randint(2, 4),
+    "band": r.choice(((0.05, 0.25), (0.0, 0.2), (0.1, 0.3))),
+    "n": r.choice((3, 5)),
+})
+
+
+@pytest.mark.parametrize("p", _HARDNEG, ids=[str(p) for p in _HARDNEG])
+def test_fuzz_hard_negatives(p, spark, ddb):
+    from etl_procesos_odo_spark.llm.similarity import (
+        hard_negatives_topk_ivf,
+    )
+    from etl_procesos_odo_spark.queries_llm import _hard_neg_ivf_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lo, hi = p["band"]
+    df = hard_negatives_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10),
+        band_lo=lo, band_hi=hi, n=p["n"],
+        n_cells=p["n_cells"], nprobe=p["nprobe"],
+    )
+    assert_parity(
+        df, ddb,
+        _hard_neg_ivf_oracle(
+            n_cells=p["n_cells"], nprobe=p["nprobe"],
+            band_lo=lo, band_hi=hi, n=p["n"],
+        ),
+        name=f"fuzz_hardneg{p}",
+    )

@@ -50,6 +50,67 @@ def canon(v):
     return str(v)
 
 
+# --- sanctioned alternate arbiters (round 12, r11 verdict item 3) ----------
+# A query whose SQL oracle is DATA-infeasible on a specific dataset gets a
+# driver-side Python arbiter instead of a manual census exclusion. The
+# substitution is data-driven (measured from the dataset, not flag-driven),
+# value-checked (same three signals as any oracle row), and recorded in the
+# artifact row under "arbiter" so the census never hides the substitution.
+
+# q97's recursive-CTE oracle iterates max-events-per-key times, each round
+# re-joining the full frame — infeasible on a skewed hot key (the sf1-skew
+# census's 200k-event user never finishes in DuckDB; the OPERATOR is one
+# linear pass per key). Above this bound the census swaps in the direct
+# Python recurrence, which tests/test_adversarial.py pins bit-exact against
+# the operator at 50k events and tests/test_verify_harness.py pins
+# row-exact against the recursive CTE itself on feasible sizes.
+Q97_RECURSION_FEASIBLE = 20_000
+
+
+def _alt_oracle(name: str, con):
+    """(o_cols, o_rows, note) when a sanctioned arbiter replaces the SQL
+    oracle for this dataset, else None (the normal oracle runs)."""
+    if name != "q97_ewma":
+        return None
+    hot = con.sql(
+        "SELECT coalesce(max(cnt), 0) FROM (SELECT count(*) AS cnt "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+    ).fetchone()[0]
+    if hot <= Q97_RECURSION_FEASIBLE:
+        return None
+    # identical arithmetic, operand order, and ordering keys as both the
+    # operator (operators/windows.py ewma_time_decay) and the CTE oracle:
+    # t = epoch micros / 1e6 in double, gain a = dt/(dt+600), pure +*/
+    rows = con.sql(
+        "SELECT user_id, event_id, value, "
+        "CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t "
+        "FROM events WHERE user_id IS NOT NULL "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    out: list[tuple] = []
+    cur: object = object()
+    acc = prev_t = None
+    for uid, eid, val, t in rows:
+        if uid != cur:
+            cur, acc = uid, None
+        if acc is None:
+            acc = float(val)
+        else:
+            dt = t - prev_t
+            a = dt / (dt + 600.0)
+            acc = a * float(val) + (1.0 - a) * acc
+        prev_t = t
+        out.append((uid, eid, acc))
+    return (
+        ["user_id", "event_id", "ewma"],
+        out,
+        f"python-recurrence (hot key {hot} events > "
+        f"{Q97_RECURSION_FEASIBLE}: recursive-CTE oracle infeasible — "
+        "q97 docstring; arbiter pinned by tests/test_adversarial.py + "
+        "tests/test_verify_harness.py)",
+    )
+
+
 def run_queries(names: list[str], sf_dir: str) -> dict:
     import duckdb
 
@@ -76,8 +137,13 @@ def run_queries(names: list[str], sf_dir: str) -> dict:
             if q.oracle is None:
                 results[name] = {"rows": len(s_rows), "rows_only": True, "ok": True}
                 continue
-            rel = con.sql(q.oracle)
-            o_cols, o_rows = list(rel.columns), rel.fetchall()
+            alt = _alt_oracle(name, con)
+            if alt is not None:
+                o_cols, o_rows, arbiter_note = alt
+            else:
+                rel = con.sql(q.oracle)
+                o_cols, o_rows = list(rel.columns), rel.fetchall()
+                arbiter_note = None
             si = [s_cols.index(c) for c in sorted(s_cols)]
             oi = [o_cols.index(c) for c in sorted(o_cols)]
             schema_match = sorted(s_cols) == sorted(o_cols)
@@ -92,6 +158,8 @@ def run_queries(names: list[str], sf_dir: str) -> dict:
                 "value_match": value_match,
                 "ok": schema_match and count_match and value_match,
             }
+            if arbiter_note:
+                results[name]["arbiter"] = arbiter_note
         except Exception as e:  # record, keep going
             results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"[:500]}
     return results
