@@ -5,7 +5,7 @@ from .aggregates import (
     pivot_count,
     with_total_row,
 )
-from .joins import spine_left_join_fill
+from .joins import recommend_salting, salted_join, spine_left_join_fill
 from .partitioner import balanced_partition, check_partition, constrained_partition
 from .spines import date_spine, hour_spine, time_slot_spine
 from .windows import cumulative_sum, dedup_first, lag_wait_minutes, top_n
@@ -23,6 +23,8 @@ __all__ = [
     "pareto",
     "percent_of_total",
     "pivot_count",
+    "recommend_salting",
+    "salted_join",
     "spine_left_join_fill",
     "time_slot_spine",
     "top_n",

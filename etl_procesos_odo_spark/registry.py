@@ -76,9 +76,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # back-half censuses. q177 is association rules — confidence/lift
     # as ONE IEEE division of exact integer counts over q176's
     # frequent itemsets — the mining family's RULES arm, never headed.)
+    # (r12 swap q177 -> q122: q177's plan is ONE exact-integer division
+    # (confidence/lift) over q176's frequent-pair counts — q176 stays
+    # head, and the exact-ratio ranking discipline (BIGINT
+    # cross-products ordered without libm) is also head-evidenced by
+    # q194's PMI row and q198's keyness row (new this round); q177
+    # stays green in the back-half censuses. q122 is CCNet-style
+    # quality bucketing — per-language head/middle/tail thirds under a
+    # corpus-trained unigram score, the crawl-curation QUALITY-TIERING
+    # family, never headed.)
     "q50_partitioner_pipeline", "q51_confirmaciones_pipeline",
     "q52_recursos_pipeline", "q53_callcenter_demand",
-    "q54_indicadores_pipeline", "q177_association_rules",
+    "q54_indicadores_pipeline", "q122_ccnet_quality_buckets",
     "q57_narrative_verdicts",
     # streaming (one per family: tumbling, dedup, session, stateful,
     # stream-static, sliding, stream-stream)
@@ -169,7 +178,16 @@ DRIVER_HEAD: tuple[str, ...] = (
     # content-defined chunking — the shift-robust segmentation
     # discipline (rolling-hash boundaries, all array-side, zero
     # shuffle), new in r8 with no driver row.)
-    "q155_decontaminate_bloom", "q176_frequent_itemsets",
+    # (r12 swap q155 -> q198: q156's streaming head row carries the
+    # IDENTICAL oracle (O_DECON_BLOOM — one shared constant) and its
+    # plan runs the same bloom scan probe + exact inverted-index verify
+    # join (the r10 q90 -> q156 note records that containment);
+    # bloom == exact stays property-tested and q155 stays green in the
+    # back-half censuses. q198 is keyness term ranking — per-slice
+    # distinctive vocabulary by exact rational rate ratios (the
+    # characteristic-terms complement to q194's collocations), never
+    # headed.)
+    "q198_keyness_terms", "q176_frequent_itemsets",
     "q67_minhash_lsh_collapsed",
     # (r11 swap q78 -> q169: q78's candidate discipline — per-token base
     # hashes folded into a fixed-width signature, banded into key
@@ -254,7 +272,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # linkage — the LINKAGE discipline's only row class (exact-rational
     # m/u weights, BIGINT cross-multiplied three-way decision), new in
     # r8 with no driver row.)
-    "q199_fs_linkage", "q168_kmv_source_sketch", "q190_mwu_drift",
+    # (r12 swap q190 -> q129: the exact-drift discipline keeps the
+    # strictly-parallel q186 KS head row — both rows share the
+    # compressed-value-table-first discipline (groupBy before any
+    # window, the q188 note), exact BIGINT cross-statistics, and the
+    # partitioned cumulative window; q190's tie-doubled rank algebra is
+    # that same tie-collapse evaluated for rank sums instead of CDF
+    # gaps, and its q179-split input now holds its own head row (q179,
+    # below). q190 stays green in the back-half censuses. q129 is
+    # Z-order (Morton) layout-key construction — the layout family's
+    # BUILD arm (q201's head row measures pruning; nothing headed ever
+    # built the interleaved keys), never headed.)
+    "q199_fs_linkage", "q168_kmv_source_sketch", "q129_zorder_keys",
     # enrichment + retrieval
     # (r5 swap q85 -> q110: q85's token-rarity idf shape runs INSIDE
     # q110's per-term df/idf stats, so the row strictly widens — BM25
@@ -363,9 +392,42 @@ DRIVER_HEAD: tuple[str, ...] = (
     # is the stratified eval split — exact per-(lang, source) quota
     # held-out selection by content-hash order, the governance
     # family's EVAL arm, never headed.)
-    "q191_join_audit", "q126_eval_split",
-    "q153_incident_session_overlap",
-    "q184_mixture_execute",
+    # (r12 swap q191 -> q133: q191's audit is two combining groupBy
+    # count-histograms joined on the key plus one exact-BIGINT
+    # sum-of-products — the grouped-count shape is pervasive across the
+    # head (q12, q53), the tiny-table equi-join + exact-product
+    # aggregate is the q194 PMI head row's counting discipline, and the
+    # ops/integrity family keeps THREE head rows (q201 zone-map audit,
+    # q202 SCD2, q165 digest diff); q191 stays green in the back-half
+    # censuses. q133 is RFM segmentation — per-entity
+    # recency/frequency/monetary quartile cuts with deterministic
+    # tie-breaks, the behavioral-segmentation family, never headed.)
+    # (r12 swap q153 -> q179: q153's three constituents stay
+    # head-evidenced — its busy-hour tumbling counts are the q113/q53
+    # hourly-agg shape, its gaps-and-islands coalesce is the
+    # seq - row_number constant-island discipline the q54 sessionized
+    # head row chains (and q69's streaming sessionization), and its
+    # interval-overlap join explodes both sides to shared hour buckets
+    # and pairs on an EQUI-key — exactly the q121 binned-range-join
+    # head row's discipline; q153 stays green in the back-half
+    # censuses. q179 is the embargoed temporal split (purged
+    # walk-forward governance) — the time-leakage complement to q126's
+    # stratified eval split, and the split q190's census row consumes,
+    # never headed.)
+    # (r12 swap q184 -> q128: q184's two constituents stay
+    # head-evidenced — its hash-uniform execute draw is the q100 head
+    # row's split-stage primitive (the r7 q109 precedent), and its
+    # KB-sized allocation broadcast + reconciliation groupBy is the
+    # tiny-key rate-table pattern of the q53/q57 spine joins (same r7
+    # note); the waterfill allocation itself stays census-green as
+    # q180/q183 and the sampling-governance discipline keeps q169,
+    # q126, and q192 head rows. q184 stays green in the back-half
+    # censuses. q128 is weekly cohort retention — first-seen cohorting
+    # + distinct-activity retention triangle, the lifecycle-analytics
+    # family, never headed.)
+    "q133_rfm_segments", "q126_eval_split",
+    "q179_embargo_split",
+    "q128_cohort_retention",
     # multimodal + capstone
     # (r7 swap q42 -> q154: the multimodal mapInPandas plumbing family
     # stays evidenced by q62's head row — q62 FUSES resize + frame-sample

@@ -278,18 +278,25 @@ FAMILY_SENTINELS = {
         "layout_governance": "q201_zonemap_audit",
         "scd2_warehouse": "q202_scd2_build",
         "ml_backtest_oracle": "q203_seasonal_backtest",
-        # q35's scan shape carried by q100's tokenize stage (r9 note)
-        "text": "q190_mwu_drift",
+        # q35's scan shape carried by q100's tokenize stage (r9 note);
+        # r12: q190 rotates out, the tokenize-scan sentinel is the
+        # corpus-prep capstone that carries that stage
+        "text": "q100_corpus_prep_v3",
         # r5 swap: q97's stateful smoothing is evidenced by q58; r10:
         # q137 rotates out (trailing-frame window shape — registry.py
         # note), the enrich/anomaly family's head rows are the exact
         # drift pair (q190 MWU below + q186 KS)
         "enrich": "q186_ks_drift",
-        # r8 swaps: q73/q76/q87/q106/q145 rotate out (containment notes
-        # in registry.py + COVERAGE.md round-8); the round-7
-        # statistical/governance wave gets its first driver rows
-        "drift_stats": "q190_mwu_drift",
-        "mixture_governance": "q184_mixture_execute",
+        # r12 swap: q190 rotates out (shared compressed-value-table +
+        # exact-BIGINT-cross-statistic + cumulative-window discipline
+        # with q186 — registry.py r12 note); the exact-drift kit keeps
+        # the KS head row
+        "drift_stats": "q186_ks_drift",
+        # r12 swap: q184 rotates out (execute draw = q100's split-stage
+        # primitive, allocation broadcast = the q53/q57 rate-table
+        # pattern — registry.py r12 note); the sampling-governance
+        # discipline's sentinel is the estimation arm
+        "mixture_governance": "q169_priority_sample",
         # r11 swap: q189 rotates out (same order-independent
         # content-digest reduce discipline, strictly widened by q165's
         # bucket-keyed digests + full-outer localization diff —
@@ -306,12 +313,17 @@ FAMILY_SENTINELS = {
         # registry.py r10 note); the funnel family's sentinel is the
         # generalizing head row
         "funnel": "q178_sequential_patterns",
-        # r10: the never-headed families get their first driver rows
-        "association_rules": "q177_association_rules",
+        # r12 swap: q177 rotates out (rules = one exact division over
+        # q176's frequent-pair counts; exact-ratio ranking also headed
+        # by q194/q198 — registry.py r12 note)
+        "association_rules": "q176_frequent_itemsets",
         "streaming_sketch": "q113_streaming_heavy_hitters",
         "streaming_decontaminate": "q156_streaming_decontaminate",
         "ks_drift": "q186_ks_drift",
-        "ops_integrity_audit": "q191_join_audit",
+        # r12 swap: q191 rotates out (grouped-count histograms +
+        # tiny-table exact-product join — registry.py r12 note); the
+        # audit discipline's sentinel is the zone-map pruning audit
+        "ops_integrity_audit": "q201_zonemap_audit",
         "retrieval_lexical": "q110_bm25_search",
         "retrieval_hybrid_routed": "q120_hybrid_rrf_routed",
         # r6 swaps: q59/q60/q72/q18 rotate out (families doubly covered,
@@ -324,8 +336,14 @@ FAMILY_SENTINELS = {
         # entity-resolution family
         "entity_resolution": "q199_fs_linkage",
         "graph_analytics": "q134_pagerank_neardup",
-        "decontamination_bloom": "q155_decontaminate_bloom",
-        "interval_overlap": "q153_incident_session_overlap",
+        # r12 swap: q155 rotates out (q156 carries the IDENTICAL oracle
+        # and runs the same bloom probe + exact verify join —
+        # registry.py r12 note)
+        "decontamination_bloom": "q156_streaming_decontaminate",
+        # r12 swap: q153 rotates out (bucket-explode equi-join =
+        # q121's binned-range discipline; islands = q54's LAG chain —
+        # registry.py r12 note)
+        "interval_overlap": "q121_attribution_range_join",
         # r9: q154 rotates out (index build = q110's, verify join =
         # q175's verify stage); the exact-pairs discipline's head row is
         # the prefix-filter arm
@@ -335,6 +353,15 @@ FAMILY_SENTINELS = {
         "erasure_governance": "q192_deletion_cascade",
         "priority_sampling": "q169_priority_sample",
         "collocation_mining": "q194_pmi_collocations",
+        # r12: six more never-headed families get their first driver
+        # rows (q177/q155/q190/q153/q191/q184 rotate out — containment
+        # notes in registry.py)
+        "quality_buckets": "q122_ccnet_quality_buckets",
+        "keyness_ranking": "q198_keyness_terms",
+        "layout_build": "q129_zorder_keys",
+        "embargo_governance": "q179_embargo_split",
+        "cohort_analytics": "q128_cohort_retention",
+        "behavioral_segments": "q133_rfm_segments",
 }
 
 
@@ -1039,6 +1066,96 @@ def test_contained_tier_invariants():
     assert not demoted_sentinels, demoted_sentinels
 
 
+_SQL_TYPE_WORDS = frozenset((
+    "varchar", "double", "bigint", "decimal", "integer", "int", "hugeint",
+    "float", "real", "date", "timestamp", "boolean", "smallint", "tinyint",
+    "text", "blob", "interval",
+))
+
+
+def _decimal_cast_offenders(src: str) -> list[str]:
+    """Offending spans where a decimal-valued expression is cast straight
+    to DOUBLE instead of routing through VARCHAR (see the r11 ulp note in
+    registry.py). r12 hardening (r11 advice): the scan is case-folded,
+    and aliases DEFINED via a DECIMAL expression anywhere in the oracle
+    are taint-tracked, so `WITH t AS (SELECT SUM(CAST(x AS
+    DECIMAL(25,6))) AS total ...) SELECT CAST(total AS DOUBLE)` is
+    flagged even though the final cast body never mentions DECIMAL."""
+    import re
+
+    def cast_spans(text: str):
+        for m in re.finditer(r"(?i)\bCAST\s*\(", text):
+            i, depth, j = m.end(), 1, m.end()
+            while j < len(text) and depth > 0:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if not depth:
+                yield i, j - 1, text[i:j - 1]
+
+    # pass 1: taint every alias whose defining expression is decimal-
+    # typed — any `CAST(... AS DECIMAL...)` span followed (past closing
+    # parens of enclosing SUM/aggregates) by `AS <ident>`
+    tainted: set[str] = set()
+    for _, end, inner in cast_spans(src):
+        if not re.search(r"(?is)\sAS\s+DECIMAL\s*[\s(]*[\d,)]*\s*$", inner):
+            continue
+        k = end + 1
+        while k < len(src) and (src[k].isspace() or src[k] == ")"):
+            k += 1
+        mm = re.match(r"(?i)AS\s+(\w+)", src[k:])
+        if mm and mm.group(1).lower() not in _SQL_TYPE_WORDS:
+            tainted.add(mm.group(1).lower())
+
+    offenders = []
+    for _, _, inner in cast_spans(src):
+        mm = re.match(r"(?is)^(.*)\s+AS\s+DOUBLE\s*$", inner)
+        if not mm:
+            continue
+        body = mm.group(1)
+        if re.search(r"(?i)AS\s+VARCHAR", body):
+            continue  # the sanctioned string bridge
+        direct_decimal = re.search(r"(?i)DECIMAL\s*\(\d+|\bdec\b", body)
+        bare = re.match(r"^\s*([A-Za-z_]\w*)\s*$", body)
+        via_taint = bare and bare.group(1).lower() in tainted
+        if direct_decimal or via_taint:
+            offenders.append(" ".join(body.split())[:90])
+    return offenders
+
+
+def test_recommend_salting_contract():
+    """r11 verdict item 8: the documented when-to-salt rule. AQE-capable
+    joins never salt (measured parity at sf1); salting engages only when
+    the split can't fire AND the hot key materially exceeds a fair
+    reducer share, with n_salt clamped to [2, n_reducers]."""
+    from etl_procesos_odo_spark.operators.joins import recommend_salting
+
+    # AQE available -> never salt, even at extreme skew
+    salt, n, why = recommend_salting(0.95, 200)
+    assert not salt and "AQE" in why
+    # AQE unavailable + mild skew (hot key < 3x fair share) -> still no
+    salt, n, why = recommend_salting(0.01, 200, aqe_skew_split_available=False)
+    assert not salt and "2.0x" in why
+    # AQE unavailable + real skew -> salt, n_salt ~ excess share
+    salt, n, why = recommend_salting(0.2, 200, aqe_skew_split_available=False)
+    assert salt and n == 40
+    # partitioning reuse blocks the AQE split -> same engagement rule
+    salt, n, why = recommend_salting(0.5, 32, output_partitioning_reused=True)
+    assert salt and n == 16 and "partitioning" in why
+    # clamp: never more salts than reducers
+    salt, n, _ = recommend_salting(1.0, 8, aqe_skew_split_available=False)
+    assert salt and n == 8
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recommend_salting(1.5, 8)
+    with _pytest.raises(ValueError):
+        recommend_salting(0.5, 0)
+
+
 def test_oracle_decimal_double_casts_varchar_routed():
     """r11 lint: DuckDB's direct DECIMAL->DOUBLE cast double-rounds
     (scaled int128 first, /10^scale second) and is off by one ulp for
@@ -1046,36 +1163,43 @@ def test_oracle_decimal_double_casts_varchar_routed():
     magnitudes (caught by the sf1-skew census's q12 OTROS row). Every
     decimal-typed CAST(... AS DOUBLE) in every registered oracle must
     therefore route through VARCHAR (strtod is correctly rounded and
-    matches Spark's BigDecimal->double). This walks each oracle's CAST
-    spans with balanced parens and flags any decimal-looking inner
-    expression cast straight to DOUBLE."""
-    import re
-
+    matches Spark's BigDecimal->double). Scan mechanics (case-folded,
+    alias taint tracking) live in _decimal_cast_offenders and are
+    negative-tested below."""
     offenders = []
     for q in registry():
         if q.oracle is None:
             continue
-        src = q.oracle
-        for m in re.finditer(r"CAST\(", src):
-            i, depth, j = m.end(), 1, m.end()
-            while j < len(src) and depth > 0:
-                if src[j] == "(":
-                    depth += 1
-                elif src[j] == ")":
-                    depth -= 1
-                j += 1
-            if depth:
-                continue
-            inner = src[i:j - 1]
-            mm = re.match(r"(?s)^(.*)\s+AS\s+DOUBLE\s*$", inner)
-            if not mm:
-                continue
-            body = mm.group(1)
-            if "AS VARCHAR" in body:
-                continue
-            if re.search(r"DECIMAL\(\d+|\bdec\b", body):
-                offenders.append(f"{q.name}: {' '.join(body.split())[:90]}")
+        offenders += [f"{q.name}: {o}" for o in _decimal_cast_offenders(q.oracle)]
     assert not offenders, offenders
+
+
+def test_decimal_cast_lint_catches_evasions():
+    """The r11 advice's two evasion shapes must be caught, and the
+    sanctioned patterns must stay clean."""
+    # lowercase cast, direct decimal
+    assert _decimal_cast_offenders(
+        "select cast(sum(cast(x as decimal(25,6))) as double) from t"
+    )
+    # decimal-typed CTE alias with a non-'dec' name, cast straight later
+    assert _decimal_cast_offenders("""
+        WITH a AS (SELECT SUM(CAST(x AS DECIMAL(25,6))) AS revenue FROM t)
+        SELECT CAST(revenue AS DOUBLE) FROM a
+    """)
+    # sanctioned: VARCHAR bridge at the cast site
+    assert not _decimal_cast_offenders(
+        "SELECT CAST(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS VARCHAR)"
+        " AS DOUBLE) FROM t"
+    )
+    # sanctioned: tainted alias routed through VARCHAR at use site
+    assert not _decimal_cast_offenders("""
+        WITH a AS (SELECT SUM(CAST(x AS DECIMAL(25,6))) AS revenue FROM t)
+        SELECT CAST(CAST(revenue AS VARCHAR) AS DOUBLE) FROM a
+    """)
+    # non-decimal double casts stay allowed
+    assert not _decimal_cast_offenders(
+        "SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 FROM t"
+    )
 
 
 def test_duckdb_decimal_double_cast_hazard_is_real():
