@@ -40,6 +40,11 @@ Usage:
     python scale_ladder.py --mining   # append the mining-family curve
     python scale_ladder.py --streaming-rocksdb  # 1m/10m points on the
                                       # RocksDB state store (round 11)
+    python scale_ladder.py --streaming-100m  # the 100M-event decade on
+                                      # BOTH providers (round 12)
+    python scale_ladder.py --docs-sf3 # 3x documents point, uniform +
+                                      # skew: measured scaling exponents
+                                      # for q154/q108/q134 (round 12)
     python scale_ladder.py --skew-tasks  # uniform-vs-skew sf1 straggler
                                       # task metrics (round 11)
     python scale_ladder.py --gen-only
@@ -325,6 +330,119 @@ def _run_similarity_sf(sf_dir: str) -> None:
     print(json.dumps({"n_docs": n, "queries": out, "n_pairs": pairs}))
 
 
+# --- docs-sf3 exponent arm (round 12, r11 verdict item 6) -------------------
+# The three sf1 documents-table heavies get a 3x point (150k docs,
+# uniform AND LSH-hot-template skew) so their scaling claims become
+# measured exponents: exp = ln(t_sf3 / t_sf1) / ln 3, fresh-JVM warm
+# numbers only (one warm execution, then one timed run — segment aging
+# was exactly the r11 noise these queries kept getting blamed for).
+DOCS3_QUERIES = [
+    "q154_tfidf_cosine_pairs",
+    "q108_cluster_keep_best",
+    "q134_pagerank_neardup",
+]
+# Documented expectations (each query's docstring): q154's candidate set
+# is pair-quadratic per surviving term under this DENSE synthetic
+# profile (31-word vocab -> every term's df grows ~linearly and stays
+# under the 5% fractional cap, so fan-out ~ df^2; real corpora are
+# output-proportional because the cap bites) -> exponent <= 2. q108/q134
+# ride the banded-LSH pair graph (edges ~ planted-dup rate, linear) with
+# O(log n) CC rounds / 2 fixed PageRank rounds -> exponent <= 1.5.
+DOCS3_EXPECTED_MAX_EXP = {
+    "q154_tfidf_cosine_pairs": 2.0,
+    "q108_cluster_keep_best": 1.5,
+    "q134_pagerank_neardup": 1.5,
+}
+N_DOCS_SF3 = 150_000
+DOCS3_POINTS = [
+    ("sf1_uniform", SF1_DIR, N_DOCS_SF1, False),
+    ("sf3_uniform", os.path.join(REPO_ROOT, ".scaledata", "docs_sf3"),
+     N_DOCS_SF3, False),
+    ("sf1_skew", os.path.join(REPO_ROOT, ".scaledata", "docs_sf1_skew"),
+     N_DOCS_SF1, True),
+    ("sf3_skew", os.path.join(REPO_ROOT, ".scaledata", "docs_sf3_skew"),
+     N_DOCS_SF3, True),
+]
+
+
+def generate_docs_variant(out_dir: str, n_docs: int, skew: bool) -> str:
+    """Documents table with generate_sf1's exact profile, plus (skew)
+    datagen.py's LSH-hot boilerplate template on 2% of docs — pairwise
+    Jaccard ~0.9, one giant near-dup cluster. generate_sf1 itself is
+    left untouched: its cached .scaledata/sf1 parquet is byte-pinned by
+    the existing ladder entries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    ref = pq.read_table(
+        "/root/testdata/sf0.1/documents.parquet", columns=["text"]
+    )
+    vocab = sorted({w for t in ref.column("text").to_pylist() for w in t.split()})
+    varr = np.array(vocab)
+    rng = np.random.default_rng(SEED)
+    langs = np.array(["en", "zh", "es", "fr", "de"])
+    lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+    n_words = rng.integers(8, 101, size=n_docs)
+    word_ids = rng.integers(0, len(vocab), size=int(n_words.sum()))
+    texts: list[str] = []
+    pos = 0
+    for k in n_words:
+        texts.append(" ".join(varr[word_ids[pos: pos + k]]))
+        pos += k
+    n_dups = round(n_docs * 8 / 5000)
+    dup_targets = rng.choice(np.arange(1, n_docs), size=n_dups, replace=False)
+    for d in dup_targets:
+        texts[int(d)] = texts[int(rng.integers(0, d))]
+    if skew:
+        # datagen.py --skew's template: 40-word boilerplate prefix + one
+        # distinct suffix word on 2% of docs
+        template = " ".join(varr[np.arange(40) % len(vocab)])
+        hot = rng.choice(n_docs, size=max(2, round(n_docs * 0.02)),
+                         replace=False)
+        for j, d in enumerate(sorted(hot)):
+            texts[int(d)] = template + " " + vocab[j % len(vocab)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(rng.choice(langs, size=n_docs, p=lang_p)),
+            "source": pa.array(
+                [f"src{i}" for i in rng.integers(0, 20, size=n_docs)]
+            ),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out)
+    return out
+
+
+def _run_docs3_sf(sf_dir: str) -> None:
+    """(internal, fresh JVM) Warm each heavy once, then time ONE full
+    re-execution (construction included — q134 does its checkpoint
+    rounds during construction). count() forces the plan and yields the
+    q154 cardinality the honest artifact shows next to its cost."""
+    from etl_procesos_odo_spark.registry import registry
+    from etl_procesos_odo_spark.session import get_spark
+
+    spark = get_spark("scale-ladder-docs3")
+    _warm(spark, sf_dir)
+    by_name = {q.name: q for q in registry()}
+    out: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in DOCS3_QUERIES:
+        by_name[name].spark_fn(spark, sf_dir).count()  # warm
+        t0 = time.perf_counter()
+        rows[name] = by_name[name].spark_fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 2)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(json.dumps({"n_docs": n, "queries": out, "out_rows": rows}))
+
+
 R8OPS_DOC_QUERIES = ["q199_fs_linkage", "q200_cdc_chunks"]
 R8OPS_EVENT_QUERIES = ["q202_scd2_build", "q203_seasonal_backtest"]
 
@@ -345,6 +463,10 @@ STREAM_POINTS = [
     # _run_streaming_sf)
     ("10m", 10_000_000),
 ]
+# r12 (verdict item 4): the 100M decade runs as its own arm
+# (--streaming-100m, both state-store providers) so the cheap points
+# never pay its ~1 GB generation + half-hour-per-provider cost.
+STREAM_100M = ("100m", 100_000_000)
 
 
 def stream_dir(label: str) -> str:
@@ -475,6 +597,13 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
                         "state_rows": sum(
                             s.get("numRowsTotal", 0) for s in st
                         ),
+                        # r12: state SIZE per batch (provider-reported
+                        # bytes — heap for the default store, native for
+                        # RocksDB), the bounded-state claim's direct
+                        # measurement
+                        "state_bytes": sum(
+                            s.get("memoryUsedBytes", 0) for s in st
+                        ),
                     }
                 )
         finally:
@@ -482,13 +611,16 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
         n_out = spark.table(name).count()
         spark.catalog.dropTempView(name)
         per_batch = [b["trigger_ms"] for b in batches]
+        n_in = sum(b["input_rows"] for b in batches)
         return {
             "wall_sec": wall,
             "n_batches": len(batches),
             "idle_triggers": idle_triggers,
             "out_rows": n_out,
+            "rows_per_sec": round(n_in / wall) if wall else None,
             "trigger_ms_per_batch": per_batch,
             "state_rows_per_batch": [b["state_rows"] for b in batches],
+            "state_bytes_per_batch": [b["state_bytes"] for b in batches],
             "input_rows_per_batch": [b["input_rows"] for b in batches],
         }
 
@@ -741,6 +873,81 @@ def main() -> None:
         with open(ladder_path, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(arms))
+        return
+    if "--run-docs3" in sys.argv:
+        _run_docs3_sf(sys.argv[sys.argv.index("--run-docs3") + 1])
+        return
+    if "--docs-sf3" in sys.argv:
+        # round-12 arm (r11 verdict item 6): measured scaling exponents
+        # for the three documents-table heavies, uniform + skew, one
+        # fresh JVM per point, warm numbers only.
+        import math
+
+        generate_sf1()
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        arm: dict[str, dict] = {}
+        for label, d, n_docs, skew in DOCS3_POINTS:
+            if label != "sf1_uniform":
+                generate_docs_variant(d, n_docs, skew)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-docs3", d],
+                capture_output=True, text=True, timeout=7200, cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"docs-sf3 segment {label} failed")
+            arm[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+        exps: dict[str, dict] = {}
+        for qname in DOCS3_QUERIES:
+            exps[qname] = {
+                "expected_max": DOCS3_EXPECTED_MAX_EXP[qname],
+            }
+            for variant in ("uniform", "skew"):
+                t1 = arm[f"sf1_{variant}"]["queries"][qname]
+                t3 = arm[f"sf3_{variant}"]["queries"][qname]
+                exps[qname][variant] = round(
+                    math.log(t3 / t1) / math.log(3), 3
+                ) if t1 > 0 and t3 > 0 else None
+        arm["exponents"] = exps
+        results["docs_sf3"] = arm
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(arm))
+        return
+    if "--streaming-100m" in sys.argv:
+        # round-12 arm (r11 verdict item 4): the 100M-event decade for
+        # the three stateful operators on BOTH state-store providers,
+        # merged into the existing streaming/streaming_rocksdb curves.
+        # One fresh JVM per provider; trigger times, rows/sec, and
+        # state rows+bytes per batch all come from the engine's own
+        # StreamingQueryProgress.
+        ladder_path = os.path.join(REPO_ROOT, "SCALE_LADDER.json")
+        with open(ladder_path) as f:
+            results = json.load(f)
+        label, n = STREAM_100M
+        d = stream_dir(label)
+        generate_streaming_events(d, n)
+        merged: dict[str, dict] = {}
+        for key, prov_args in (("streaming", []),
+                               ("streaming_rocksdb", ["rocksdb"])):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-streaming", d, *prov_args],
+                capture_output=True, text=True, timeout=14400,
+                cwd=REPO_ROOT,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"streaming-100m segment {key} failed")
+            point = json.loads(proc.stdout.strip().splitlines()[-1])
+            results.setdefault(key, {})[label] = point
+            merged[key] = point
+        with open(ladder_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(merged))
         return
     if "--streaming-rocksdb" in sys.argv:
         # round-11 arm: the 1m/10m decade of the streaming ladder on the
