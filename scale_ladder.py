@@ -570,10 +570,16 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
         )
 
     def drive(df, name, mode):
+        # noop sink (r12): the memory sink materializes EVERY output row
+        # on the driver — at the 100M point the session query emits
+        # ~100M finalized sessions and the heap dies before the operator
+        # is even stressed. The noop sink executes the full streaming
+        # plan and reports sink rows through progress telemetry, which
+        # is the per-batch operator cost this arm measures.
         t0 = time.perf_counter()
         q = (
             df.writeStream.outputMode(mode)
-            .format("memory")
+            .format("noop")
             .queryName(name)
             .start()
         )
@@ -581,8 +587,12 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
             q.processAllAvailable()
             wall = round(time.perf_counter() - t0, 2)
             batches = []
+            out_rows = 0
             idle_triggers = 0
             for p in q.recentProgress:
+                sink_rows = (p.get("sink") or {}).get("numOutputRows", 0)
+                if sink_rows and sink_rows > 0:
+                    out_rows += sink_rows
                 if p["numInputRows"] == 0:
                     # skip ALL no-data triggers (leading, interleaved, or
                     # trailing) so the per-batch arrays reflect exactly the
@@ -608,15 +618,14 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
                 )
         finally:
             q.stop()
-        n_out = spark.table(name).count()
-        spark.catalog.dropTempView(name)
         per_batch = [b["trigger_ms"] for b in batches]
         n_in = sum(b["input_rows"] for b in batches)
         return {
             "wall_sec": wall,
             "n_batches": len(batches),
             "idle_triggers": idle_triggers,
-            "out_rows": n_out,
+            "out_rows": out_rows,
+            "sink": "noop",
             "rows_per_sec": round(n_in / wall) if wall else None,
             "trigger_ms_per_batch": per_batch,
             "state_rows_per_batch": [b["state_rows"] for b in batches],
@@ -931,13 +940,22 @@ def main() -> None:
         d = stream_dir(label)
         generate_streaming_events(d, n)
         merged: dict[str, dict] = {}
+        # 8g (the default) dies on the first 12.5M-row micro-batch: in
+        # local mode one JVM holds driver + executors + the heap-resident
+        # default state store. 24g fits with headroom (measured: the
+        # whole q58 pass peaks ~17 GB total); 48g was WORSE — G1 happily
+        # balloons toward max under shuffle churn and the 32 Python
+        # state workers then die to the OS OOM killer (silent SIGKILL,
+        # empty "worker crashed" messages — the r12 probe isolated it).
+        env_100m = dict(os.environ)
+        env_100m.setdefault("SPARK_DRIVER_MEMORY", "24g")
         for key, prov_args in (("streaming", []),
                                ("streaming_rocksdb", ["rocksdb"])):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--run-streaming", d, *prov_args],
                 capture_output=True, text=True, timeout=14400,
-                cwd=REPO_ROOT,
+                cwd=REPO_ROOT, env=env_100m,
             )
             if proc.returncode != 0:
                 print(proc.stderr[-2000:], file=sys.stderr)
@@ -973,7 +991,8 @@ def main() -> None:
             rocks[label] = json.loads(
                 proc.stdout.strip().splitlines()[-1]
             )
-        results["streaming_rocksdb"] = rocks
+        # merge, don't replace: the 100m decade lands via its own arm
+        results.setdefault("streaming_rocksdb", {}).update(rocks)
         with open(ladder_path, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(rocks))
@@ -997,7 +1016,8 @@ def main() -> None:
             streaming[label] = json.loads(
                 proc.stdout.strip().splitlines()[-1]
             )
-        results["streaming"] = streaming
+        # merge, don't replace: the 100m decade lands via its own arm
+        results.setdefault("streaming", {}).update(streaming)
         with open(ladder_path, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(streaming))
