@@ -897,6 +897,11 @@ def main() -> None:
         with open(ladder_path) as f:
             results = json.load(f)
         arm: dict[str, dict] = {}
+        # the 150k-doc q154 point needs more than the 8g default heap
+        # (local mode: one JVM is driver + executors); same sizing note
+        # as the 100m streaming arm
+        env_docs3 = dict(os.environ)
+        env_docs3.setdefault("SPARK_DRIVER_MEMORY", "24g")
         for label, d, n_docs, skew in DOCS3_POINTS:
             if label != "sf1_uniform":
                 generate_docs_variant(d, n_docs, skew)
@@ -904,6 +909,7 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--run-docs3", d],
                 capture_output=True, text=True, timeout=7200, cwd=REPO_ROOT,
+                env=env_docs3,
             )
             if proc.returncode != 0:
                 print(proc.stderr[-2000:], file=sys.stderr)
