@@ -47,6 +47,7 @@ Measurement protocol (round 6):
 
 from __future__ import annotations
 
+import atexit
 import glob
 import json
 import os
@@ -278,6 +279,58 @@ def _time_queries(spark, sf_dir: str, names=None, into=None) -> dict[str, float]
     return timings
 
 
+def _quiesce(spark) -> None:
+    """Fully quiet the session BEFORE the result line prints (r12
+    postmortem: the driver's ``BENCH_r12.json`` came back ``parsed:
+    null`` because StateStoreCoordinator maintenance threads — spun up
+    by the streaming queries — stack-traced ``RpcEnvStoppedException``
+    into stdout/stderr during JVM shutdown, AFTER the compact line had
+    printed, displacing it from the driver's 2000-char capture tail).
+
+    Order matters: stop any still-active streaming queries (each
+    streaming op drains its own, but a bench error can leak one), then
+    silence the JVM-side root logger so whatever the maintenance pool
+    does during teardown cannot reach the captured streams, then stop
+    the session itself so teardown happens NOW, not at interpreter
+    exit. Every step is best-effort — quiescing must never turn a good
+    run into a failed one."""
+    if spark is None:
+        return
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def _emit_final(line: str) -> None:
+    """Print the record line and re-register it as the FINAL atexit
+    action, so even output that sneaks in after the normal print (a
+    late non-daemon thread, a stray warning) cannot be the last thing
+    in the driver's capture tail."""
+    print(line, flush=True)
+
+    def _reprint() -> None:
+        try:
+            sys.stdout.write(line + "\n")
+            sys.stdout.flush()
+        except Exception:
+            pass
+
+    atexit.register(_reprint)
+
+
 def _warm_spark(spark, sf_dir: str) -> None:
     # Warm the JVM/codegen/IO path once so session startup cost doesn't
     # land on whichever query happens to run first.
@@ -296,10 +349,17 @@ def _prev_round_times(sf: float | None) -> dict[str, float]:
     per-query pairs survive in the newest BENCH_r*.json tail. A baseline
     at a different scale factor is useless for the ratio rules, so it is
     skipped."""
+    def _round_no(path: str) -> int:
+        # numeric sort (r13 advice fix): the old string key depended on
+        # zero-padded two-digit rounds — r9.json or r100.json would
+        # missort and hand the triage a stale baseline
+        m2 = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        return int(m2.group(1)) if m2 else -1
+
     keepers = sorted(
         glob.glob(os.path.join(REPO_ROOT, "BENCH_full_r*.json"))
         + glob.glob(os.path.join(REPO_ROOT, "BENCH_sf1_r*.json")),
-        key=lambda p: os.path.basename(p).rsplit("_r", 1)[-1],
+        key=_round_no,
         reverse=True,
     )
     live = os.path.join(REPO_ROOT, "BENCH_full.json")
@@ -334,6 +394,7 @@ def _triage_set(
     ratio_all: float = 2.0,
     ratio_head: float = 1.5,
     top_abs: int = 5,
+    min_abs_delta: float = 1.0,
 ) -> set[str]:
     """Which queries need a warm best-of-2 re-run (the r11-verdict triage
     contract, pinned in tests/test_bench_record.py):
@@ -347,7 +408,11 @@ def _triage_set(
     - the ``top_abs`` biggest regressions by ABSOLUTE delta seconds —
       an 11.8 s mover at 1.4x dominates the round-over-round optics more
       than a 0.3 s query at 3x, and r11's three biggest absolute movers
-      all slipped the pure-ratio rules.
+      all slipped the pure-ratio rules. A pure-absolute mover must also
+      clear ``min_abs_delta`` seconds (r13 advice fix): without a floor,
+      a round where everything drifts +0.1-0.3 s from host noise always
+      scheduled 5 pointless warm re-runs whose presence in the artifact
+      implied those queries "moved".
 
     Queries with no same-sf baseline, bench-error sentinels (< 0), and
     improvements are never selected."""
@@ -361,7 +426,7 @@ def _triage_set(
             out.add(name)
         if name in head_names and cur >= ratio_head * old:
             out.add(name)
-        if cur > old:
+        if cur - old >= min_abs_delta:
             deltas.append((cur - old, name))
     deltas.sort(reverse=True)
     out.update(name for _, name in deltas[:top_abs])
@@ -389,7 +454,8 @@ def _run_segment(sf_dir: str, spec: str) -> None:
     spark = get_spark(f"etl-odo-bench-seg{idx}")
     _warm_spark(spark, sf_dir)
     timings = _time_queries(spark, sf_dir, names=mine)
-    print(json.dumps({"segment": spec, "queries": timings}))
+    _quiesce(spark)
+    _emit_final(json.dumps({"segment": spec, "queries": timings}))
 
 
 def main() -> None:
@@ -410,7 +476,8 @@ def main() -> None:
         _warm_spark(spark, sf_dir)
         timings = _time_queries(spark, sf_dir, names=wanted)
         total = round(sum(t for t in timings.values() if t >= 0), 3)
-        print(json.dumps({
+        _quiesce(spark)
+        _emit_final(json.dumps({
             "metric": "registry_total_runtime", "unit": "sec", "sf": sf,
             "queries": timings, "value": total,
         }))
@@ -561,7 +628,11 @@ def main() -> None:
     with open(os.path.join(REPO_ROOT, "BENCH_full.json"), "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(result))
+    # r13 (r12 verdict item 1): fully quiesce the JVM BEFORE printing —
+    # state-store maintenance noise during lazy shutdown displaced the
+    # r12 compact line from the driver's capture tail.
+    _quiesce(spark)
+    print(json.dumps(result), flush=True)
     # The external driver keeps only the LAST 2000 chars of stdout and
     # json-parses what it finds there; a 203-query record is ~8 KB, so
     # every prior round's BENCH_r{N}.json came back `parsed: null` with a
@@ -569,8 +640,9 @@ def main() -> None:
     # FINAL line — guaranteed to sit whole inside any >=1.6 KB tail —
     # carrying the headline numbers plus the slowest queries that fit;
     # the full per-query detail lives in the line above and in
-    # BENCH_full.json.
-    print(json.dumps(_compact_record(result)))
+    # BENCH_full.json. _emit_final also re-prints it at interpreter
+    # exit, the absolute last stdout action.
+    _emit_final(json.dumps(_compact_record(result)))
 
 
 def _compact_record(result: dict, budget: int = 1500) -> dict:

@@ -109,6 +109,17 @@ def test_triage_top5_absolute_regressions():
     assert sel2 == set()
 
 
+def test_triage_absolute_movers_need_min_delta():
+    # r13 advice fix: a round where every query drifts +0.1-0.3s from
+    # host noise must not schedule 5 warm re-runs of the largest (still
+    # trivial) movers — pure-absolute selection needs >=1s of delta
+    queries = {f"q{i}": 1.3 + 0.01 * i for i in range(10)}
+    prev = {f"q{i}": 1.1 + 0.01 * i for i in range(10)}  # +0.2s each
+    assert _triage_set(queries, prev, frozenset()) == set()
+    # exactly at the floor still selects (the r11 +1.0s movers)
+    assert _triage_set({"qa": 3.0}, {"qa": 2.0}, frozenset()) == {"qa"}
+
+
 def test_triage_skips_error_sentinels_and_dead_baselines():
     sel = _triage_set({"qa": -1.0, "qb": 9.0}, {"qa": 1.0, "qb": 0.0},
                       frozenset({"qa", "qb"}))
@@ -121,3 +132,50 @@ def test_prev_round_times_finds_same_sf_keeper():
     assert _prev_round_times(0.1), "no sf0.1 keeper baseline found"
     assert _prev_round_times(1.0), "no sf1 keeper baseline found"
     assert _prev_round_times(123.456) == {}  # alien sf -> empty, not wrong-sf
+
+
+def test_keeper_sort_is_numeric(tmp_path, monkeypatch):
+    # r13 advice fix: keeper ordering must parse the round number as an
+    # int — the old string key put r9.json ahead of r10.json and would
+    # put r100.json behind r13.json
+    import bench as bench_mod
+
+    for name, val in (
+        ("BENCH_full_r9.json", {"sf": 0.1, "queries": {"qx": 9.0}}),
+        ("BENCH_full_r10.json", {"sf": 0.1, "queries": {"qx": 10.0}}),
+        ("BENCH_full_r100.json", {"sf": 0.1, "queries": {"qx": 100.0}}),
+    ):
+        (tmp_path / name).write_text(json.dumps(val))
+    monkeypatch.setattr(bench_mod, "REPO_ROOT", str(tmp_path))
+    assert _prev_round_times(0.1) == {"qx": 100.0}
+
+
+# --- r13: the bench record must survive streaming-shutdown noise ------------
+
+
+def test_bench_tail_survives_streaming_shutdown_noise():
+    """r12 postmortem pin (verdict item 1): BENCH_r12.json came back
+    ``parsed: null`` because StateStoreCoordinator maintenance threads
+    stack-traced into the capture AFTER the record line printed. Run
+    bench on a state-store streaming query with stdout+stderr merged
+    (the driver's view) and assert the LAST line of the 2000-char tail
+    is the parseable record — i.e. _quiesce silenced/joined the JVM
+    before the line printed and nothing followed it."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        BENCH_QUERIES="q43_streaming_dedup",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0
+    tail = proc.stdout[-TAIL_CAP:]
+    last = [ln for ln in tail.strip().splitlines() if ln.strip()][-1]
+    rec = json.loads(last)
+    assert rec["queries"]["q43_streaming_dedup"] >= 0
