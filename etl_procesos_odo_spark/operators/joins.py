@@ -197,6 +197,17 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    # internal scaffolding names (r13 advice: a right_vals column
+    # literally named `_rts` would duplicate the struct field and make
+    # getField ambiguous; same latent class as _k/_ts/_side/_rv)
+    reserved = {"_k", "_ts", "_side", "_rv", "_rv_last", "_rts"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right_vals))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal names {sorted(reserved)}; "
+            f"rename colliding input columns {sorted(clash)}"
+        )
+
     lcols = [c for c in left.columns]
     # carry the right row's attached values as ONE struct, non-null
     # exactly when the union row IS a right row: last(struct, ignorenulls)

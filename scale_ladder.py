@@ -341,12 +341,14 @@ DOCS3_QUERIES = [
     "q108_cluster_keep_best",
     "q134_pagerank_neardup",
 ]
-# Documented expectations (each query's docstring): q154's candidate set
-# is pair-quadratic per surviving term under this DENSE synthetic
-# profile (31-word vocab -> every term's df grows ~linearly and stays
-# under the 5% fractional cap, so fan-out ~ df^2; real corpora are
-# output-proportional because the cap bites) -> exponent <= 2. q108/q134
-# ride the banded-LSH pair graph (edges ~ planted-dup rate, linear) with
+# Documented expectations (each query's docstring): q154's candidate
+# set was pair-quadratic under this DENSE synthetic profile (31-word
+# vocab -> every term's df grows ~linearly, the 5% fractional cap
+# never engaged — measured r12: exponent 2.73); the r13
+# candidate-budget cap (512 pairs/doc, llm/similarity.py
+# tfidf_cosine_pairs) bounds enumerated candidates LINEARLY in N by
+# construction -> exponent <= 2 with headroom. q108/q134 ride the
+# banded-LSH pair graph (edges ~ planted-dup rate, linear) with
 # O(log n) CC rounds / 2 fixed PageRank rounds -> exponent <= 1.5.
 DOCS3_EXPECTED_MAX_EXP = {
     "q154_tfidf_cosine_pairs": 2.0,
@@ -419,6 +421,59 @@ def generate_docs_variant(out_dir: str, n_docs: int, skew: bool) -> str:
     )
     pq.write_table(tbl, out)
     return out
+
+
+def docs3_candidate_stats(sf_dir: str) -> dict:
+    """The q154 candidate-cardinality decomposition, computed INSIDE the
+    arm (r13 advice: the r12 numbers were hand-added to the artifact and
+    a re-run silently dropped them). One DuckDB aggregate per point over
+    the same 3-gram terms q154 uses: uncapped Sum_t C(df_t, 2), the
+    effective df cap q154's two composed caps (5%-of-N fractional, r13
+    512-pairs/doc candidate budget) derive on this corpus, and the
+    candidate volume the operator actually enumerates under that cap —
+    the quantity whose growth the budget bounds linearly in N."""
+    import duckdb
+
+    from etl_procesos_odo_spark.queries_llm import O_GRAMS_ALL, O_TOKENS
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    con = duckdb.connect()
+    row = con.sql(
+        f"""
+        WITH w AS (SELECT doc_id, {O_TOKENS} AS w
+                   FROM read_parquet('{doc}')),
+        tkn AS (SELECT doc_id, unnest({O_GRAMS_ALL}) AS term FROM w),
+        dfh AS (SELECT term, COUNT(DISTINCT doc_id) AS dfc
+                FROM tkn GROUP BY 1),
+        capf AS (SELECT greatest(1, CAST(floor(0.05 * COUNT(*)) AS BIGINT))
+                          AS cf,
+                        CAST(floor(512.0 * COUNT(*)) AS HUGEINT) AS budget
+                 FROM read_parquet('{doc}')),
+        hist AS (SELECT dfc,
+                        SUM((CAST(dfc AS HUGEINT) * (dfc - 1)) // 2) AS pairs
+                 FROM dfh GROUP BY 1),
+        cum AS (SELECT dfc, SUM(pairs) OVER (ORDER BY dfc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpairs
+                FROM hist),
+        capb AS (SELECT COALESCE(MAX(dfc), 1) AS cb FROM cum
+                 WHERE cpairs <= (SELECT budget FROM capf)),
+        eff AS (SELECT least((SELECT cf FROM capf),
+                             (SELECT cb FROM capb)) AS c)
+        SELECT CAST((SELECT SUM(pairs) FROM hist) AS BIGINT),
+               CAST((SELECT COALESCE(SUM(pairs), 0) FROM hist
+                     WHERE dfc <= (SELECT c FROM eff)) AS BIGINT),
+               CAST((SELECT c FROM eff) AS BIGINT),
+               CAST((SELECT MAX(dfc) FROM dfh) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM dfh) AS BIGINT)
+        """
+    ).fetchone()
+    return {
+        "q154_candidate_pairs_uncapped": row[0],
+        "q154_candidate_pairs_effective": row[1],
+        "q154_effective_df_cap": row[2],
+        "q154_max_df": row[3],
+        "q154_n_terms": row[4],
+    }
 
 
 def _run_docs3_sf(sf_dir: str) -> None:
@@ -561,6 +616,12 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
     spark.conf.set(
         "spark.sql.shuffle.partitions", "8" if n_events <= 1_000_000 else "32"
     )
+    # r13 advice: recentProgress is a ring buffer capped at
+    # numRecentProgressUpdates (default 100) — a future point with >100
+    # micro-batches would silently undercount out_rows and truncate the
+    # per-batch telemetry the arm's claims rest on. Raise the cap far
+    # above any arm's batch count and hard-fail if it is ever hit.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     def stream():
         return (
@@ -586,10 +647,20 @@ def _run_streaming_sf(sf_dir: str, provider: str | None = None) -> None:
         try:
             q.processAllAvailable()
             wall = round(time.perf_counter() - t0, 2)
+            progress = list(q.recentProgress)
+            cap = int(spark.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates"
+            ))
+            if len(progress) >= cap:
+                raise AssertionError(
+                    f"{name}: recentProgress hit its {cap}-entry ring "
+                    "buffer — telemetry truncated; raise "
+                    "numRecentProgressUpdates above the batch count"
+                )
             batches = []
             out_rows = 0
             idle_triggers = 0
-            for p in q.recentProgress:
+            for p in progress:
                 sink_rows = (p.get("sink") or {}).get("numOutputRows", 0)
                 if sink_rows and sink_rows > 0:
                     out_rows += sink_rows
@@ -915,6 +986,9 @@ def main() -> None:
                 print(proc.stderr[-2000:], file=sys.stderr)
                 raise SystemExit(f"docs-sf3 segment {label} failed")
             arm[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+            # candidate decomposition computed in-arm (r13 advice: the
+            # r12 fields were hand-added and a re-run dropped them)
+            arm[label].update(docs3_candidate_stats(d))
         exps: dict[str, dict] = {}
         for qname in DOCS3_QUERIES:
             exps[qname] = {
@@ -926,6 +1000,21 @@ def main() -> None:
                 exps[qname][variant] = round(
                     math.log(t3 / t1) / math.log(3), 3
                 ) if t1 > 0 and t3 > 0 else None
+                if qname != "q154_tfidf_cosine_pairs":
+                    continue
+                # cost-vs-candidates and candidate-growth exponents,
+                # against the EFFECTIVE (budget-capped) candidate set
+                # the operator enumerates
+                c1 = arm[f"sf1_{variant}"]["q154_candidate_pairs_effective"]
+                c3 = arm[f"sf3_{variant}"]["q154_candidate_pairs_effective"]
+                if t1 > 0 and t3 > 0 and c1 and c3 and c1 != c3:
+                    exps[qname][f"{variant}_vs_candidates"] = round(
+                        math.log(t3 / t1) / math.log(c3 / c1), 3
+                    )
+                if c1 and c3:
+                    exps[qname][f"{variant}_candidate_growth_exp"] = round(
+                        math.log(c3 / c1) / math.log(3), 3
+                    )
         arm["exponents"] = exps
         results["docs_sf3"] = arm
         with open(ladder_path, "w") as f:

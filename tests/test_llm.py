@@ -553,6 +553,18 @@ def test_asof_join_semantics(spark):
     assert got[103] == 200.0       # latest of two earlier rows
     assert got[104] is None        # key with no right rows at all
 
+    # r13 advice: internal scaffolding names are reserved — a right_vals
+    # column named _rts (or a left column named _k/_ts/...) must raise,
+    # not silently build an ambiguous-getField plan
+    import pytest
+
+    with pytest.raises(ValueError, match="_rts"):
+        asof_join(left, right.withColumnRenamed("v", "_rts"),
+                  "k", "t", "t", {"_rts": "last_v"})
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left.withColumn("_side", left["eid"]), right,
+                  "k", "t", "t", {"v": "last_v"})
+
 
 def test_block_dedup_removes_repeated_blocks(spark):
     # doc 0 and doc 1 share an identical 8-word block; doc 1 keeps only
@@ -1536,6 +1548,66 @@ def test_fractional_df_caps_match_absolute(spark):
     assert decon_exact(0.4) == decon_exact(4)  # floor(0.4 * 10) == 4
     with pytest.raises(ValueError):
         decon_exact(1.0)
+
+
+def test_tfidf_candidate_budget_cap(spark):
+    """r13 (r12 verdict item 2): the candidate-budget df cap. The
+    effective cap must be the largest df threshold C with
+    Sum_{df<=C} C(df,2) <= budget — equivalent, by hand-derivation on a
+    crafted df histogram, to an explicit max_df — a generous budget
+    must be a no-op, the float form must mean budget-per-document, and
+    the planted near-dup (df=2 terms, the last thing a shrinking budget
+    touches) must survive an engaged cap."""
+    import pytest
+
+    from etl_procesos_odo_spark.llm.similarity import tfidf_cosine_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta zz"
+    boiler = "boiler plate shared text common here"
+    rows = [(1, base), (2, near)] + [
+        (i, f"{boiler} uniq{i}") for i in range(3, 11)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    # threshold low enough that the weak boilerplate pairs (idf-crushed
+    # cos ~0.0085) DO clear it when their df=8 terms survive — so a
+    # wrongly-derived cap changes the visible result, not just the
+    # internal candidate count
+    def pairs(**kw):
+        return sorted(
+            tuple(r)
+            for r in tfidf_cosine_pairs(
+                docs, "text", "doc_id", threshold=0.005, max_df=50, **kw
+            ).collect()
+        )
+
+    # df histogram: df=1 terms contribute 0 pairs, the five df=2 terms
+    # (d1-d2 shared grams) contribute 5, the four df=8 boilerplate
+    # grams contribute 4*28=112. budget=10 admits the df<=2 tier only
+    # -> identical to an explicit max_df=2; the near-dup pair survives,
+    # the 28 boilerplate pairs are capped away.
+    capped = pairs(candidate_budget=10)
+    explicit = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            docs, "text", "doc_id", threshold=0.005, max_df=2
+        ).collect()
+    )
+    assert capped == explicit
+    assert [(a, b) for a, b, _ in capped] == [(1, 2)]
+
+    # a budget the whole corpus fits under changes nothing: all 8
+    # boilerplate docs pair up again (C(8,2)=28) plus the near-dup
+    full = pairs()
+    assert len(full) == 29
+    assert pairs(candidate_budget=10**9) == full
+    # float = budget per document: 1.0 * 10 docs == absolute 10
+    assert pairs(candidate_budget=1.0) == capped
+    with pytest.raises(ValueError):
+        pairs(candidate_budget=0.0)
+    with pytest.raises(ValueError):
+        pairs(candidate_budget=-2.0)
 
 
 def test_substring_removal_crafted(spark):
