@@ -1237,6 +1237,7 @@ def tfidf_cosine_pairs(
     max_df: int | float = 50,
     k: int = 3,
     scale: int = 1000,
+    candidate_budget: int | float | None = None,
 ) -> DataFrame:
     """EXACT all-pairs TF-IDF cosine similarity self-join over word
     k-gram terms (Bayardo et al., WWW'07 family) — the exact complement
@@ -1257,6 +1258,28 @@ def tfidf_cosine_pairs(
     vocabulary so the oracle matches exactly (the oracle derives the
     same cap with the same floor arithmetic).
 
+    ``candidate_budget`` (r13, r12 verdict item 2) bounds the TOTAL
+    candidate-pair volume, the quantity the fractional cap cannot see:
+    the round-12 docs-sf3 arm measured max df staying ~30x below the
+    5%-of-N cap while Sum_t C(df_t, 2) grew EXACTLY quadratically (a
+    saturating vocabulary — every term's df grows linearly, none ever
+    boilerplate-hot). The budget form derives the df cap FROM the
+    candidate volume: the effective cap is the largest threshold C such
+    that the surviving terms' pair count Sum_{t: df_t <= C} C(df_t, 2)
+    stays <= budget (an int, or a float meaning budget-per-document:
+    floor(b * N) — the corpus-scale form, so candidate volume grows
+    LINEARLY in N by construction). Combined with ``max_df`` by min.
+    Derivation is one df-histogram aggregate plus a cumulative window
+    over that (distinct-df-sized, i.e. tiny) frame — the lint-sanctioned
+    global-window-over-aggregate shape — joined back as a broadcast
+    1-row scalar: no driver round-trip, no second corpus scan. Recall
+    trade, documented: terms above the derived cap are dropped from the
+    metric exactly like ``max_df`` drops them — lowest-df (most
+    discriminative) terms always survive first, so planted near-dups
+    (df ~= 2 terms) are the last thing a shrinking budget touches; the
+    oracle derives the identical cap with the same integer arithmetic,
+    so both engines agree on the capped vocabulary exactly.
+
     Exactness discipline (q89): weights are integer-quantized —
     wq = round(tf * idf * scale) with the rational idf
     (2N - 2df + 1)/(2df + 1) (the BM25 idf's ln-free form; ln is not
@@ -1267,24 +1290,55 @@ def tfidf_cosine_pairs(
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
+    import math
+
     from .dedup import _persist_capped, ngrams_all
 
+    n_docs = None
+    if isinstance(max_df, float) or isinstance(candidate_budget, float):
+        n_docs = docs.count()
     if isinstance(max_df, float):
-        import math
-
         if not 0 < max_df < 1:
             raise ValueError("fractional max_df must be in (0, 1)")
-        max_df = max(1, math.floor(max_df * docs.count()))
+        max_df = max(1, math.floor(max_df * n_docs))
     g = _spread(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_all(F.col(text_col), k)).alias("term"),
     )
     tf = g.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tfc"))
-    dfq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfc"))
-        .filter(F.col("dfc") <= max_df)
-    )
+    dfh = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    dfq = dfh.filter(F.col("dfc") <= max_df)
+    if candidate_budget is not None:
+        if isinstance(candidate_budget, float):
+            if candidate_budget <= 0:
+                raise ValueError("fractional candidate_budget must be > 0")
+            budget = max(1, math.floor(candidate_budget * n_docs))
+        else:
+            budget = int(candidate_budget)
+        # df histogram -> cumulative surviving-pair count, ascending df
+        # (exact decimal: C(df,2) products are even, halves exact) ->
+        # the largest df threshold whose survivors fit the budget. The
+        # window runs over the distinct-df-sized aggregate frame (the
+        # lint-sanctioned shape); the result joins back as a broadcast
+        # 1-row scalar.
+        hist = dfh.groupBy("dfc").agg(
+            F.sum(
+                F.col("dfc").cast("decimal(38,0)") * (F.col("dfc") - 1) / 2
+            ).alias("pairs")
+        )
+        cum_w = Window.orderBy("dfc").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        capb = (
+            hist.withColumn("cpairs", F.sum("pairs").over(cum_w))
+            .filter(F.col("cpairs") <= F.lit(budget))
+            .agg(F.coalesce(F.max("dfc"), F.lit(1)).alias("_capb"))
+        )
+        dfq = (
+            dfq.crossJoin(F.broadcast(capb))
+            .filter(F.col("dfc") <= F.col("_capb"))
+            .drop("_capb")
+        )
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     wt = _persist_capped(
         tf.join(dfq, on="term")

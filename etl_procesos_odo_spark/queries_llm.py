@@ -3055,10 +3055,20 @@ O_GRAMS_ALL = (
     WITH w AS (SELECT doc_id, {O_TOKENS} AS w FROM documents),
     tkn AS (SELECT doc_id, unnest({O_GRAMS_ALL}) AS term FROM w),
     tf AS (SELECT term, doc_id, COUNT(*) AS tfc FROM tkn GROUP BY 1, 2),
-    cap AS (SELECT greatest(1, CAST(floor(0.05 * COUNT(*)) AS BIGINT)) AS c
-            FROM documents),
-    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1
-            HAVING COUNT(*) <= (SELECT c FROM cap)),
+    capf AS (SELECT greatest(1, CAST(floor(0.05 * COUNT(*)) AS BIGINT)) AS cf,
+                    CAST(floor(512.0 * COUNT(*)) AS HUGEINT) AS budget
+             FROM documents),
+    dfh AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    hist AS (SELECT dfc, SUM((CAST(dfc AS HUGEINT) * (dfc - 1)) // 2) AS pairs
+             FROM dfh GROUP BY 1),
+    cum AS (SELECT dfc, SUM(pairs) OVER (ORDER BY dfc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpairs
+            FROM hist),
+    capb AS (SELECT COALESCE(MAX(dfc), 1) AS cb FROM cum
+             WHERE cpairs <= (SELECT budget FROM capf)),
+    dfq AS (SELECT term, dfc FROM dfh
+            WHERE dfc <= (SELECT cf FROM capf)
+              AND dfc <= (SELECT cb FROM capb)),
     nn AS (SELECT COUNT(*) AS nd FROM documents),
     wt AS (
       SELECT term, doc_id,
@@ -3089,19 +3099,27 @@ O_GRAMS_ALL = (
     "inverted-index equi-join with df-cap pruning (per-term fan-out "
     "bounded by the cap squared; boilerplate terms dropped BY DEFINITION "
     "of the capped-vocabulary metric so Spark and the oracle agree "
-    "exactly). The cap is the corpus-scale RATIO form — df <= 5% of N, "
-    "derived with identical floor arithmetic on both engines — not an "
-    "absolute count that silently loosens as the corpus grows. "
-    "Integer-quantized weights with the rational ln-free idf "
-    "make norms/dots exact decimal/HUGEINT sums; the cosine is one "
-    "shared double expression — bit-identical across engines.",
+    "exactly). TWO caps compose (min): the corpus-scale RATIO form — "
+    "df <= 5% of N, identical floor arithmetic on both engines — and "
+    "the r13 CANDIDATE-BUDGET form (r12 verdict item 2): the largest "
+    "df threshold whose surviving terms emit <= 512*N candidate pairs "
+    "total (df histogram -> cumulative C(df,2) over the tiny aggregate "
+    "frame), because the docs-sf3 arm measured a saturating vocabulary "
+    "growing candidates EXACTLY quadratically while max df stayed ~30x "
+    "below the fractional cap — the budget bounds the operator's true "
+    "unit of work (candidates) linearly in N by construction. Both "
+    "engines derive the identical cap, so the capped-vocabulary metric "
+    "still matches exactly. Integer-quantized weights with the rational "
+    "ln-free idf make norms/dots exact decimal/HUGEINT sums; the cosine "
+    "is one shared double expression — bit-identical across engines.",
 )
 def q154_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str):
     from .llm.similarity import tfidf_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_df=0.05
+        docs, "text", "doc_id", threshold=0.5, max_df=0.05,
+        candidate_budget=512.0,
     )
 
 
