@@ -442,3 +442,85 @@ def quality_gate_stats(stream: DataFrame) -> DataFrame:
         F.sum("ok").cast("long").alias("n_accepted"),
         (F.count(F.lit(1)) - F.sum("ok")).cast("long").alias("n_rejected"),
     )
+
+
+def recommend_state_store(
+    state_bytes_estimate: int,
+    churn_ratio: float,
+    heap_per_executor_bytes: int,
+) -> tuple[str, str, str]:
+    """Which state-store provider should a stateful streaming query use?
+    Returns ``(provider, provider_class, reason)`` with ``provider`` one
+    of ``"rocksdb"`` / ``"hdfs_backed_default"`` and ``provider_class``
+    the value for ``spark.sql.streaming.stateStore.providerClass`` —
+    the documented decision rule (r12 verdict item 6), encoding the
+    measured 100M-event crossover (SCALE.md round-12 streaming table)
+    the way :func:`~..operators.joins.recommend_salting` encodes the
+    sf1 salting arm.
+
+    Inputs:
+
+    - ``state_bytes_estimate`` — resident state per EXECUTOR at steady
+      state (rows x avg row bytes / executors; the ladder reads it from
+      progress telemetry's ``memoryUsedBytes``).
+    - ``churn_ratio`` — fraction of resident state rows replaced
+      (inserted + evicted) per micro-batch. Watermarked stream-stream
+      join state is churn-heavy (rows live one watermark); session /
+      long-horizon aggregation state is churn-light.
+    - ``heap_per_executor_bytes`` — executor heap.
+
+    Measured grounding, 100M events on local[32] (fresh JVM, noop
+    sink): churn-heavy join state favors the on-heap default at every
+    scale measured (98.7 s vs 201.0 s RocksDB at 100M — RocksDB pays
+    write amplification on rows that die within a watermark). For
+    churn-light state the crossover is heap pressure: at ~10.3 GB state
+    on a 24 GB heap (ratio ~0.43) RocksDB wins 1.42x on the session op
+    (497.9 vs 704.9 s) and 1.19x on the Python-stateful op, holding the
+    same state in ~390 MB native; at 10M events (state well under heap
+    scale) RocksDB taxes the session op ~2x (86.6 vs 44.1 s). The rule:
+
+    - churn-heavy (ratio > 0.3) -> on-heap default;
+    - churn-light and state >= ~40% of heap -> RocksDB (the default
+      store's super-linear term is GC, not the operator);
+    - otherwise -> on-heap default (RocksDB's serde tax not repaid).
+    """
+    if state_bytes_estimate < 0:
+        raise ValueError("state_bytes_estimate must be >= 0")
+    if not 0.0 <= churn_ratio <= 1.0:
+        raise ValueError("churn_ratio must be in [0, 1]")
+    if heap_per_executor_bytes <= 0:
+        raise ValueError("heap_per_executor_bytes must be > 0")
+    rocksdb_class = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    default_class = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    pressure = state_bytes_estimate / heap_per_executor_bytes
+    if churn_ratio > 0.3:
+        return (
+            "hdfs_backed_default",
+            default_class,
+            f"churn-heavy state ({churn_ratio:.0%} replaced per batch): "
+            "RocksDB pays write amplification on rows that die within "
+            "the watermark (measured 2.0x slower at 100M events); "
+            "on-heap wins",
+        )
+    if pressure >= 0.4:
+        return (
+            "rocksdb",
+            rocksdb_class,
+            f"churn-light state at {pressure:.0%} of executor heap: "
+            "GC pressure is the on-heap store's super-linear term "
+            "(measured crossover ~43% of heap at 100M events, RocksDB "
+            "1.42x faster holding the state off-heap)",
+        )
+    return (
+        "hdfs_backed_default",
+        default_class,
+        f"state is only {pressure:.0%} of executor heap: RocksDB's "
+        "serde tax is not repaid below heap-scale state (measured ~2x "
+        "session-op tax at 10M events)",
+    )

@@ -1156,6 +1156,40 @@ def test_recommend_salting_contract():
         recommend_salting(0.5, 0)
 
 
+def test_recommend_state_store_contract():
+    """r12 verdict item 6: the documented state-store provider rule,
+    encoding the measured 100M-event crossover (SCALE.md round-12
+    streaming table): churn-heavy join state -> on-heap default at any
+    size; churn-light state at heap scale (>= ~40% of executor heap)
+    -> RocksDB; small churn-light state -> on-heap default."""
+    from etl_procesos_odo_spark.streaming.temporal import (
+        recommend_state_store,
+    )
+
+    GB = 1 << 30
+    # the measured session-op crossover: ~10.3 GB state on a 24 GB heap
+    prov, cls, why = recommend_state_store(10 * GB, 0.05, 24 * GB)
+    assert prov == "rocksdb" and cls.endswith("RocksDBStateStoreProvider")
+    assert "heap" in why
+    # churn-heavy join state stays on-heap even at heap-scale size
+    prov, cls, why = recommend_state_store(10 * GB, 0.9, 24 * GB)
+    assert prov == "hdfs_backed_default"
+    assert cls.endswith("HDFSBackedStateStoreProvider")
+    assert "churn" in why
+    # small churn-light state: RocksDB's serde tax not repaid
+    prov, _, why = recommend_state_store(1 * GB, 0.05, 24 * GB)
+    assert prov == "hdfs_backed_default" and "not repaid" in why
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recommend_state_store(-1, 0.1, GB)
+    with _pytest.raises(ValueError):
+        recommend_state_store(GB, 1.5, GB)
+    with _pytest.raises(ValueError):
+        recommend_state_store(GB, 0.1, 0)
+
+
 def test_oracle_decimal_double_casts_varchar_routed():
     """r11 lint: DuckDB's direct DECIMAL->DOUBLE cast double-rounds
     (scaled int128 first, /10^scale second) and is off by one ulp for
