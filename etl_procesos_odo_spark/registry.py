@@ -89,8 +89,9 @@ DRIVER_HEAD: tuple[str, ...] = (
     "q52_recursos_pipeline", "q53_callcenter_demand",
     "q54_indicadores_pipeline", "q122_ccnet_quality_buckets",
     "q57_narrative_verdicts",
-    # streaming (one per family: tumbling, dedup, session, stateful,
-    # stream-static, sliding, stream-stream)
+    # streaming (tumbling, session, stateful, stream-static,
+    # stream-stream head rows; the dedup and sliding forms rotated to
+    # the back half in r13 — notes below)
     # (r10 swap q40 -> q113: q113's streaming stage IS q40's exact
     # streaming plan — readStream -> groupBy(window(ts,'1 hour'),
     # event_type) -> complete-mode memory sink (its docstring has
@@ -107,10 +108,30 @@ DRIVER_HEAD: tuple[str, ...] = (
     # oracle — the streaming DECONTAMINATION gate, a never-headed
     # family; q90's weighted rollup is the q53/q113 tumbling-agg shape
     # and q90 stays green in the back-half censuses.)
-    "q113_streaming_heavy_hitters", "q43_streaming_dedup",
+    # (r13 swap q43 -> q173: q43's watermarked dropDuplicates is the W1
+    # keep-first discipline the q51/q52 pipeline head rows evidence
+    # batch-side, and its streaming keyed-state machinery (per-key
+    # state + watermark eviction) is strictly widened by the q69
+    # sessionization and q58 stateful head rows, which hold richer
+    # state machines over the same mechanism; q43 stays green in the
+    # back-half censuses. q173 is the mergeable histogram quantile
+    # sketch — fixed-state distribution quantiles (langs x 256 bins,
+    # merge = bin-count addition), the sketch kit's QUANTILE arm next
+    # to q113's frequency, q161's cardinality, and q168's intersection
+    # head rows, never headed.)
+    # (r13 swap q91 -> q185: q91's sliding windowed aggregate is the
+    # q113 head row's tumbling window-agg state machine with two
+    # overlapping window assignments per event — the overlap is
+    # per-row window() arithmetic, not a new state discipline; q91
+    # stays green in the back-half censuses. q185 is the exact
+    # per-group quantile GRID by one combining-histogram pass +
+    # multi-rank candidate-bin selection (generalizing q182's
+    # single-rank selection; both stay census-green) — the
+    # selection-quantile discipline, never headed.)
+    "q113_streaming_heavy_hitters", "q173_histogram_quantiles",
     "q69_streaming_sessionize",
     "q58_stateful_user_stats", "q156_streaming_decontaminate",
-    "q91_streaming_sliding", "q95_stream_stream_join",
+    "q185_quantile_grid_selection", "q95_stream_stream_join",
     # ML (q104 = q41's feature half with a hard oracle, r4 head swap;
     # q151 = the LinearRegression arm's PREDICT surface closed-form with
     # a bit-exact oracle, new r6 — q41's best-of-3 fit selection is the
@@ -200,7 +221,19 @@ DRIVER_HEAD: tuple[str, ...] = (
     # (Duffield-Lund-Thorup) — the weighted without-replacement sample
     # with the unbiased subset-sum estimator, the sampling-governance
     # family's ESTIMATION arm, never headed.)
-    "q169_priority_sample", "q200_cdc_chunks", "q160_line_dedup",
+    # (r13 swap q160 -> q132: q160's corpus-hot line-key counting is
+    # the q152/q157 gram-count discipline (census-green), and its
+    # keep-first policy + order-preserving positional reassembly run
+    # inside the q100 corpus-prep head row's block-dedup stage — the
+    # same hash -> corpus count -> drop -> reassemble chain at block
+    # granularity (q160's own r7 note records the strictly-widens
+    # relation to q82; the reassembly discipline is now head-carried
+    # by q100). q160 stays green in the back-half censuses. q132 is
+    # the first-order Markov transition matrix — per-user LAG pairing
+    # over ONE exchange + bounded-key transition counts with exact
+    # integer row-normalization, the behavioral-model family, never
+    # headed.)
+    "q169_priority_sample", "q200_cdc_chunks", "q132_event_transitions",
     "q158_pii_redaction",
     # similarity: recall eval (CONTAINS the q34 brute-force arm — bounded
     # sampled scan, S4 — AND the q74 IVF arm; r4 swap q34 -> q107, which
@@ -335,7 +368,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # LEFT-SEMI erasure propagation down the FK chain plus LEFT-ANTI
     # orphan audits (the head's first anti-join row class), the
     # erasure-governance surface, never headed.)
-    "q178_sequential_patterns", "q192_deletion_cascade",
+    # (r13 swap q178 -> q140: q178's GSP candidate generate-and-prune
+    # is the q176 A-priori head row's broadcast-candidate discipline
+    # applied to ordered items, and its per-user order-statistics
+    # support collapse (conditional occurrence ranks chained over the
+    # one user exchange) is the q54 sessionized head row's W3 chain —
+    # while the incoming q140 row exercises the per-user ordered-path
+    # support counting live; q178 stays green in the back-half
+    # censuses. q140 is top session paths — 3-step within-session
+    # event paths (three LAGs sharing one exchange, bounded |types|^3
+    # rollup, heap top-20), the navigation-analysis family, never
+    # headed.)
+    "q140_top_session_paths", "q192_deletion_cascade",
     "q110_bm25_search",
     "q203_seasonal_backtest", "q186_ks_drift",
     # splits / packing / governance (r4 swap q86 -> q109: both are
@@ -425,7 +469,19 @@ DRIVER_HEAD: tuple[str, ...] = (
     # censuses. q128 is weekly cohort retention — first-seen cohorting
     # + distinct-activity retention triangle, the lifecycle-analytics
     # family, never headed.)
-    "q133_rfm_segments", "q126_eval_split",
+    # (r13 swap q126 -> q183: q126's stratified quota selection is a
+    # per-(lang, source) content-hash-order rank draw — the seeded
+    # hash-order selection discipline the q169 priority-sample head
+    # row evidences — and its quota table is the KB-sized broadcast
+    # rate-table pattern of the q53/q57 spine joins; split governance
+    # keeps the q179 embargo and q192 erasure head rows. q126 stays
+    # green in the back-half censuses. q183 is hierarchical budget
+    # waterfilling — nested language -> source capped
+    # proportional-fairness allocation (strictly widens q180's flat
+    # waterfill; both stay census-green), the mixture-ALLOCATION
+    # capstone whose execute arm the r12 q184 note already head-mapped,
+    # never headed.)
+    "q133_rfm_segments", "q183_hierarchical_budget",
     "q179_embargo_split",
     "q128_cohort_retention",
     # multimodal + capstone
@@ -496,7 +552,18 @@ DRIVER_HEAD: tuple[str, ...] = (
     # q194 is PMI collocation mining — the log-free exact-ratio ranking
     # family (monotone-transform ordering of exact BIGINT products),
     # never headed.)
-    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q165_digest_diff",
+    # (r13 swap q165 -> q141: q165's bucket-keyed order-insensitive
+    # digests are the combining content-digest reduce its own r11 note
+    # records as the q189 shape (both stay census-green), and its
+    # full-outer divergence diff is a plain bucket-key equi-join; the
+    # ops/integrity discipline keeps the q201 zone-map audit and q202
+    # SCD2 head rows. q165 stays green in the back-half censuses.
+    # q141 is the data-contract validation gate — referential
+    # integrity as broadcast ANTI-join counts plus scan-speed
+    # range/ordering/null invariant aggregates, the pre-flight
+    # CONTRACT family (the head's second anti-join row class after
+    # q192), never headed.)
+    "q120_hybrid_rrf_routed", "q12_pareto_brands", "q141_data_contract",
     "q134_pagerank_neardup", "q194_pmi_collocations", "q81_asof_join",
 )
 

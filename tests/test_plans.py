@@ -267,8 +267,15 @@ FAMILY_SENTINELS = {
         # q67's exact-first collapse; cluster-keyed hash split = q100's
         # split stage — registry.py r11 note); the governance split
         # family's sentinel is the stratified eval-split row
-        "split_governance": "q126_eval_split",
-        "line_dedup": "q160_line_dedup",
+        # r13 swap: q126 rotates out (hash-order quota draw = q169's
+        # selection discipline; quota broadcast = the q53/q57 rate-table
+        # pattern — registry.py r13 note); the split family's sentinel
+        # is the embargoed temporal split
+        "split_governance": "q179_embargo_split",
+        # r13 swap: q160 rotates out (line-key counting = the q152/q157
+        # gram discipline; keep-first + reassembly = q100's block-dedup
+        # stage — registry.py r13 note)
+        "line_dedup": "q100_corpus_prep_v3",
         "pii_hygiene": "q158_pii_redaction",
         # r9 swaps: q35/q70/q154/q80/q88 rotate out (containment notes in
         # registry.py + COVERAGE.md round-9); the round-8 wave gets its
@@ -300,19 +307,26 @@ FAMILY_SENTINELS = {
         # r11 swap: q189 rotates out (same order-independent
         # content-digest reduce discipline, strictly widened by q165's
         # bucket-keyed digests + full-outer localization diff —
-        # registry.py r11 note)
-        "integrity_manifest": "q165_digest_diff",
+        # registry.py r11 note); r13: q165 itself rotates out (digest
+        # reduce = the q189 shape, diff = a bucket-key equi-join —
+        # registry.py r13 note), the ops/integrity audit row carries
+        # the family
+        "integrity_manifest": "q201_zonemap_audit",
         "prefix_filter_similarity": "q175_ppjoin_pairs",
-        "sequential_mining": "q178_sequential_patterns",
+        # r13 swap: q178 rotates out (generate-and-prune = q176's
+        # A-priori discipline on ordered items; per-user support
+        # collapse = q54's W3 chain — registry.py r13 note); the
+        # sequence family's sentinel is the live path-mining row
+        "sequential_mining": "q140_top_session_paths",
         "multimodal": "q62_multimodal_transform",
         # r5 swaps: q02's filter shapes run inside the pipeline rows
         # (q50/q51/q53/q54); q12 carries the relational family
         "relational": "q12_pareto_brands",
         # r10 swap: q116 rotates out (ordered-funnel reachability is the
         # q178 order-statistics collapse with a fixed 3-step pattern —
-        # registry.py r10 note); the funnel family's sentinel is the
-        # generalizing head row
-        "funnel": "q178_sequential_patterns",
+        # registry.py r10 note); r13: q178 rotates out too, the funnel
+        # family's sentinel is the session path-mining head row
+        "funnel": "q140_top_session_paths",
         # r12 swap: q177 rotates out (rules = one exact division over
         # q176's frequent-pair counts; exact-ratio ranking also headed
         # by q194/q198 — registry.py r12 note)
@@ -362,6 +376,15 @@ FAMILY_SENTINELS = {
         "embargo_governance": "q179_embargo_split",
         "cohort_analytics": "q128_cohort_retention",
         "behavioral_segments": "q133_rfm_segments",
+        # r13: six more never-headed families get their first driver
+        # rows (q43/q91/q160/q178/q126/q165 rotate out — containment
+        # notes in registry.py)
+        "histogram_quantiles": "q173_histogram_quantiles",
+        "quantile_selection": "q185_quantile_grid_selection",
+        "markov_behavior": "q132_event_transitions",
+        "session_paths": "q140_top_session_paths",
+        "waterfill_allocation": "q183_hierarchical_budget",
+        "contract_gate": "q141_data_contract",
 }
 
 
