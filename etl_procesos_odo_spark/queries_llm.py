@@ -3779,11 +3779,12 @@ def q168_kmv_source_sketch(spark: SparkSession, sf_dir: str):
     return src_rows.unionByName(pair_rows)
 
 
-def _priority_sample_oracle() -> str:
+def _priority_sample_oracle(K: int = 32, salt: str = "ps1") -> str:
+    # parameterized for the fuzz arbiter (r13): oracle re-derived per
+    # drawn (k, salt) — the registry row keeps the k=32/ps1 point
     from .llm.sampling import priority_exprs
 
-    K = 32
-    q = priority_exprs("n_chars", "doc_id", "ps1", "duckdb")["q"]
+    q = priority_exprs("n_chars", "doc_id", salt, "duckdb")["q"]
     return f"""
     WITH pr AS (
       SELECT source, doc_id AS key, CAST(n_chars AS BIGINT) AS w,
@@ -3902,10 +3903,10 @@ def q170_interleave_export(spark: SparkSession, sf_dir: str):
     return interleave_order(docs, "source", "doc_id", salt="il1")
 
 
-def _cms_oracle() -> str:
+def _cms_oracle(D: int = 4, W: int = 256) -> str:
+    # parameterized for the fuzz arbiter (r13): oracle re-derived per
+    # drawn (d, w) grid — the registry row keeps the 4x256 point
     from .llm.sketches import cms_cell_exprs
-
-    D, W = 4, 256
 
     def build(src: str) -> str:
         cells = cms_cell_exprs("user_id", D, W, "cms", "duckdb")
@@ -3978,9 +3979,14 @@ def _cms_oracle() -> str:
     "bit-identical to the oracle.",
 )
 def q171_cms_frequency(spark: SparkSession, sf_dir: str):
+    return _cms_frequency_plan(spark, sf_dir, 4, 256)
+
+
+def _cms_frequency_plan(spark: SparkSession, sf_dir: str, D: int, W: int):
+    """q171's plan parameterized by the counter grid (shared with the
+    fuzz arbiter, which re-derives ``_cms_oracle(D, W)`` per draw)."""
     from .llm.sketches import cms_point_estimates, cms_sketch
 
-    D, W = 4, 256
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").filter("user_id is not null")
     e1 = ev.filter("ts < timestamp'2024-01-08'").select("user_id")

@@ -759,3 +759,193 @@ def test_fuzz_hard_negatives(p, spark, ddb):
         ),
         name=f"fuzz_hardneg{p}",
     )
+
+
+# --- 24. HLL register width p (llm/sketches.py, q159 shape, r12 verdict) --
+
+_HLLP = _draws(lambda r: {"p": r.choice((4, 5, 7, 8, 10))})
+
+
+@pytest.mark.parametrize("p", _HLLP, ids=[str(p) for p in _HLLP])
+def test_fuzz_hll_p(p, spark, ddb):
+    """Every estimate constant (alpha_m, the linear-counting ln table,
+    the register split) is a function of p — a drawn p re-derives ALL
+    of them on both engines through the shared expression generators."""
+    from etl_procesos_odo_spark.llm.sketches import (
+        hll_cardinality, hll_oracle_sql,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    groups = {"wk": "cast(date_trunc('week', ts) as date)"}
+    ev = load_table(spark, SF_DIR, "events")
+    df = hll_cardinality(ev, "user_id", groups, p=p["p"])
+    assert_parity(
+        df, ddb,
+        hll_oracle_sql("events", "user_id", groups, p=p["p"]),
+        name=f"fuzz_hll{p}",
+    )
+
+
+# --- 25. CMS grid d x w (llm/sketches.py, q171 shape, r12 verdict) --------
+
+_CMSG = _draws(lambda r: {
+    "d": r.choice((1, 2, 3, 5, 8)),
+    "w": r.choice((64, 128, 512, 1024)),
+})
+
+
+@pytest.mark.parametrize("p", _CMSG, ids=[str(p) for p in _CMSG])
+def test_fuzz_cms_grid(p, spark, ddb):
+    """The full q171 composite (point estimates + join-size inner
+    product + both exact audit arms) under a drawn counter grid: every
+    seeded cell expression and the min-over-rows reductions re-derive
+    from (d, w) on both engines."""
+    from etl_procesos_odo_spark.queries_llm import (
+        _cms_frequency_plan, _cms_oracle,
+    )
+
+    df = _cms_frequency_plan(spark, SF_DIR, p["d"], p["w"])
+    assert_parity(
+        df, ddb, _cms_oracle(p["d"], p["w"]), name=f"fuzz_cms{p}"
+    )
+
+
+# --- 26. Priority-sample k / salt (llm/sampling.py, q169, r12 verdict) ----
+
+_PRIO = _draws(lambda r: {
+    "k": r.choice((4, 8, 16, 48, 64)),
+    "salt": r.choice(("ps1", "psA", "psB")),
+})
+
+
+@pytest.mark.parametrize("p", _PRIO, ids=[str(p) for p in _PRIO])
+def test_fuzz_priority_sample(p, spark, ddb):
+    """tau, the sample membership, and both estimator columns all move
+    with (k, salt); small k exercises tau > many weights (adjusted
+    weights dominate), large k exercises groups smaller than k
+    (tau = 0, sample = whole group)."""
+    from etl_procesos_odo_spark.llm.sampling import priority_sample
+    from etl_procesos_odo_spark.queries_llm import _priority_sample_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = priority_sample(
+        docs, ["source"], "doc_id", "n_chars", k=p["k"], salt=p["salt"]
+    )
+    assert_parity(
+        df, ddb, _priority_sample_oracle(p["k"], p["salt"]),
+        name=f"fuzz_prio{p}",
+    )
+
+
+# --- 27. Interval-overlap bin width (operators/joins.py, r12 verdict) -----
+
+_IOV = _draws(lambda r: {
+    "bin_s": r.choice((300, 900, 3600, 7200, 21600)),
+    "max_span_bins": r.choice((None, 4, 16)),
+})
+
+
+def _interval_overlap_oracle() -> str:
+    """Bin-width-INVARIANT oracle: the drawn (bin_us, max_span_bins)
+    are implementation knobs — the overlap-pair result must be the
+    direct nested-loop predicate's, exactly, for every draw."""
+    return """
+    WITH l AS (SELECT event_id AS l_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS start_us,
+                      CAST(epoch_us(ts) + 2700000000 AS BIGINT) AS end_us
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT event_id AS r_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS r_start_us,
+                 CAST(epoch_us(ts) + 5400000000 AS BIGINT) AS r_end_us
+          FROM events WHERE event_type = 'click')
+    SELECT l.l_id, l.start_us, l.end_us,
+           r.r_id, r.r_start_us, r.r_end_us,
+           CAST(least(l.end_us, r.r_end_us)
+                - greatest(l.start_us, r.r_start_us) AS BIGINT)
+             AS overlap_us
+    FROM l JOIN r
+      ON least(l.end_us, r.r_end_us)
+         - greatest(l.start_us, r.r_start_us) > 0
+    """
+
+
+@pytest.mark.parametrize("p", _IOV, ids=[str(p) for p in _IOV])
+def test_fuzz_interval_overlap_bin(p, spark, ddb):
+    from etl_procesos_odo_spark.operators.joins import interval_overlap_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("l_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + 2_700_000_000).alias("end_us"),
+    )
+    right = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("r_id"),
+        F.unix_micros("ts").alias("r_start_us"),
+        (F.unix_micros("ts") + 5_400_000_000).alias("r_end_us"),
+    )
+    df = interval_overlap_join(
+        left, right, l_keys=["l_id"], r_keys=["r_id"],
+        bin_us=p["bin_s"] * 1_000_000,
+        max_span_bins=p["max_span_bins"],
+    )
+    assert_parity(
+        df, ddb, _interval_overlap_oracle(), name=f"fuzz_iov{p}"
+    )
+
+
+# --- 28. Decision-rule helpers (recommend_salting / recommend_state_store)
+
+_RULES = _draws(lambda r: {
+    "frac": round(r.random(), 3),
+    "red": r.choice((8, 32, 200, 1024)),
+    "state_gb": r.choice((0.1, 1.0, 8.0, 16.0, 64.0)),
+    "churn": round(r.random(), 3),
+    "heap_gb": r.choice((8, 24, 64)),
+})
+
+
+@pytest.mark.parametrize("p", _RULES, ids=[str(p) for p in _RULES])
+def test_fuzz_recommend_rules(p):
+    """Property-fuzz for the two codified decision rules (no SQL
+    oracle — pure functions): outputs must re-derive from the inputs
+    via the documented branch conditions, and the clamps must hold at
+    every draw."""
+    import math
+
+    from etl_procesos_odo_spark.operators.joins import recommend_salting
+    from etl_procesos_odo_spark.streaming.temporal import (
+        recommend_state_store,
+    )
+
+    # salting: AQE-capable never salts; otherwise the documented
+    # excess > 3 rule with n_salt = ceil(excess) clamped to [2, red]
+    salt, n, why = recommend_salting(p["frac"], p["red"])
+    assert not salt and n == 1
+    salt, n, why = recommend_salting(
+        p["frac"], p["red"], aqe_skew_split_available=False
+    )
+    excess = p["frac"] * p["red"]
+    if excess <= 3.0:
+        assert not salt and n == 1
+    else:
+        assert salt and n == max(2, min(p["red"], math.ceil(excess)))
+
+    # state store: churn-heavy -> default; else heap-pressure >= 0.4 ->
+    # rocksdb; else default — and the class string always matches
+    GB = 1 << 30
+    prov, cls, _ = recommend_state_store(
+        int(p["state_gb"] * GB), p["churn"], p["heap_gb"] * GB
+    )
+    if p["churn"] > 0.3:
+        want = "hdfs_backed_default"
+    elif p["state_gb"] / p["heap_gb"] >= 0.4:
+        want = "rocksdb"
+    else:
+        want = "hdfs_backed_default"
+    assert prov == want
+    assert cls.endswith(
+        "RocksDBStateStoreProvider" if prov == "rocksdb"
+        else "HDFSBackedStateStoreProvider"
+    )
