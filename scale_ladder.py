@@ -1016,6 +1016,11 @@ def main() -> None:
                         math.log(c3 / c1) / math.log(3), 3
                     )
         arm["exponents"] = exps
+        arm["protocol"] = (
+            "fresh JVM per point, SPARK_DRIVER_MEMORY=24g, one warm "
+            "execution then one timed count() including construction; "
+            "candidate decomposition computed in-arm per point (r13)"
+        )
         results["docs_sf3"] = arm
         with open(ladder_path, "w") as f:
             json.dump(results, f, indent=1)
