@@ -363,7 +363,18 @@ def budget_waterfill(
     RIGHT plan (allocation state is O(|sources|), KB-sized). For
     source counts beyond window comfort (~10^7), stripe the rank with
     the q50 partitioner — same expressions.
+
+    ``stats`` and the labeled frame ``s`` are localCheckpoint-ed (r13):
+    the waterfill fans its input out to the budget total, the ordered
+    prefix windows, the saturated-mass aggregate, and the final
+    projection — un-materialized, EVERY branch re-ran the caller's
+    corpus-scale groupBy from the parquet scan (q183's executed plan
+    held 14 document scans / 53 exchanges; a downstream consumer like
+    q183/q184 multiplies the fan-out again). Both frames are KB-sized
+    (|sources| rows) — exactly the "cached bytes far below recompute
+    cost" side of the line_dedup_corpus persist rule.
     """
+    stats = stats.localCheckpoint(eager=False)
     tot = stats.agg(
         F.sum(cap_col).alias("tc"), F.sum(weight_col).alias("tw")
     ).selectExpr(f"({budget_num} * tc) div {budget_den} as budget", "tw")
@@ -401,6 +412,9 @@ def budget_waterfill(
             ),
         )
     )
+    # s feeds the saturated-mass aggregate AND the final projection —
+    # checkpoint so the double-window prefix chain runs once (KB-sized)
+    s = s.localCheckpoint(eager=False)
     scal = s.agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)
@@ -435,7 +449,14 @@ def grouped_budget_waterfill(
     stage of hierarchical mixture allocation (allocate across languages
     globally, then across sources within each language's grant). Same
     exact integer discipline; the ordered windows are PARTITIONED BY
-    the group, so groups parallelize."""
+    the group, so groups parallelize.
+
+    ``stats`` and ``s`` are localCheckpoint-ed like
+    :func:`budget_waterfill` (r13): the input here is typically a join
+    of the caller's corpus-scale groupBy with an OUTER waterfill (q183),
+    so un-materialized fan-out re-ran both; frames are |groups×sources|
+    rows, KB-sized."""
+    stats = stats.localCheckpoint(eager=False)
     w_tot = Window.partitionBy(part_col)
     win = Window.partitionBy(part_col).orderBy("_r", key_col)
     s = (
@@ -470,6 +491,7 @@ def grouped_budget_waterfill(
             ),
         )
     )
+    s = s.localCheckpoint(eager=False)
     scal = s.groupBy(part_col).agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)

@@ -410,8 +410,8 @@ def kmeans_lloyd_step(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
 
-    def nearest(cent_df: DataFrame, out: str) -> DataFrame:
-        scored = v.crossJoin(F.broadcast(cent_df)).select(
+    def nearest(src: DataFrame, cent_df: DataFrame, out: str) -> DataFrame:
+        scored = src.crossJoin(F.broadcast(cent_df)).select(
             "_id",
             "_v",
             "cell",
@@ -424,7 +424,15 @@ def kmeans_lloyd_step(
             .select("_id", "_v", F.col("cell").alias(out), F.col("_cs").alias(f"_cs_{out}"))
         )
 
-    a0 = nearest(cents, "cell_init")
+    # the seed assignment feeds the centroid update, the refined
+    # re-assignment (which re-scores the SAME vectors), and the final
+    # join — un-materialized, each consumer re-ran the scan + broadcast
+    # scoring + argmax window (6 embedding scans in q103's executed
+    # plan). Checkpoint once: this is the (id, vec, cell) assignment
+    # table a production IVF build persists anyway (the semantic_dedup
+    # note), and it replaces three argmax-window shuffles of the vector
+    # payload with one.
+    a0 = nearest(v, cents, "cell_init").localCheckpoint(eager=False)
     comp = a0.select(
         "cell_init", F.posexplode(F.col("_v")).alias("pos", "x")
     )
@@ -447,7 +455,7 @@ def kmeans_lloyd_step(
         )
         .select(F.col("cell_init").alias("cell"), "centv")
     )
-    a1 = nearest(means, "cell_next")
+    a1 = nearest(a0.select("_id", "_v"), means, "cell_next")
     return (
         a0.select("_id", "cell_init")
         .join(a1.select("_id", "cell_next", F.col("_cs_cell_next").alias("cos_next")), on="_id")
@@ -816,7 +824,13 @@ def kmeans_train(
     lose every member simply drop out of later rounds — identical
     semantics in both engines.
     """
-    # spread the scan once; every round's assignment reuses it
+    # spread the scan once; every round's assignment reuses it. NOT
+    # checkpointed (r13, measured): the per-round scan+spread Exchange
+    # subtrees are identical, so ReuseExchange already dedups them in
+    # the final plan; a localCheckpoint barrier here replaced that
+    # shuffle reuse with a row-copying deserialized RDD cache and more
+    # than doubled q111/q123 wall-clock at sf0.1 (6.2 s -> 13.9 s,
+    # 3.4 s -> 14.7 s A/B).
     v = _spread(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -890,6 +904,8 @@ def kmeans_train_centroids(
     per-round scale shape and localCheckpoint lineage truncation as
     ``kmeans_train``; cells that lose every member drop out — identical
     semantics in both engines."""
+    # no checkpoint on v — ReuseExchange dedups the per-round spread
+    # subtrees; a checkpoint barrier regressed q123 4x (see kmeans_train)
     v = _spread(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -1292,7 +1308,7 @@ def tfidf_cosine_pairs(
     """
     import math
 
-    from .dedup import _persist_capped, ngrams_all
+    from .dedup import _persist_capped_tagged, ngrams_all
 
     n_docs = None
     if isinstance(max_df, float) or isinstance(candidate_budget, float):
@@ -1305,7 +1321,14 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_all(F.col(text_col), k)).alias("term"),
     )
-    tf = g.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tfc"))
+    # tf feeds the df histogram chain AND the weight build — uncached,
+    # both re-ran the tokenize+explode+groupBy from the scan (r13; the
+    # two tagged slots coexist like incremental_dedup's, retired on the
+    # next dedup/similarity invocation)
+    tf = _persist_capped_tagged(
+        g.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tfc")),
+        "tfidf_tf",
+    )
     dfh = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     dfq = dfh.filter(F.col("dfc") <= max_df)
     if candidate_budget is not None:
@@ -1340,7 +1363,7 @@ def tfidf_cosine_pairs(
             .drop("_capb")
         )
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-    wt = _persist_capped(
+    wt = _persist_capped_tagged(
         tf.join(dfq, on="term")
         .crossJoin(F.broadcast(nd))
         .select(
@@ -1350,7 +1373,8 @@ def tfidf_cosine_pairs(
                 f"CAST(round((tfc * (2 * nd - 2 * dfc + 1) * {scale}.0)"
                 " / (2 * dfc + 1)) AS BIGINT)"
             ).alias("wq"),
-        )
+        ),
+        "tfidf_wt",
     )
     nrm = wt.groupBy("_id").agg(
         F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("nsq")

@@ -2156,6 +2156,9 @@ def q147_mad_length_outliers(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").cast("double").alias("x")
     )
+    # NOT checkpointed (r13, measured): both dev consumers broadcast the
+    # identical aggregate subtree, so ReuseExchange computes it once; a
+    # checkpoint barrier tripled q147 at sf0.1 (1.2 s -> 3.3 s A/B)
     m = docs.groupBy("source").agg(
         F.percentile(F.col("x"), F.lit(0.5)).alias("med")
     )
@@ -2644,14 +2647,20 @@ def q173_histogram_quantiles(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()  # see oracle note: no rank position
     )
-    v = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    # the compressed value table feeds the group totals AND the exact
+    # cumulative chain — checkpoint (|lang × distinct n_chars|-sized)
+    # so the corpus groupBy runs once; the rank grid feeds both the
+    # exact and histogram locators (r13)
+    v = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     n = v.groupBy("lang").agg(F.sum("c").alias("n"))
     qd = docs.sparkSession.createDataFrame(
         _HISTQ_DIM, "qtile string, num int, den int"
     )
     rq = n.crossJoin(F.broadcast(qd)).selectExpr(
         "lang", "qtile", "(num * n + den - 1) div den as r", "n"
-    )
+    ).localCheckpoint(eager=False)
     wv = (
         Window.partitionBy("lang")
         .orderBy("n_chars")
@@ -3079,6 +3088,9 @@ def q181_robust_outliers(spark: SparkSession, sf_dir: str):
         F.row_number().over(w1).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("t")).alias("n"),
     )
+    # NOT checkpointed (r13, measured): the broadcast subtrees below are
+    # identical, so ReuseExchange runs the rank window once; a checkpoint
+    # barrier regressed q181 at sf0.1 (2.2 s -> 3.9 s A/B)
     med = r1.filter("rn = (n + 1) div 2").select("t", "n", F.col("x").alias("med"))
     d = ev.join(F.broadcast(med), "t").selectExpr(
         "t", "n", "med", "abs(x - med) as dev"
@@ -3161,6 +3173,9 @@ def q182_selection_median(spark: SparkSession, sf_dir: str):
         .filter("value is not null")
         .selectExpr("event_type as t", "value as x")
     )
+    # NOT checkpointed (r13, measured): the consumers broadcast the same
+    # aggregate subtree (ReuseExchange dedups it); a checkpoint barrier
+    # regressed q182 at sf0.1 (2.8 s -> 3.7 s A/B)
     stats = ev.groupBy("t").agg(
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
@@ -3264,11 +3279,14 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
         .filter("value is not null")
         .selectExpr("event_type as t", "value as x")
     )
+    # stats feeds the rank grid AND the bin expression's broadcast —
+    # checkpoint the |groups|-sized frame (r13: un-materialized, each
+    # consumer re-aggregated the corpus; 8 scans in the executed plan)
     stats = ev.groupBy("t").agg(
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     qs = F.broadcast(
         ev.sparkSession.createDataFrame(
             [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
@@ -3308,6 +3326,8 @@ def q185_quantile_grid_selection(spark: SparkSession, sf_dir: str):
         )
         .filter("below < k and below + c >= k")
         .selectExpr("t", "bin", "q", "n", "k - below as k_in_bin")
+        .localCheckpoint(eager=False)  # <= 5 rows/group; feeds the
+        # candidate-bin broadcast AND the final rank join
     )
     cand = b.join(
         F.broadcast(

@@ -3997,9 +3997,18 @@ def _cms_frequency_plan(spark: SparkSession, sf_dir: str, D: int, W: int):
     # inner product — checkpoint instead of re-sketching the stream
     sk1 = cms_sketch(e1, "user_id", D, W, "cms").localCheckpoint(eager=True)
     sk2 = cms_sketch(e2, "user_id", D, W, "cms")
-    panel = e1.filter("user_id % 13 = 0").distinct()
+    # one exact per-user count table per week serves the probe panel,
+    # the point-exact column, and both inner-product sides (r13: the
+    # panel/pexact/c1 trio each re-ran the same e1 groupBy; |users|-
+    # sized, checkpoint)
+    cnts1 = (
+        e1.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    panel = cnts1.filter("user_id % 13 = 0").select("user_id")
     pest = cms_point_estimates(sk1, panel, "user_id", D, W, "cms")
-    pexact = e1.groupBy("user_id").agg(F.count(F.lit(1)).alias("ex"))
+    pexact = cnts1.selectExpr("user_id", "c1 as ex")
     point_rows = (
         panel.join(pest, "user_id")
         .join(pexact, "user_id")
@@ -4018,7 +4027,7 @@ def _cms_frequency_plan(spark: SparkSession, sf_dir: str, D: int, W: int):
         .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("s"))
     )
     jest = ip.agg(F.min("s").alias("est"))
-    c1 = e1.groupBy("user_id").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = cnts1
     c2 = e2.groupBy("user_id").agg(F.count(F.lit(1)).alias("c2"))
     jex = (
         c1.join(c2, "user_id")
@@ -4282,7 +4291,7 @@ def q183_hierarchical_budget(spark: SparkSession, sf_dir: str):
             "1 + sum(case when n_chars between 100 and 1000 "
             "then 1 else 0 end)"
         ).alias("w"),
-    )
+    ).localCheckpoint(eager=False)  # feeds lg AND s2in: one corpus scan
     lg = src.groupBy("lang").agg(
         F.sum("cap").alias("cap"), F.sum("w").alias("w")
     )
