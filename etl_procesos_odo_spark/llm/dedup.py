@@ -302,13 +302,18 @@ def minhash_lsh_pairs_collapsed(
     shuffle) → the q32 LSH pipeline over representatives only.
     """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    # reps feeds the LSH input AND both weight sides (sa, sb) — column
+    # pruning gives each consumer a DIFFERENT aggregate list, so
+    # ReuseExchange cannot dedup them and the corpus digest groupBy ran
+    # three times (r13: 9 parquet scans in q67's plan, 0 reuse). One
+    # lazy checkpoint = one scan + one digest shuffle.
     reps = df.groupBy(F.md5(norm).alias("_digest")).agg(
         F.min(id_col).alias(id_col),
         # representative's raw text (min-id row) — deterministic, and both
         # engines shingle the same raw string
         F.min_by(text_col, id_col).alias(text_col),
         F.count("*").alias("_n_docs"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(
         reps.select(id_col, text_col), text_col, id_col,
         k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -355,7 +360,12 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold,
-    )
+    # pairs feeds BOTH arms of the edges union — un-checkpointed, the
+    # whole candidate+verify join chain ran twice inside the eager edges
+    # materialization (r13; the shingle persist only covers the leaves).
+    # The pair set is tiny (near-dup pairs), so the lazy checkpoint costs
+    # nothing and halves the LSH verify work.
+    ).localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))

@@ -118,7 +118,11 @@ def mix_rebalance(
     same order as the oracle SQL, so the boundary is bit-identical.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    base = df.withColumn("_w", wcol.cast("long"))
+    # base feeds the per-stratum totals AND the final rate-filtered join;
+    # un-checkpointed, the caller's weight expression (typically a full
+    # tokenize over the corpus, q109) ran twice. The frame is narrow by
+    # contract — (id, stratum, weight) — so the cache is cheap (r13).
+    base = df.withColumn("_w", wcol.cast("long")).localCheckpoint(eager=False)
     totals = base.groupBy(strata_col).agg(F.sum("_w").alias("_t"))
     tgt = df.sparkSession.createDataFrame(
         sorted(targets.items()), [strata_col, "_share"]

@@ -181,6 +181,10 @@ def association_rules(
         .crossJoin(F.broadcast(ms))
         .filter("sup >= ms")
         .selectExpr("p.x as x", "p.y as y", "sup")
+        # s2 feeds BOTH directions of the dir2 union — un-checkpointed,
+        # the basket pair-enumeration groupBy (the expensive stage) ran
+        # twice (r13). Frequent-pair table is <= |items|^2 rows — tiny.
+        .localCheckpoint(eager=False)
     )
     dir2 = s2.selectExpr("x as ante", "y as cons", "sup").unionByName(
         s2.selectExpr("y as ante", "x as cons", "sup")
@@ -224,7 +228,11 @@ def sequential_pattern_support(
         .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
         .localCheckpoint(eager=True)
     )
-    ms = ev.agg(
+    # entity count from the checkpointed (u, t) min/max table, NOT the
+    # raw event stream: distinct u over tmm == distinct u over ev by
+    # construction (tmm keeps every (u, t)), and tmm is already
+    # materialized — this drops one full corpus scan + distinct (r13)
+    ms = tmm.agg(
         F.expr(
             f"({minsup_num} * count(distinct u) + {minsup_den} - 1) "
             f"div {minsup_den}"

@@ -1109,7 +1109,11 @@ def q77_corpus_prep_pack(spark: SparkSession, sf_dir: str):
     keep = exact_dedup(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
-    base = docs.join(keep, "doc_id")
+    # base (the deduped corpus) feeds the decontamination build, the
+    # left-anti clean join, and the gated/sample/pack chain — each
+    # consumer re-ran the digest groupBy + join from the scan (r13:
+    # 19 parquet scans in q77's plan). One lazy checkpoint = one pass.
+    base = docs.join(keep, "doc_id").localCheckpoint(eager=False)
     train = base.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = decontaminate(
@@ -2640,9 +2644,13 @@ def q134_pagerank_neardup(spark: SparkSession, sf_dir: str):
     from .llm.dedup import minhash_lsh_pairs, pagerank_rounds
 
     docs = load_table(spark, sf_dir, "documents")
+    # pairs feeds both arms of the symmetric edges union — lazy checkpoint
+    # so the LSH candidate+verify chain runs once, not twice, inside
+    # pagerank_rounds' eager edges materialization (r13, same fix as
+    # dedup_clusters)
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -3714,8 +3722,21 @@ def q168_kmv_source_sketch(spark: SparkSession, sf_dir: str):
         # tokenize+shingle+hash scan runs once, not four times
         .localCheckpoint(eager=True)
     )
-    sk = kmv_min_k(d, ["source"], "h", k=K, stripes=8).select("source", "h")
-    ex = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_ex"))
+    # sk feeds the source rollup AND both pair sides (ra, rb) — three
+    # striped min-k passes over the cached d without a barrier; ex feeds
+    # src_rows + both pair-dim projections. Both are sketch-sized
+    # (|sources| x K and |sources| rows) — lazy checkpoints make each
+    # compute once (r13).
+    sk = (
+        kmv_min_k(d, ["source"], "h", k=K, stripes=8)
+        .select("source", "h")
+        .localCheckpoint(eager=False)
+    )
+    ex = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_ex"))
+        .localCheckpoint(eager=False)
+    )
     src = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_set"), F.max("h").alias("hk")
     )
