@@ -249,6 +249,13 @@ def minhash_lsh_pairs(
     signed = hashed.select(
         "_id", *minhash_signature("_base", num_hashes)
     )
+    # NOT checkpointed (r13, measured): the two sides of the bucket
+    # self-join are identical subtrees, so ReuseExchange computes the
+    # sign+band exchange once (q32's plan shows one shared Exchange id);
+    # a localCheckpoint barrier here only added RDD-copy cost and
+    # regressed the whole LSH family at sf0.1 (subset A/B +13.7 s:
+    # q64 +3.1, q108 +1.9, q47 +1.3 — same failure mode as the
+    # kmeans_train v-checkpoint).
     banded = lsh_bands(signed, "_id", num_hashes, bands)
     cand = (
         banded.alias("x")
@@ -549,6 +556,10 @@ def simhash_neardup_pairs(
         raise ValueError("exact recall requires max_hamming <= bands - 1")
     width = 60 // bands
     mask = (1 << width) - 1
+    # NOT checkpointed (r13, measured): both band self-join sides share
+    # the identical simhash60 aggregate subtree, which ReuseExchange
+    # already dedups; a localCheckpoint barrier regressed q78 at sf0.1
+    # (2.91 -> 4.54 in the interleaved subset A/B).
     sig = simhash60(df, text_col, id_col)
     keys = F.expr(
         "array("
@@ -1485,9 +1496,18 @@ def remove_duplicated_grams(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams_all(F.col(text_col), k)).alias("pos", "gram"),
     )
-    gd = _persist_capped(
-        g.groupBy("gram", "doc_id").agg(F.count("*").alias("m"))
-    )
+    # gd is deliberately NOT persisted (r13, measured): the untagged
+    # single-slot lifecycle meant the covered persist below always
+    # evicted this one before materialization, so the operator has
+    # always recomputed gd for its two consumers — and making both
+    # frames coexist via tagged slots measured SLOWER at sf0.1
+    # (4.20 -> 5.26 min-of-3 interleaved A/B): materializing the
+    # gram-level aggregate costs more than recomputing it from the
+    # (cheap) scan at this scale. covered keeps the one persist slot —
+    # it is both smaller and re-derived through the expensive
+    # explode+distinct. At 100 TB profile the trade again before
+    # flipping to tagged dual slots.
+    gd = g.groupBy("gram", "doc_id").agg(F.count("*").alias("m"))
     dup_keys = (
         gd.groupBy("gram")
         .agg(F.sum("m").alias("tot"))

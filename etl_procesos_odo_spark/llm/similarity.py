@@ -248,6 +248,11 @@ def cosine_neardup_pairs(
     cross-bucket pairs are missed; more planes/tables raise it).
     """
     planes = hyperplanes(dim, n_planes, seed)
+    # NOT checkpointed (r13, measured): the two bucket self-join sides
+    # are identical subtrees (ReuseExchange dedups the scan+signature
+    # exchange); a lazy localCheckpoint here measured a wash-to-regression
+    # at sf0.1 across two interleaved A/Bs (q48 -0.25 then +0.34, q136
+    # +0.5) — the RDD barrier buys nothing the reuse doesn't already.
     s = _spread(corpus).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

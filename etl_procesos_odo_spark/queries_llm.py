@@ -2859,6 +2859,14 @@ def q138_bigram_lm_score(spark: SparkSession, sf_dir: str):
         .select("doc_id", F.explode(g2).alias("g"))
         .select("doc_id", F.col("g.prev").alias("prev"), F.col("g.pair").alias("pair"))
     )
+    # Kept as three passes over x (r13, measured): collapsing to a
+    # checkpointed per-(doc, prev, pair) multiplicity table (the
+    # duplicated_gram_stats shape) is count-identical but measured
+    # SLOWER at sf0.1 twice (+0.6 s and +15% min-of-3 in interleaved
+    # A/Bs) — the extra aggregation barrier costs more than the saved
+    # tokenize passes here because bigrams within a doc are nearly
+    # distinct (no compression), unlike the k-gram dup profile that
+    # operator aggregates. Re-measure before re-trying at sf >= 1.
     pc = x.groupBy("pair").agg(F.count(F.lit(1)).alias("pcnt"))
     pf = x.groupBy("prev").agg(F.count(F.lit(1)).alias("fcnt"))
     cond = (
