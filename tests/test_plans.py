@@ -581,10 +581,15 @@ def test_bucketed_join_is_shuffle_free(spark):
     for name in ("t_bucket_orders", "t_bucket_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     try:
         # at this sf the dim would broadcast; the claim under test is the
-        # big-big case, so force the sort-merge path
+        # big-big case, so force the sort-merge path. The session default
+        # prefers shuffled-hash when it fits (r13); this test's claim is
+        # the bucketed+sorted LAYOUT (zero exchange, zero sort), which is
+        # what sort-merge rides, so pin the planner policy explicitly.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
         (spark.read.parquet(f"{sf}/orders.parquet")
          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
          .saveAsTable("t_bucket_orders"))
@@ -606,6 +611,7 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert "Exchange" not in join_part, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", saved_smj)
         for name in ("t_bucket_orders", "t_bucket_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
