@@ -54,7 +54,15 @@ _TRIPLE_EXPR = (
 def basketize(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Rows -> one sorted distinct item array per basket. The single
     corpus-scale shuffle of the mining stack; eagerly checkpointed
-    because every downstream stage re-reads it."""
+    because every downstream stage re-reads it.
+
+    eager=True is MEASURED, not stylistic (r13): flipping the package's
+    nine non-loop eager checkpoints to lazy regressed 8 of 9 affected
+    queries (subset min-of-2 ABBA A/B at sf0.1: eager 30.2 s vs lazy
+    32.2 s; q146 2.24->2.61, q178 2.27->2.61, q175 4.35->4.90) — the
+    dedicated full-width materialization job beats fusing the subtree
+    into whichever consumer happens to run first. Do not re-flip
+    without a new A/B."""
     return (
         df.groupBy(F.col(basket_col).alias("o"))
         .agg(F.sort_array(F.collect_set(item_col)).alias("it"))
