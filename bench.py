@@ -647,8 +647,18 @@ def main() -> None:
 
 def _compact_record(result: dict, budget: int = 1500) -> dict:
     """A <=``budget``-char rendering of the bench record: headline
-    fields verbatim, `queries` reduced to the slowest entries that fit
-    (2-decimal times), with counts so nothing truncates silently."""
+    fields verbatim, ``queries`` reduced to the slowest entries that fit
+    (2-decimal times), with counts so nothing truncates silently.
+
+    r14 (r13 verdict item 2): the per-query map is emitted under the
+    driver-contract key ``queries`` — r13 published it as
+    ``queries_slowest``, so even a cleanly parsed record gave the driver
+    no per-query prev/now or c32/c8 scaling table (two consecutive PERF
+    files with ``n_common: 0``). Same values, same top-N selection, same
+    budget; only the key matches the contract now. ``n_shown`` <
+    ``n_queries`` says the map is the slowest-N subset (a full 203-query
+    map cannot fit a 2000-char tail); the complete map is in the full
+    line above and in BENCH_full.json."""
     compact = {
         "metric": result["metric"],
         "unit": result["unit"],
@@ -659,17 +669,17 @@ def _compact_record(result: dict, budget: int = 1500) -> dict:
         "segmented_sec": result["extras"].get("segmented_total_sec"),
         "value_is": result["extras"].get("value_is"),
         "full_record": "BENCH_full.json",
-        "queries_slowest": {},
+        "queries": {},
     }
     by_cost = sorted(
         result["queries"].items(), key=lambda kv: -kv[1]
     )
     for name, t in by_cost:
-        compact["queries_slowest"][name] = round(t, 2)
+        compact["queries"][name] = round(t, 2)
         if len(json.dumps(compact)) > budget - 40:
-            del compact["queries_slowest"][name]
+            del compact["queries"][name]
             break
-    compact["n_shown"] = len(compact["queries_slowest"])
+    compact["n_shown"] = len(compact["queries"])
     return compact
 
 

@@ -125,6 +125,7 @@ def _persist_capped_tagged(df: DataFrame, tag: str) -> DataFrame:
     return df
 
 
+from ..session import multi_consumer_barrier  # noqa: E402
 from ..session import spread_small_input as _spread  # noqa: E402
 # (shared parallelism guard: see session.spread_small_input)
 
@@ -314,13 +315,15 @@ def minhash_lsh_pairs_collapsed(
     # ReuseExchange cannot dedup them and the corpus digest groupBy ran
     # three times (r13: 9 parquet scans in q67's plan, 0 reuse). One
     # lazy checkpoint = one scan + one digest shuffle.
-    reps = df.groupBy(F.md5(norm).alias("_digest")).agg(
-        F.min(id_col).alias(id_col),
-        # representative's raw text (min-id row) — deterministic, and both
-        # engines shingle the same raw string
-        F.min_by(text_col, id_col).alias(text_col),
-        F.count("*").alias("_n_docs"),
-    ).localCheckpoint(eager=False)
+    reps = multi_consumer_barrier(
+        df.groupBy(F.md5(norm).alias("_digest")).agg(
+            F.min(id_col).alias(id_col),
+            # representative's raw text (min-id row) — deterministic, and
+            # both engines shingle the same raw string
+            F.min_by(text_col, id_col).alias(text_col),
+            F.count("*").alias("_n_docs"),
+        )
+    )
     pairs = minhash_lsh_pairs(
         reps.select(id_col, text_col), text_col, id_col,
         k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -364,15 +367,16 @@ def dedup_clusters(
     round (typically ≪ corpus size); the 2-hop large-star/small-star
     variant is the upgrade path if diameters ever get long.
     """
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
-        threshold=threshold,
     # pairs feeds BOTH arms of the edges union — un-checkpointed, the
     # whole candidate+verify join chain ran twice inside the eager edges
     # materialization (r13; the shingle persist only covers the leaves).
-    # The pair set is tiny (near-dup pairs), so the lazy checkpoint costs
-    # nothing and halves the LSH verify work.
-    ).localCheckpoint(eager=False)
+    # The pair set is tiny (near-dup pairs), so the lazy barrier costs
+    # nothing and halves the LSH verify work (cluster-safety switch:
+    # session.multi_consumer_barrier).
+    pairs = multi_consumer_barrier(minhash_lsh_pairs(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    ))
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))

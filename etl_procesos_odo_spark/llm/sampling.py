@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import multi_consumer_barrier
 from .dedup import hash60
 
 TWO_POW_60 = float(1 << 60)
@@ -121,8 +122,9 @@ def mix_rebalance(
     # base feeds the per-stratum totals AND the final rate-filtered join;
     # un-checkpointed, the caller's weight expression (typically a full
     # tokenize over the corpus, q109) ran twice. The frame is narrow by
-    # contract — (id, stratum, weight) — so the cache is cheap (r13).
-    base = df.withColumn("_w", wcol.cast("long")).localCheckpoint(eager=False)
+    # contract — (id, stratum, weight) — so the cache is cheap (r13;
+    # cluster-safety switch: session.multi_consumer_barrier).
+    base = multi_consumer_barrier(df.withColumn("_w", wcol.cast("long")))
     totals = base.groupBy(strata_col).agg(F.sum("_w").alias("_t"))
     tgt = df.sparkSession.createDataFrame(
         sorted(targets.items()), [strata_col, "_share"]
@@ -376,9 +378,10 @@ def budget_waterfill(
     held 14 document scans / 53 exchanges; a downstream consumer like
     q183/q184 multiplies the fan-out again). Both frames are KB-sized
     (|sources| rows) — exactly the "cached bytes far below recompute
-    cost" side of the line_dedup_corpus persist rule.
+    cost" side of the line_dedup_corpus persist rule. Barrier form and
+    its cluster-safety switch: see session.multi_consumer_barrier.
     """
-    stats = stats.localCheckpoint(eager=False)
+    stats = multi_consumer_barrier(stats)
     tot = stats.agg(
         F.sum(cap_col).alias("tc"), F.sum(weight_col).alias("tw")
     ).selectExpr(f"({budget_num} * tc) div {budget_den} as budget", "tw")
@@ -417,8 +420,8 @@ def budget_waterfill(
         )
     )
     # s feeds the saturated-mass aggregate AND the final projection —
-    # checkpoint so the double-window prefix chain runs once (KB-sized)
-    s = s.localCheckpoint(eager=False)
+    # barrier so the double-window prefix chain runs once (KB-sized)
+    s = multi_consumer_barrier(s)
     scal = s.agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)
@@ -459,8 +462,9 @@ def grouped_budget_waterfill(
     :func:`budget_waterfill` (r13): the input here is typically a join
     of the caller's corpus-scale groupBy with an OUTER waterfill (q183),
     so un-materialized fan-out re-ran both; frames are |groups×sources|
-    rows, KB-sized."""
-    stats = stats.localCheckpoint(eager=False)
+    rows, KB-sized. Barrier form and its cluster-safety switch: see
+    session.multi_consumer_barrier."""
+    stats = multi_consumer_barrier(stats)
     w_tot = Window.partitionBy(part_col)
     win = Window.partitionBy(part_col).orderBy("_r", key_col)
     s = (
@@ -495,7 +499,7 @@ def grouped_budget_waterfill(
             ),
         )
     )
-    s = s.localCheckpoint(eager=False)
+    s = multi_consumer_barrier(s)
     scal = s.groupBy(part_col).agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0)

@@ -40,8 +40,11 @@ SUBSET = [
 ]
 
 ARMS = {
-    # base: the shipped session config
-    "base": {},
+    # base: the PRE-CHANGE policy, pinned explicitly (r13 advice fix) —
+    # after the shj arm shipped as the session default, an implicit {}
+    # base would silently equal the shj arm and the recorded
+    # 86.5s -> 59.8s decision could no longer be reproduced
+    "base": {"spark.sql.join.preferSortMergeJoin": "true"},
     # planner-level: allow shuffled-hash when its size conditions are met
     "shj": {"spark.sql.join.preferSortMergeJoin": "false"},
     # AQE-level: rewrite SMJ->SHJ at runtime when every post-shuffle

@@ -45,7 +45,7 @@ def test_compact_record_fits_driver_tail_at_any_registry_size():
         parsed = json.loads(line)
         assert parsed["value"] == 123.45
         assert parsed["n_queries"] == n
-        assert parsed["n_shown"] == len(parsed["queries_slowest"]) <= n
+        assert parsed["n_shown"] == len(parsed["queries"]) <= n
         # a tail capture of (huge full line + compact line) must end with
         # a complete parseable record
         full = json.dumps(_fake_result(n))
@@ -53,9 +53,19 @@ def test_compact_record_fits_driver_tail_at_any_registry_size():
         assert json.loads(tail.strip().splitlines()[-1])["value"] == 123.45
 
 
+def test_compact_record_uses_driver_contract_queries_key():
+    # r14 (r13 verdict item 2): the compact line's per-query map must sit
+    # under the contract key ``queries`` — r13 shipped it as
+    # ``queries_slowest`` and the driver's PERF per_query/scaling tables
+    # came back empty two rounds running
+    parsed = _compact_record(_fake_result(203))
+    assert "queries" in parsed and parsed["queries"]
+    assert "queries_slowest" not in parsed
+
+
 def test_compact_record_keeps_slowest_queries_first():
     r = _fake_result(300)
-    shown = _compact_record(r)["queries_slowest"]
+    shown = _compact_record(r)["queries"]
     times = list(shown.values())
     assert times == sorted(times, reverse=True)
     assert max(r["queries"].values()) == times[0]
@@ -64,7 +74,7 @@ def test_compact_record_keeps_slowest_queries_first():
 def test_compact_record_handles_error_sentinels():
     r = _fake_result(10)
     r["queries"]["q_failed_one"] = -1.0  # bench error sentinel
-    shown = _compact_record(r)["queries_slowest"]
+    shown = _compact_record(r)["queries"]
     # sentinel sorts last, never displacing a real slow query
     assert list(shown.values())[0] >= 0
 

@@ -2711,3 +2711,42 @@ def test_fractional_max_df_denominator_includes_shingleless_docs(spark):
     assert decon(0.5) == decon(5) and decon(5)
     assert decon(3) == []
     assert decon(0.5) != decon(3)
+
+
+def test_cluster_safe_barrier_switch_identical_results(spark, monkeypatch):
+    """r13 verdict item 6: SPARK_GRAFT_CLUSTER_SAFE_BARRIER=true swaps the
+    multi-consumer lazy-localCheckpoint barrier for persist(MEMORY_AND_DISK)
+    (recomputable on executor loss — lineage retained). Results must be
+    identical, and the switch must actually change the barrier mechanism."""
+    from pyspark import StorageLevel
+
+    from etl_procesos_odo_spark.llm.sampling import budget_waterfill
+    from etl_procesos_odo_spark.session import multi_consumer_barrier
+
+    stats = spark.createDataFrame(
+        [("s1", 100, 1), ("s2", 50, 2), ("s3", 10, 5), ("s4", 1000, 1)],
+        ["source", "cap", "weight"],
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in budget_waterfill(
+                stats, "source", "cap", "weight", 1, 2
+            ).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_CLUSTER_SAFE_BARRIER", raising=False)
+    default_rows = run()
+    barrier_default = multi_consumer_barrier(stats.select("source"))
+    assert barrier_default.storageLevel == StorageLevel.NONE  # checkpoint form
+
+    monkeypatch.setenv("SPARK_GRAFT_CLUSTER_SAFE_BARRIER", "true")
+    safe_rows = run()
+    barrier_safe = multi_consumer_barrier(stats.select("source"))
+    try:
+        assert barrier_safe.storageLevel == StorageLevel.MEMORY_AND_DISK
+    finally:
+        barrier_safe.unpersist()
+
+    assert default_rows == safe_rows and default_rows
