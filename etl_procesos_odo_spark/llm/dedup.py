@@ -1683,17 +1683,49 @@ def ppjoin_pairs(
     boilerplate-hot grams never enter a prefix at high t).
 
     Verification is candidate-local: join the pair list back to the
-    two gram arrays and count the intersection per pair — never the
-    all-shared-gram equi-join (q31's shape) whose hot-gram buckets the
-    prefix filter exists to avoid. The threshold test is exact
+    two per-doc RANK arrays and count the intersection per pair — never
+    the all-shared-gram equi-join (q31's shape) whose hot-gram buckets
+    the prefix filter exists to avoid. The threshold test is exact
     integer cross-multiplication (den * shared >= num * (union)), so
     no double boundary can disagree with the oracle.
+
+    r14 restructure (guide §2.3 shuffle fewer bytes, §3 candidate
+    pruning; measured at sf1, value-identical at sf0.01/sf0.1/sf1):
+    everything downstream of the df build runs on INT gram ranks — the
+    rank is an order-preserving bijection, so prefix sets and
+    intersection sizes are unchanged while the candidate equi-join keys
+    4-byte ints instead of k-word strings and the verify join ships int
+    arrays (~4x fewer bytes than the string gram arrays). Two lossless
+    PPJoin candidate filters land before the verify stage (Xiao et al.
+    2008):
+
+    - POSITIONAL (per matched row, pre-shuffle): shared <=
+      min(pi, pj) + 1 + min(na-pi-1, nb-pj-1) for a common prefix gram
+      at 0-based positions (pi, pj) — commons split into those before
+      it in both arrays and those at-or-after it in both, because both
+      arrays are sorted by the same global (df, gram) order.
+    - SUFFIX BOUND (per pair, replaces the distinct with a same-shuffle
+      groupBy): shared <= cnt + min(na-li-1, nb-lj-1) where cnt is the
+      exact count of common prefix grams and (li, lj) the positions of
+      the last (max-rank) one. Any shared gram ranked below a matched
+      prefix gram is itself in both prefixes (the prefix is the
+      rank-lowest slice), so every uncounted shared gram sits strictly
+      after (li, lj) in both arrays. Every row of a true pair passes
+      both bounds, so recall stays exact.
+
+    Measured on the dense sf1 corpus (plans/r14/profile_sf1.py +
+    probe_q175.py): verify candidates 6.49M -> 2.22M (2.9x), cold
+    min-of-reps 30.7 s -> 18.8 s (-39%); only 80 true pairs exist, so
+    candidate pruning is exactly where the time goes.
 
     Scale notes: the df/rank table is vocabulary-sized (one global
     row_number over distinct grams — bounded by vocab here; an
     open-vocab corpus swaps in the partitioner's striped rank);
     per-doc gram sorting is doc-bounded; the candidate join shuffles
-    on the prefix gram key with df-ascending buckets.
+    on the int prefix-rank key with df-ascending buckets. The eager
+    checkpoints are load-bearing both ways: dropping g's measured 2x
+    slower at sf1 (shingles rebuilt per consumer), and `ranked` feeds
+    four consumers (both prefix sides + both verify sides).
     """
     from pyspark.sql import Window
 
@@ -1702,7 +1734,7 @@ def ppjoin_pairs(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("grams"),
     ).filter(F.size("grams") > 0)
-    # multiply consumed (df build, prefix build, both verify sides)
+    # multiply consumed (df build + rank-join pass)
     g = g.localCheckpoint(eager=True)
     df_tab = (
         g.select(F.explode("grams").alias("gram"))
@@ -1715,44 +1747,59 @@ def ppjoin_pairs(
         g.select("id", F.explode("grams").alias("gram"))
         .join(rk, "gram")
         .groupBy("id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(rk, gram))), "
-                "s -> s.gram)"
-            ).alias("sorted_grams")
-        )
+        .agg(F.sort_array(F.collect_list("rk")).alias("ra"))
         .selectExpr(
             "id",
-            "size(sorted_grams) as n",
-            f"slice(sorted_grams, 1, size(sorted_grams) "
-            f"- (({t_n} * size(sorted_grams) + {t_d} - 1) div {t_d}) + 1) "
+            "size(ra) as n",
+            "ra",
+            f"slice(ra, 1, size(ra) "
+            f"- (({t_n} * size(ra) + {t_d} - 1) div {t_d}) + 1) "
             "as prefix",
         )
+        # feeds pa, pb AND both verify sides (4 consumers)
+        .localCheckpoint(eager=True)
     )
     pa = ranked.select(
         F.col("id").alias("id_a"), F.col("n").alias("na"),
-        F.explode("prefix").alias("gram"),
+        F.posexplode("prefix").alias("pi", "rk"),
     )
     pb = ranked.select(
         F.col("id").alias("id_b"), F.col("n").alias("nb"),
-        F.explode("prefix").alias("gram"),
+        F.posexplode("prefix").alias("pj", "rk"),
     )
     # length filter (lossless, standard): J >= t forces
     # t*n_a <= n_b <= n_a/t — integer cross-multiplied. Measured on
     # the dense sf0.1 corpus: 118,826 -> 43,543 candidates (2.7x)
     # before the verify stage.
+    ub = (
+        F.least(F.col("pi"), F.col("pj")) + F.lit(1)
+        + F.least(F.col("na") - F.col("pi") - 1, F.col("nb") - F.col("pj") - 1)
+    )
+    ub2 = F.col("cnt") + F.least(
+        F.col("na") - F.col("li") - 1, F.col("nb") - F.col("lj") - 1
+    )
     cand = (
-        pa.join(pb, "gram")
+        pa.join(pb, "rk")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.lit(t_n) * F.col("na") <= F.lit(t_d) * F.col("nb"))
             & (F.lit(t_n) * F.col("nb") <= F.lit(t_d) * F.col("na"))
+            & (F.lit(t_n + t_d) * ub
+               >= F.lit(t_n) * (F.col("na") + F.col("nb")))
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("pi").alias("li"),
+            F.max("pj").alias("lj"),
+        )
+        .filter(
+            F.lit(t_n + t_d) * ub2 >= F.lit(t_n) * (F.col("na") + F.col("nb"))
         )
         .select("id_a", "id_b")
-        .distinct()
     )
-    ga = g.selectExpr("id as id_a", "grams as ga", "size(grams) as n_a")
-    gb = g.selectExpr("id as id_b", "grams as gb", "size(grams) as n_b")
+    ga = ranked.selectExpr("id as id_a", "ra as ga", "n as n_a")
+    gb = ranked.selectExpr("id as id_b", "ra as gb", "n as n_b")
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
