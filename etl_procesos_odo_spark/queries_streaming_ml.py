@@ -273,13 +273,20 @@ def q69_streaming_sessionize(spark: SparkSession, sf_dir: str):
     "the oracle checks exactly (all measures arrival-order independent).",
 )
 def q58_stateful_user_stats(spark: SparkSession, sf_dir: str):
-    from .streaming.temporal import stateful_user_stats
+    from .streaming.temporal import (
+        python_stateful_partitions,
+        stateful_user_stats,
+    )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Python-boundary-bound stateful op: state partitions scale with the
+    # source size (sf1: 8 -> 32 measured 11.1 s -> 5.3 s min-of-3; sf0.1
+    # stays at 8 — see python_stateful_partitions)
     out = run_to_memory(
         stateful_user_stats(events_stream(spark, sf_dir)),
         "q58_stateful_user_stats_out",
         "append",
+        state_partitions=python_stateful_partitions(spark, sf_dir),
     )
     return out
 

@@ -75,19 +75,36 @@ def run_to_memory(
     """Execute a streaming frame to completion against the memory sink and
     return the result as a local batch DataFrame (bounded-input smoke path).
 
-    The memory-sink table and the stopped query's state are released
-    EAGERLY: the sink rows are materialized (bounded by windows/keys, not
-    raw volume — this is the harness-only export edge) and the temp view is
-    dropped before returning, so a long correctness session (67 registry
-    queries, bench loops) does not accumulate sink tables and streaming
-    state across queries. Production replaces this sink with Kafka/Delta —
-    nothing upstream of the sink changes.
+    Export path (r14, guide §5 — the driver should do no data work): a
+    BIG sink (> ``_DRIVER_EXPORT_MAX_ROWS``) is materialized into the JVM
+    block manager with one eager ``localCheckpoint`` and the temp view
+    dropped before returning; r13 and earlier always ``collect()``-ed the
+    sink to the Python driver and rebuilt a DataFrame from local rows — a
+    round-trip that WAS the dominant cost of the big-output streaming
+    queries (q69's 954,939 session rows at sf1: 28.8 s -> 10.3 s
+    min-of-reps in the interleaved family A/B, q43 14.8 -> 3.7, q40
+    5.2 -> 1.9; plans/r14/ab_stream_export.py). SMALL sinks keep the
+    driver-local export: for a few thousand rows the collect+rebuild is
+    cheaper than the extra checkpoint job and keeps downstream consumers
+    on local rows (the same A/B measured blanket checkpointing +0.3 to
+    +2.3 s on q113/q131/q161/q174, all small-output). The sink row count
+    that picks the path is one in-memory count job over the finished
+    sink. The release contract is unchanged in spirit: the temp view is
+    gone before returning, and checkpointed blocks are freed by the
+    ContextCleaner (session.py pins periodicGC at 2 min) once the caller
+    drops the returned frame — a long correctness session still cannot
+    accumulate sink tables or streaming state across queries. Production
+    replaces this sink with Kafka/Delta — nothing upstream changes.
     """
     spark = df.sparkSession
     # streaming state partition count should track KEY cardinality (hours,
     # users, sessions — bounded here), not input width: every micro-batch
     # pays state-store open/commit per partition, so 32 near-empty state
-    # partitions cost ~4x the wall time of 8 (measured). The conf is read
+    # partitions cost ~4x the wall time of 8 (measured; at sf1 the
+    # JVM-state-heavy operators still regress with more partitions —
+    # q69's session store 6.6 s at 8 vs 90.7 s at 32, commit-bound — so
+    # 8 stays the default and only the Python-boundary-bound stateful op
+    # scales it up via python_stateful_partitions). The conf is read
     # at .start() and restored after; production sizes it at deploy time.
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -107,9 +124,72 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
+    try:
+        # MemoryPlan statistics are computed from the driver-held sink
+        # rows — reading them costs ~15 ms and NO job, where a count()
+        # cutover measured ~0.4 s on every small streaming query
+        sink_bytes = int(
+            sink._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # internals moved: fall back to an exact count job
+        sink_bytes = (
+            0 if sink.count() <= 20_000 else _DRIVER_EXPORT_MAX_BYTES + 1
+        )
+    if sink_bytes <= _DRIVER_EXPORT_MAX_BYTES:
+        rows, schema = sink.collect(), sink.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
+    out = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return out
+
+
+# Export-path cutover (see run_to_memory): below this the driver-local
+# collect+rebuild wins (measured at sf1 — q58's 15k rows / ~600 KB are
+# fine either way, q113/q131/q161/q174's few-k outputs regress under a
+# blanket checkpoint), above it the JVM-side checkpoint wins (q69's
+# 954,939 sessions / ~48 MB: 24.0 -> 8.2 s fresh-JVM min-of-reps; q43
+# 12.7 -> 5.9 s).
+_DRIVER_EXPORT_MAX_BYTES = 1 << 20
+
+
+def python_stateful_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """Scale-adaptive state-partition count for PYTHON-stateful streaming
+    operators (``applyInPandasWithState``), derived from the source's
+    on-disk bytes (parquet footer-level cost, no job).
+
+    Why only the Python-stateful op scales up (r14 sf1 telemetry,
+    plans/r14/profile_sf1.py): its per-partition cost is the Arrow
+    JVM->Python boundary plus per-key pandas work — embarrassingly
+    parallel — so q58 at sf1 ran 13.5 s with 8 state partitions vs 4.7 s
+    with 32, while its state store held only ~3 MB (commit cost
+    negligible). The JVM state-heavy operators are the opposite: their
+    cost is per-partition state-store commit (q95's stream-stream join
+    86 MB state: 4.5 s at 8 partitions vs 8.2 s at 32; q69's session
+    store 338 MB: 6.6 s vs 90.7 s), so they keep the low default.
+
+    The rule: one partition per ~512 KB of source bytes, floored at the
+    default 8 and capped at the session's parallelism — at bench sf0.1
+    (2 MB events) this stays 8 (identical plans to r13), at sf1 (17 MB)
+    it reaches the full 32, and on a cluster it tracks defaultParallelism
+    rather than any local constant.
+    """
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    if _os.path.isdir(path):
+        nbytes = sum(
+            _os.path.getsize(p)
+            for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+            if _os.path.isfile(p)
+        )
+    else:
+        nbytes = _os.path.getsize(path) if _os.path.exists(path) else 0
+    cores = spark.sparkContext.defaultParallelism
+    return max(8, min(cores, nbytes // (512 * 1024)))
 
 
 def run_append_partials(
