@@ -1500,17 +1500,18 @@ def remove_duplicated_grams(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams_all(F.col(text_col), k)).alias("pos", "gram"),
     )
-    # gd is deliberately NOT persisted (r13, measured): the untagged
-    # single-slot lifecycle meant the covered persist below always
-    # evicted this one before materialization, so the operator has
-    # always recomputed gd for its two consumers — and making both
-    # frames coexist via tagged slots measured SLOWER at sf0.1
-    # (4.20 -> 5.26 min-of-3 interleaved A/B): materializing the
-    # gram-level aggregate costs more than recomputing it from the
-    # (cheap) scan at this scale. covered keeps the one persist slot —
-    # it is both smaller and re-derived through the expensive
-    # explode+distinct. At 100 TB profile the trade again before
-    # flipping to tagged dual slots.
+    # gd is deliberately NOT persisted (r13, measured; re-measured at
+    # sf1 in r14): the untagged single-slot lifecycle meant the covered
+    # persist below always evicted this one before materialization, so
+    # the operator has always recomputed gd for its two consumers — and
+    # making both frames coexist via tagged slots measured SLOWER at
+    # sf0.1 (4.20 -> 5.26 min-of-3 interleaved A/B) AND at sf1
+    # (8.08 -> 9.43 min-of-2, plans/r14/probe_q138_q157.py): across two
+    # scale tiers, materializing the gram-level aggregate costs more
+    # than recomputing it from the (cheap) scan. covered keeps the one
+    # persist slot — it is both smaller and re-derived through the
+    # expensive explode+distinct. The rejection is now pinned at both
+    # tiers; re-profile only if the corpus/dup profile changes.
     gd = g.groupBy("gram", "doc_id").agg(F.count("*").alias("m"))
     dup_keys = (
         gd.groupBy("gram")

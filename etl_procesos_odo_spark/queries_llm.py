@@ -2859,14 +2859,17 @@ def q138_bigram_lm_score(spark: SparkSession, sf_dir: str):
         .select("doc_id", F.explode(g2).alias("g"))
         .select("doc_id", F.col("g.prev").alias("prev"), F.col("g.pair").alias("pair"))
     )
-    # Kept as three passes over x (r13, measured): collapsing to a
-    # checkpointed per-(doc, prev, pair) multiplicity table (the
-    # duplicated_gram_stats shape) is count-identical but measured
-    # SLOWER at sf0.1 twice (+0.6 s and +15% min-of-3 in interleaved
-    # A/Bs) — the extra aggregation barrier costs more than the saved
-    # tokenize passes here because bigrams within a doc are nearly
-    # distinct (no compression), unlike the k-gram dup profile that
-    # operator aggregates. Re-measure before re-trying at sf >= 1.
+    # r14 (the r13 "revisit at sf >= 1" note, measured): one eager
+    # checkpoint of the exploded bigram stream feeds pc, pf AND the
+    # conditional join — 3 tokenize+explode passes -> 1. Interleaved
+    # min-of-reps: sf1 10.9 s -> 7.1 s (-35%), sf0.1 2.2 -> 1.6 s
+    # (plans/r14/probe_q138_q157.py). The r13-rejected MULTIPLICITY
+    # TABLE restructure stays rejected at sf1 too (11.2 s vs base
+    # 10.9 — bigrams within a doc are nearly distinct, so the extra
+    # aggregation barrier still buys no compression). At 100 TB the
+    # checkpoint materializes ~input-scale bytes to memory+disk; the
+    # trade holds because it replaces two full corpus tokenize passes.
+    x = x.localCheckpoint(eager=True)
     pc = x.groupBy("pair").agg(F.count(F.lit(1)).alias("pcnt"))
     pf = x.groupBy("prev").agg(F.count(F.lit(1)).alias("fcnt"))
     cond = (
