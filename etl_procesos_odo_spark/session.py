@@ -65,6 +65,21 @@ def get_spark(
             .strip().lower() in ("1", "true", "yes")
             else "false",
         )
+        # r14 (adverse-condition arm, plans/r14/shj_adverse.py): on a
+        # deliberately misestimated build side (28-37 MB file estimate,
+        # 2.5-3.3 GB runtime rows, 4 GB heap) the planner-level SHJ pick
+        # is 1.5-2x slower than SMJ and OOM-flaky at the margin, while
+        # the AQE-level rewrite (maxShuffledHashJoinLocalMapThreshold)
+        # sees the REAL runtime partition bytes and stays on SMJ — safe
+        # and fastest there. Deployments with untrustworthy size
+        # estimates set SPARK_GRAFT_PREFER_SMJ=true and this threshold
+        # (e.g. 64m) to keep the SHJ win only where runtime sizes prove
+        # it fits; unset (default 0) preserves the shipped local-mode
+        # behavior and the r13 A/B baseline.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_AQE_THRESHOLD", "0"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver-generated parquet stores naive (isAdjustedToUTC=false)

@@ -9,11 +9,11 @@ Setup: the build side is a parquet table of constant-ish 400-char
 payloads — dictionary/RLE compression makes the FILE (the planner's size
 estimate) ~100x smaller than the runtime rows, the exact post-filter/UDF
 misestimation failure mode the advice names. autoBroadcastJoinThreshold
-is dropped to 512k in every arm so the misestimated side cannot escape
-into a broadcast (at 100 TB a build side like this is far over the
-broadcast bar anyway); the planner's SHJ size condition
-(est < threshold x partitions, 3x smaller than probe) is then satisfied
-by the WRONG estimate. Driver heap is forced small via
+is dropped to 2 MB in every arm so the ~28 MB misestimated side cannot
+escape into a broadcast (at 100 TB a build side like this is far over
+the broadcast bar anyway) while the planner's SHJ size condition
+(est < threshold x partitions = 64 MB, 3x smaller than probe) is still
+satisfied by the WRONG estimate. Driver heap is forced small via
 SPARK_DRIVER_MEMORY (local mode: one JVM holds all build maps).
 
 Arms (each a fresh subprocess):
@@ -39,9 +39,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 sys.path.insert(0, REPO)
 
 DATA = "/tmp/r14_shj_adverse"
-N_BUILD = 6_000_000   # ~2.8 GB runtime build rows vs ~single-digit-MB file
+N_BUILD = 8_000_000   # ~3.3 GB runtime build rows vs a ~37 MB file estimate
 N_PROBE = 24_000_000
-HEAP = os.environ.get("SHJ_ADVERSE_HEAP", "3g")
+HEAP = os.environ.get("SHJ_ADVERSE_HEAP", "4g")
 
 ARMS = {
     "shj": {},
@@ -78,7 +78,11 @@ def child(arm: str) -> None:
 
     spark = get_spark(f"r14-shj-adverse-{arm}", extra_conf=ARMS[arm])
     gen(spark)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024))
+    # threshold window that pins the planner's choice: the ~28 MB build
+    # FILE estimate stays over the broadcast bar (no BHJ escape) while
+    # estimate < threshold x 32 partitions keeps SHJ's size condition
+    # satisfied by the WRONG number (runtime rows are ~2.5 GB)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
     b = spark.read.parquet(os.path.join(DATA, "build"))
     p = spark.read.parquet(os.path.join(DATA, "probe"))
     j = p.join(b, on="k").select(
@@ -127,9 +131,10 @@ def main() -> None:
                 continue
         if rec is None:
             tail = (proc.stderr or "")[-1200:]
-            oom = ("OutOfMemoryError" in (proc.stderr or "")
-                   or "SparkOutOfMemoryError" in (proc.stderr or "")
-                   or proc.returncode != 0)
+            err = proc.stderr or ""
+            oom = ("OutOfMemoryError" in err or "SparkOutOfMemory" in err
+                   or "Java heap space" in err
+                   or "Unable to acquire" in err)
             rec = {"arm": arm, "failed": True, "oom_signature": oom,
                    "rc": proc.returncode, "stderr_tail": tail}
         results.append(rec)
